@@ -1,0 +1,89 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is executed to completion with a count-style action (collect on
+aggregates, count on wide outputs) so the full plan — scan, shuffle, join —
+actually runs; nothing is cached between queries so numbers are honest
+cold-plan times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from bitcoinminingetl_spark.registry import load_all
+from bitcoinminingetl_spark.session import get_spark
+
+# Headline set: the flagship reference query plus the most
+# shuffle/join/agg-heavy operators — the ones whose plans matter at 100 TB.
+HEADLINE = (
+    "q_window_join",
+    "q_filter_between",
+    "q_avg_grouped",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_topk_per_group",
+    "q_dedup_exact",
+    "q_text_stats",
+    "q_cosine_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+    # widen with everything else that's registered, so the bench tracks
+    # coverage growth round over round
+    names += [n for n in sorted(registry) if n not in names]
+
+    spark = get_spark(app_name="bitcoinminingetl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # estimate sf from lineitem row count (sf1 ~ 6M rows)
+    from bitcoinminingetl_spark.catalog import table
+
+    lineitem_rows = table(spark, sf_dir, "lineitem").count()
+    sf = round(lineitem_rows / 6_000_000, 4)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        try:
+            df = spec.fn(spark, sf_dir)
+            # Foreach-noop action: runs the whole plan, returns nothing to
+            # the driver (no collect bottleneck skewing the number).
+            df.foreach(lambda _: None)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — bench must survive one bad query
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

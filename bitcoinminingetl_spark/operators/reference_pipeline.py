@@ -1,0 +1,340 @@
+"""The reference ETL's query semantics, re-expressed as Catalyst plans.
+
+The reference (lyfer233/BitcoinMiningETL) computes: project/rename scalar
+leaves out of nested JSON (src/mining/utils/transform.py:9-31), cast
+str<->numeric<->timestamp (transform.py:23-24, utils/load.py:27,34-35),
+null-route two sources with price-precedence (transform.py:12-30), filter a
+closed [t-300, t] time interval (data_model.py:29-30,55-56; load.py:9-14),
+AVG per window — server-side for price, client-side for hashrate
+(load.py:13-15,30-35), fall back to the previous window when the current one
+is empty/zero (load.py:16-25), join the per-stream averages into one wide
+row (load.py:37-42), format to 2 decimals (load.py:52-53), and dedup by
+identity columns (data_model.py:32-33,71-72).
+
+Here each of those is a declarative DataFrame plan over the `events` table
+(`ts` ~ server_ts, `value` ~ metric, `event_type` splits the table into
+metric streams — see FIXTURES.md §B). No per-row loops, no driver-side
+aggregation: every aggregate is a hash-aggregate with map-side partial
+aggregation, every join a planner-chosen hash/broadcast join, so the same
+plan scales from 1k rows to 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.numeric import round2, round2_sql
+from bitcoinminingetl_spark.registry import query
+
+# Closed interval bounds for the R7-style range filter (the events table
+# spans 2024-01-01..2024-01-30; see FIXTURES.md).
+_T0 = "2024-01-05 00:00:00"
+_T1 = "2024-01-20 00:00:00"
+
+
+@query(
+    "q_window_join",
+    oracle=f"""
+    WITH p AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               {round2_sql('avg(value)')} AS avg_click
+        FROM events
+        WHERE event_type = 'click'
+          AND ts BETWEEN TIMESTAMP '{_T0}' AND TIMESTAMP '{_T1}'
+        GROUP BY 1
+    ), h AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               {round2_sql('avg(value)')} AS avg_view
+        FROM events
+        WHERE event_type = 'view'
+          AND ts BETWEEN TIMESTAMP '{_T0}' AND TIMESTAMP '{_T1}'
+        GROUP BY 1
+    )
+    SELECT coalesce(p.window_start, h.window_start) AS window_start,
+           p.avg_click, h.avg_view
+    FROM p FULL OUTER JOIN h ON p.window_start = h.window_start
+    """,
+)
+def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's avg_info materialization (R11).
+
+    Two metric streams -> 5-minute tumbling AVG each -> full-outer join on
+    the window -> one wide row per window, 2-dp rounded (reference
+    load.py:8-55). Full-outer because either stream may be absent in a
+    window (the reference inserts NULL-completed rows).
+
+    Scale: each side is a partial-agg + final-agg on the window key; the
+    join is an equi-join on the same key, so with AQE both sides share the
+    shuffle partitioning and skew is handled at runtime.
+    """
+    events = table(spark, sf_dir, "events").filter(
+        F.col("ts").between(F.lit(_T0).cast("timestamp"), F.lit(_T1).cast("timestamp"))
+    )
+
+    def stream_avg(event_type: str, out: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == event_type)
+            .groupBy(F.window("ts", "5 minutes").alias("win"))
+            .agg(round2(F.avg("value")).alias(out))
+        )
+
+    p = stream_avg("click", "avg_click")
+    h = stream_avg("view", "avg_view")
+    return p.join(h, on="win", how="full_outer").select(
+        F.col("win.start").alias("window_start"), "avg_click", "avg_view"
+    )
+
+
+@query(
+    "q_project_rename",
+    oracle="""
+    SELECT event_id,
+           event_type AS stream,
+           value AS metric,
+           CAST(1704067200 AS BIGINT) AS spider_ts
+    FROM events
+    """,
+)
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: projection + rename + literal column (transform.py:9-31 renames
+    currentHashrate->hashrate, time->server_ts and attaches spider_ts).
+    Pure narrow op: no shuffle, column pruning reaches the parquet scan."""
+    return table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.col("event_type").alias("stream"),
+        F.col("value").alias("metric"),
+        F.lit(1704067200).cast("long").alias("spider_ts"),
+    )
+
+
+@query(
+    "q_casts",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS id_str,
+           CAST(user_id AS VARCHAR) AS uid_str,
+           CAST(floor(value) AS BIGINT) AS value_floor,
+           CAST(value AS DECIMAL(12, 2)) AS value_dec,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           CAST(to_timestamp(event_id * 60 + 1609459200) AS TIMESTAMP) AS synth_ts
+    FROM events
+    """,
+)
+def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: the reference's cast zoo — str(big_int) storage
+    (transform.py:23-24), int()/float() re-parse (load.py:34-35), epoch ->
+    TIMESTAMP via FROM_UNIXTIME (data_model.py:27-28). DecimalType(12,2)
+    stands in for the Decimal wrapping at load.py:27. All JVM-side casts
+    inside whole-stage codegen."""
+    return table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("id_str"),
+        F.col("user_id").cast("string").alias("uid_str"),
+        F.floor("value").cast("long").alias("value_floor"),
+        F.col("value").cast("decimal(12,2)").alias("value_dec"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.timestamp_seconds(F.col("event_id") * 60 + 1609459200).alias("synth_ts"),
+    )
+
+
+@query(
+    "q_filter_between",
+    oracle=f"""
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_T0}' AND TIMESTAMP '{_T1}'
+    """,
+)
+def q_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: inclusive BETWEEN range predicate (data_model.py:29-30; the
+    [t-300, t] closed window at load.py:9-14). Closed interval — unlike
+    Spark's window() buckets which are [start, end); we keep BETWEEN
+    semantics for parity. Predicate pushes down to the parquet scan."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").between(F.lit(_T0).cast("timestamp"), F.lit(_T1).cast("timestamp")))
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+@query(
+    "q_null_routing",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type IN ('click', 'view') THEN value
+                WHEN event_type IN ('purchase', 'signup') THEN value * 2
+           END AS routed_value,
+           CASE WHEN event_type IN ('click', 'view') THEN 'price'
+                WHEN event_type IN ('purchase', 'signup') THEN 'hashrate'
+           END AS route
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+    """,
+)
+def q_null_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: null-aware conditional routing with price-precedence — the
+    reference's if/elif in api_trans (transform.py:12-30): price branch
+    wins, hashrate second, neither -> row dropped (emit nothing)."""
+    events = table(spark, sf_dir, "events")
+    price = F.when(F.col("event_type").isin("click", "view"), F.col("value"))
+    hashr = F.when(F.col("event_type").isin("purchase", "signup"), F.col("value") * 2)
+    return (
+        events.select(
+            "event_id",
+            F.coalesce(price, hashr).alias("routed_value"),
+            F.when(price.isNotNull(), "price")
+            .when(hashr.isNotNull(), "hashrate")
+            .alias("route"),
+        )
+        .filter(F.col("routed_value").isNotNull())
+    )
+
+
+@query(
+    "q_avg_global",
+    oracle=f"""
+    SELECT {round2_sql('avg(value)')} AS avg_usd
+    FROM events
+    WHERE event_type = 'click'
+    """,
+)
+def q_avg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8: global aggregate, NULL on empty input (the price AVG the
+    reference pushes into MySQL, data_model.py:29-30). One partial agg per
+    partition + a single final reduce — no full shuffle."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .agg(round2(F.avg("value")).alias("avg_usd"))
+    )
+
+
+@query(
+    "q_window_fallback",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_ts FROM bounds
+    ), cur AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, {round2_sql('avg(value)')} AS avg_cur
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.hour_ts,
+           c.avg_cur,
+           coalesce(nullif(c.avg_cur, 0),
+                    lag(c.avg_cur) OVER (ORDER BY s.hour_ts)) AS avg_filled
+    FROM spine s LEFT JOIN cur c USING (hour_ts)
+    """,
+)
+def q_window_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: previous-window fallback. The reference retries the [t-600,
+    t-300] window when the current AVG is NULL *or zero* (falsy check at
+    load.py:16-25). Batch form: hourly spine (so empty windows exist as
+    NULL rows), then coalesce(nullif(cur, 0), lag(cur)). The spine comes
+    from sequence() on the aggregated bounds — a 2-row driver-free plan."""
+    events = table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_ts")
+    )
+    cur = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(round2(F.avg("value")).alias("avg_cur"))
+    )
+    w = Window.orderBy("hour_ts")
+    return (
+        spine.join(cur, on="hour_ts", how="left")
+        .select(
+            "hour_ts",
+            "avg_cur",
+            F.coalesce(F.nullif("avg_cur", F.lit(0.0)), F.lag("avg_cur").over(w)).alias(
+                "avg_filled"
+            ),
+        )
+    )
+
+
+@query(
+    "q_round_format",
+    oracle=f"""
+    SELECT event_type,
+           {round2_sql('avg(value)')} AS avg_rounded,
+           printf('%.2f', avg(value)) AS avg_str
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_round_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12: 2-dp output parity — the reference formats averages with
+    f"{avg:.2f}" before insert (load.py:52-53). round() for the numeric
+    column, format_number() for the string form."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            round2(F.avg("value")).alias("avg_rounded"),
+            F.format_number(F.avg("value"), 2).alias("avg_str"),
+        )
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13: record identity on a column subset (Price.__eq__ compares only
+    (server_ts, USD) — data_model.py:32-33). Project to the identity
+    columns, then dropDuplicates — a hash aggregate with map-side partial
+    dedup, the cheapest distributed dedup shape."""
+    return table(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "q_dedup_keep_first",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM (
+        SELECT e.*, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events e
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 extended: keep the earliest full row per identity key. The
+    deterministic form of dropDuplicates(subset) — row_number over a total
+    per-key order (dropDuplicates keeps an arbitrary row, which can't be
+    oracle-checked). One shuffle on the identity key."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+@query(
+    "q_surrogate_key",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY o_orderkey) AS sk, o_orderkey, o_totalprice
+    FROM orders
+    """,
+)
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15: auto-increment surrogate key (init.sql:9,18,26). Contiguous ids
+    need a total order -> row_number over a global window (single-partition
+    exchange). At 100 TB you'd use monotonically_increasing_id() (parallel,
+    non-contiguous) or zipWithIndex; this query keeps the contiguous
+    semantics of AUTO_INCREMENT for parity."""
+    w = Window.orderBy("o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        F.row_number().over(w).alias("sk"), "o_orderkey", "o_totalprice"
+    )
