@@ -32,3 +32,25 @@ def roundn(col: Column, n: int) -> Column:
 
 def roundn_sql(expr: str, n: int) -> str:
     return f"CAST(round(CAST(({expr}) AS DECIMAL(28,12)), {n}) AS DOUBLE)"
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent SUM of a double column: quantize each element to
+    DECIMAL(18,4) (exact for money/quantity-style data), sum exactly in
+    decimal, cast back to double. Immune to float addition order, so Spark
+    (partial aggs over shuffled partitions) and any oracle agree bit-for-bit.
+    """
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def davg(col: Column) -> Column:
+    """Engine-stable AVG: exact decimal sum / count, rounded to 6 dp."""
+    return roundn(dsum(col) / F.count(col), 6)
+
+
+def davg_sql(expr: str) -> str:
+    return roundn_sql(f"{dsum_sql(expr)} / count({expr})", 6)

@@ -1,1 +1,197 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Aggregation operators: grouped/distinct/hierarchical aggregates and the
+pivot generalization of the reference's wide avg_info row (R11).
+
+All double-typed measures aggregate through DECIMAL quantization
+(functions.numeric.dsum/davg) so results are independent of partition
+count and addition order — the property that makes these plans
+repartition-safe at 1000 executors AND bit-exact against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.numeric import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    round2,
+    round2_sql,
+)
+from bitcoinminingetl_spark.registry import query
+
+
+@query(
+    "q_avg_grouped",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_avg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 generalized: hash aggregate by key — TPC-H Q1's shape (the
+    pricing summary). Map-side partial aggregation means each of the N
+    input partitions ships only |groups| rows into the shuffle."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct: Spark expands multi-distinct into an Expand +
+    two-phase aggregate — no driver-side dedup. (The approximate variant
+    is q_approx_distinct, rows-only: HLL sketches differ per engine.)"""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query("q_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
+    cardinality — mergeable sketches, no expand, 2% default error. Checked
+    rows-only because sketch estimates are engine-specific; the unit test
+    asserts it lands within 5% of the exact count."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate: (flag, status), (flag), () — grand total in
+    one pass via Expand (each input row contributes to 3 grouping sets)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "q_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {dsum_sql('o_totalprice')} AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two dimensions: all 4 grouping sets."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a rollup nor a cube): per-status and
+    per-priority totals in one scan, via Spark SQL."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           {round2_sql("avg(value) FILTER (WHERE event_type = 'click')")} AS avg_click,
+           {round2_sql("avg(value) FILTER (WHERE event_type = 'view')")} AS avg_view,
+           {round2_sql("avg(value) FILTER (WHERE event_type = 'purchase')")} AS avg_purchase,
+           {round2_sql("avg(value) FILTER (WHERE event_type = 'signup')")} AS avg_signup,
+           {round2_sql("avg(value) FILTER (WHERE event_type = 'error')")} AS avg_error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The avg_info wide-row pattern (R11) as a pivot: one row per day, one
+    column per metric stream. Explicit value list — at scale you never let
+    pivot run the implicit distinct-values job over 100 TB."""
+    piv = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(round2(F.avg("value")))
+    )
+    return piv.select(
+        "day", *[F.col(t).alias(f"avg_{t}") for t in _EVENT_TYPES]
+    )

@@ -1,1 +1,229 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Join operators — every join shape the generalized surface needs
+(SURVEY.md §2.2). The reference's only join is the avg_info flattening
+(reference load.py:37-42, a 2-stream windowed full-outer, kept as the
+flagship q_window_join); these generalize it over the TPC-H-ish tables.
+
+Scale notes baked into each plan:
+- dimension tables (region/nation/part/supplier/customer at TPC-H ratios)
+  are broadcast — no shuffle of the fact side;
+- fact-fact joins shuffle on the join key and rely on AQE for skew splits;
+- the range/as-of joins keep an equi component (user_id) so the planner
+  picks a hash join with a range residual instead of a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.numeric import dsum, dsum_sql
+from bitcoinminingetl_spark.registry import query
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer. customer is ~1/10 of orders, well
+    under the broadcast threshold at test scale; at 100 TB AQE converts
+    the shuffle join back to broadcast when the built side is small."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT p.p_brand, {dsum_sql('l.l_quantity')} AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join: part is a dimension (200 rows/sf0.001 vs 6k
+    lineitem); the explicit broadcast() hint ships it to every executor so
+    the 100 TB fact side never shuffles for this join."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: customers keep a NULL-completed row when they have
+    no orders — the same null-completion the reference's avg_info row does
+    for an absent stream (R11)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, orders.o_custkey == customer.c_custkey, "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH cn AS (
+        SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer GROUP BY 1
+    ), sn AS (
+        SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+           cn.n_customers, sn.n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates — the relational generalization of
+    the flagship's two-stream window join (R11): either side may be missing
+    a key, both sides survive NULL-completed."""
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    cn = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sn = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return cn.join(sn, on="nationkey", how="full_outer").select(
+        "nationkey", "n_customers", "n_suppliers"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: existence check without duplicating the left side —
+    the distributed form of EXISTS. Only the key column of orders is
+    shuffled (column pruning), not the payload."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: NOT EXISTS — customers with no orders."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(count(c.event_id) AS BIGINT) AS n_clicks_before
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+    GROUP BY p.event_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (time-band) join: clicks within the hour before each purchase
+    by the same user — R7's closed BETWEEN interval as a join condition.
+    The equi conjunct (user_id) drives a hash join; the band is a residual
+    filter, so this never degenerates into a cartesian product."""
+    events = table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (c.c_user == p.p_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts <= p.p_ts)
+    )
+    return (
+        p.join(c, cond, "inner")
+        .groupBy("purchase_id")
+        .agg(F.count("click_id").alias("n_clicks_before"))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (R10 spirit: "most recent value at or before t"). Spark
+    has no native ASOF; the scalable emulation is equi-join on the key +
+    row_number over (purchase, click.ts DESC) keeping rank 1. One shuffle
+    on user_id, one on the window key. The DuckDB oracle uses its native
+    ASOF LEFT JOIN, checking the emulation's semantics exactly."""
+    events = table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c, (p.user_id == c.c_user) & (c.c_ts <= p.purchase_ts), "left"
+    )
+    w = Window.partitionBy("purchase_id").orderBy(F.col("c_ts").desc_nulls_last())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id", "user_id", "purchase_ts", F.col("c_ts").alias("last_click_ts")
+        )
+    )

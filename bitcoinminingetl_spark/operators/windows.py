@@ -1,1 +1,133 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Window-function operators (SURVEY.md §2.2): ranking, lag/lead, sliding
+frames. R10's previous-window fallback lives in reference_pipeline
+(q_window_fallback); these are the general analytic surface.
+
+Every window is keyed (partitionBy) so state distributes across executors;
+ordering always includes a unique tiebreaker (event_id / custkey) — without
+it row_number over ties is nondeterministic and can't be oracle-checked,
+and at scale nondeterminism breaks retried-task idempotence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.numeric import roundn, roundn_sql
+from bitcoinminingetl_spark.registry import query
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio per nation, richest first. row_number vs rank vs
+    dense_rank differ only under ties; c_custkey breaks them."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           lag(value, 2) OVER w AS prev2_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10's analytic core: previous/next observation per user stream.
+    lag/lead move raw column values (no float arithmetic), so values are
+    bit-identical across engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2).over(w).alias("prev2_value"),
+    )
+
+
+@query(
+    "q_window_frame",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           {roundn_sql(
+               "avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+               "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 6)} AS run_avg3,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+    FROM events
+    """,
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame analytics (R11 spirit): 3-row moving average and a
+    running total per user stream. The running sum accumulates in DECIMAL —
+    engines may evaluate frames in different orders (segment trees vs
+    naive), decimal addition is order-independent."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        roundn(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("run_avg3"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("run_sum"),
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM events
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range frame: events in the trailing hour per user — the
+    closed [t-Δ, t] interval of R7 as a window frame instead of a join.
+    Expressed in Spark SQL (the DataFrame API can't build interval RANGE
+    frames; rangeBetween only takes numeric offsets)."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_rf")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_last_hour
+        FROM events_rf
+        """
+    )
