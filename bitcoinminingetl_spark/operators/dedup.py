@@ -1,1 +1,329 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Near-duplicate detection for LLM training corpora (BASELINE.json north
+star): exact n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-dup — each a pure-DataFrame plan (no MLlib vectors, no Python UDFs),
+so Catalyst owns the join strategies end to end.
+
+Scale architecture (the 100 TB story):
+- exact pairwise Jaccard joins on shingle equality — correct but its
+  shuffle grows with shingle frequency; it is the small-scale oracle.
+- MinHash+LSH is the scale path: per-doc signatures (one groupBy), banded
+  bucket keys, candidate generation by equi-join on (band, bucket) —
+  shuffle volume ~ O(docs × bands), independent of pairwise count — then
+  exact verification only on candidates.
+- SimHash: 32-bit signatures, chunk-blocked candidate join, popcount
+  Hamming verify.
+- embedding near-dup blocks on the label column (any coarse clusterer at
+  scale) so the quadratic term is per-block, not global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.numeric import roundn, roundn_sql
+from bitcoinminingetl_spark.registry import query
+
+_NGRAM = 3
+_JACCARD_THRESHOLD = 0.3
+
+# The DuckDB-side twin of _shingled (kept adjacent so they evolve together).
+_SHINGLE_SQL = """
+    SELECT doc_id, unnest(list_distinct(
+        list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        ))) AS shingle
+    FROM documents
+"""
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) with distinct 3-word shingles per document.
+    Docs shorter than the shingle width contribute their full text."""
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (_NGRAM - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _NGRAM)),
+        )
+    )
+    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _jaccard_pairs(shingled: DataFrame) -> DataFrame:
+    """All doc pairs sharing >=1 shingle, with exact Jaccard similarity.
+    Join on shingle equality -> count intersections -> join per-doc set
+    sizes. |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
+        .withColumnRenamed("n_shingles", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_shingles", "n_b"
+            ),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            roundn(
+                F.col("n_inter")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {roundn_sql('n_inter * 1.0 / (sa.n + sb.n - n_inter)', 6)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs above 0.3 — the ground truth
+    the probabilistic variants (MinHash, SimHash) approximate. Correct at
+    any scale but the shingle-equality join is the quadratic risk; use
+    q_dedup_minhash_lsh beyond ~10^7 docs."""
+    docs = table(spark, sf_dir, "documents")
+    return _jaccard_pairs(_shingled(docs)).filter(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
+    )
+
+
+_MINHASH_K = 16
+_BANDS = 4
+_ROWS_PER_BAND = _MINHASH_K // _BANDS
+
+
+@query("q_dedup_minhash_lsh")  # rows-only: xxhash64 signatures are Spark-specific
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, the 100 TB dedup path:
+
+    shingle -> 16 min-hashes per doc (one hash aggregate; xxhash64 with
+    16 salts) -> 4 bands of 4 rows; band signature = hash of its rows ->
+    candidate pairs = equi-join on (band, signature) -> exact Jaccard
+    verification on candidates only.
+
+    Probability a pair with Jaccard j becomes a candidate: 1-(1-j^4)^4
+    (~0.97 at j=0.8). Checked rows-only (signatures are engine-specific);
+    the unit test asserts candidates ⊆ exact pairs at threshold after
+    verification."""
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingled(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
+            for k in range(_MINHASH_K)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{b * _ROWS_PER_BAND + r}")
+                                for r in range(_ROWS_PER_BAND)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = _jaccard_pairs(sh).join(candidates, on=["doc_a", "doc_b"], how="inner")
+    return verified.filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+
+
+_SIMHASH_BITS = 32
+_SIMHASH_CHUNKS = 4
+_CHUNK_BITS = _SIMHASH_BITS // _SIMHASH_CHUNKS
+_HAMMING_MAX = 3
+
+
+@query("q_dedup_simhash")  # rows-only: xxhash64 bit patterns are Spark-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature per doc (sign of per-bit vote
+    sums over token hashes), candidate pairs via chunk blocking (two docs
+    within Hamming distance d < chunks must share >=1 of the 4 8-bit
+    chunks), popcount-XOR Hamming verify <= 3. All bit arithmetic is
+    JVM-side (shiftright/bit_count); one aggregate + one bounded join."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).withColumn("th", F.xxhash64("token"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("th", bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"v{bit}")
+            for bit in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for bit in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"v{bit}") >= 0, F.lit(2**bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", c * _CHUNK_BITS)
+                        .bitwiseAND(F.lit(2**_CHUNK_BITS - 1))
+                        .alias("chunk"),
+                    )
+                    for c in range(_SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("cs"),
+    ).select("doc_id", "simhash", "cs.chunk_id", "cs.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )
+
+
+_COSINE_THRESHOLD = 0.9
+
+# Left-fold dot product, identical evaluation order to Spark's
+# zip_with + aggregate, so the doubles match bit-for-bit pre-rounding.
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+
+def _norm_sql(side: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(CAST({side}.embedding AS DOUBLE[]), "
+        "v -> v * v), (x, y) -> x + y))"
+    )
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(x: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(x, lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+@query(
+    "q_dedup_embed_cosine",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               {roundn_sql(f'{_DOT_SQL} / ({_norm_sql("a")} * {_norm_sql("b")})', 6)}
+                   AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT * FROM pairs WHERE cosine >= {_COSINE_THRESHOLD}
+    """,
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above 0.9, blocked on `label` so
+    the pairwise term is per-block (at scale the blocker is any coarse
+    clustering/LSH bucket; the plan is identical). Norms are computed
+    once per row before the join — O(n) not O(pairs)."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "norm", _norm(F.col("embedding"))
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            roundn(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COSINE_THRESHOLD)
+    )

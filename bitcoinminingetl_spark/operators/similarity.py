@@ -1,1 +1,140 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Similarity search over the embeddings table (BASELINE.json north star):
+exact brute-force cosine top-k as the correctness baseline, and a
+random-hyperplane LSH variant as the scale path.
+
+Both are pure DataFrame plans. The vector math lives in higher-order
+functions (zip_with/aggregate — JVM, no Python): at 64 dims the dot
+product is a tight codegen loop, and the query side is always broadcast —
+the 100 TB corpus never shuffles for scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.numeric import roundn, roundn_sql
+from bitcoinminingetl_spark.operators.dedup import _DOT_SQL, _dot, _norm, _norm_sql
+from bitcoinminingetl_spark.registry import query
+
+_N_QUERIES = 5  # query set: vec_id < 5
+_TOP_K = 10
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {roundn_sql(f'{_DOT_SQL} / ({_norm_sql("a")} * {_norm_sql("b")})', 6)}
+                   AS cosine
+        FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOP_K}
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors: broadcast the
+    query set against the corpus scan, score with a codegen'd fold, rank
+    per query on the 6-dp-rounded score (+ id tiebreak). The plan shape
+    at 100 TB: corpus-side narrow scan, per-partition top-k via the
+    window, k·|queries| rows into the final exchange."""
+    emb = table(spark, sf_dir, "embeddings").withColumn("norm", _norm(F.col("embedding")))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            roundn(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+    )
+
+
+_N_PLANES = 8
+_LSH_SEED = 7
+
+
+def _hyperplanes(dims: int = 64) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded numpy), embedded into the
+    plan as literal arrays — broadcast by construction."""
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.standard_normal((_N_PLANES, dims)).tolist()
+
+
+def _bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p = sign(v · plane_p). 8 planes -> 256
+    buckets; collisions preserve cosine locality."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec, lit_plane) >= 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+@query("q_ann_lsh")  # rows-only: bucket assignment is an engine-side artifact
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH: corpus and
+    queries get a 8-bit sign bucket; candidates are an equi-join on the
+    bucket id (shuffle ~ O(n), not O(n·q)); exact cosine re-ranks only
+    candidates. Recall < 1 by construction — the unit test checks every
+    returned neighbor also appears in the exact q_cosine_topk ranking
+    prefix for its query."""
+    planes = _hyperplanes()
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .withColumn("norm", _norm(F.col("embedding")))
+        .withColumn("bucket", _bucket(F.col("embedding"), planes))
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        roundn(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+    )

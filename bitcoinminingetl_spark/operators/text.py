@@ -1,1 +1,273 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Text-analysis operators for LLM training-data pipelines (BASELINE.json
+north star): token counting, language ID, quality scoring, document
+fingerprinting, TF-IDF term weighting — all over the `documents` table.
+
+Design rule: tokenization and scoring stay in built-in expressions
+(split/transform/aggregate — JVM, codegen'd); nothing here drops to Python.
+At 100 TB these run as narrow scans + one hash aggregate each, so they
+pipeline with the dedup operators that consume their outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.numeric import (
+    davg,
+    davg_sql,
+    roundn,
+    roundn_sql,
+)
+from bitcoinminingetl_spark.registry import query
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           {davg_sql('n_chars')} AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, token totals, char
+    length distribution. One narrow projection + one hash aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+        davg(F.col("n_chars")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex pass
+    ([a-z0-9]+ runs — the pre-tokenizer shape real BPE vocabularies use),
+    plus unique-token cardinality."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0))
+        .cast("long")
+        .alias("n_re_tokens"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_uniq_tokens"),
+    )
+
+
+_EN = ("the", "a", "is", "of")
+_ES = ("el", "la", "es", "de")
+_FR = ("le", "la", "est", "un")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(list_intersect(toks, {_sql_list(_EN)})) AS INT) AS en_hits,
+           CAST(len(list_intersect(toks, {_sql_list(_ES)})) AS INT) AS es_hits,
+           CAST(len(list_intersect(toks, {_sql_list(_FR)})) AS INT) AS fr_hits,
+           CASE
+               WHEN len(list_intersect(toks, {_sql_list(_EN)})) = 0
+                AND len(list_intersect(toks, {_sql_list(_ES)})) = 0
+                AND len(list_intersect(toks, {_sql_list(_FR)})) = 0 THEN 'unknown'
+               WHEN len(list_intersect(toks, {_sql_list(_EN)}))
+                    >= len(list_intersect(toks, {_sql_list(_ES)}))
+                AND len(list_intersect(toks, {_sql_list(_EN)}))
+                    >= len(list_intersect(toks, {_sql_list(_FR)})) THEN 'en'
+               WHEN len(list_intersect(toks, {_sql_list(_ES)}))
+                    >= len(list_intersect(toks, {_sql_list(_FR)})) THEN 'es'
+               ELSE 'fr'
+           END AS predicted_lang
+    FROM t
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: count distinct hits against per-
+    language function-word lists, argmax with a fixed precedence order
+    (en > es > fr on ties) so the result is deterministic. The n-gram
+    profile method in miniature — real profiles would be broadcast as a
+    lookup table, same plan shape."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    hits = {
+        name: F.size(F.array_intersect("toks", F.array(*[F.lit(w) for w in words])))
+        for name, words in (("en", _EN), ("es", _ES), ("fr", _FR))
+    }
+    predicted = (
+        F.when(
+            (hits["en"] == 0) & (hits["es"] == 0) & (hits["fr"] == 0), "unknown"
+        )
+        .when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]), "en")
+        .when(hits["es"] >= hits["fr"], "es")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits["en"].cast("int").alias("en_hits"),
+        hits["es"].cast("int").alias("es_hits"),
+        hits["fr"].cast("int").alias("fr_hits"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               len(list_intersect(string_split(text, ' '), {_sql_list(_EN)}))
+                   AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           {roundn_sql('n_uniq * 1.0 / n_tok', 6)} AS ttr,
+           {roundn_sql('(n_chars - (n_tok - 1)) * 1.0 / n_tok', 6)} AS avg_word_len,
+           {roundn_sql('stop_hits * 1.0 / n_tok', 6)} AS stopword_ratio,
+           {roundn_sql('least(n_tok / 100.0, 1.0) * (n_uniq * 1.0 / n_tok)', 6)}
+               AS quality
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: type-token ratio, mean word length,
+    stopword density, and a combined [0,1] score (length prior × TTR) —
+    the standard cheap filters before expensive dedup/training steps."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_uniq"),
+        F.size(
+            F.array_intersect(
+                F.split("text", " "), F.array(*[F.lit(w) for w in _EN])
+            )
+        ).alias("stop_hits"),
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        roundn(F.col("n_uniq") * 1.0 / F.col("n_tok"), 6).alias("ttr"),
+        roundn(
+            (F.col("n_chars") - (F.col("n_tok") - 1)) * 1.0 / F.col("n_tok"), 6
+        ).alias("avg_word_len"),
+        roundn(F.col("stop_hits") * 1.0 / F.col("n_tok"), 6).alias("stopword_ratio"),
+        roundn(
+            F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+            * (F.col("n_uniq") * 1.0 / F.col("n_tok")),
+            6,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS bag_fingerprint,
+           md5(text) AS exact_fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: an exact-content hash and a bag-of-words
+    canonical hash (sorted distinct tokens) that is invariant to word
+    order — the grouping key for exact and shuffled-duplicate detection.
+    Two docs with equal bag_fingerprint are permutation duplicates."""
+    toks = F.split("text", " ")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "bag_fingerprint"
+        ),
+        F.md5(F.col("text")).alias("exact_fingerprint"),
+    )
+
+
+@query(
+    "q_tfidf_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY lang, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.lang, tf.term, tf.tf,
+               {roundn_sql('tf.tf * ln(n.n_docs * 1.0 / df.df)', 6)} AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT lang, term, tf, tfidf, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language. Pure DataFrame: explode -> two
+    hash aggregates (tf by (lang,term), df by term) -> broadcast the tiny
+    doc-count -> window top-k. Ranking happens on the 6-dp rounded score
+    (+ term tiebreak) so order is engine-deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, on="term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            roundn(F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )

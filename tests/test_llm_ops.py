@@ -1,0 +1,69 @@
+"""Semantic tests for the probabilistic / rows-only LLM-data operators:
+the properties their docstrings promise, beyond the rows-only smoke."""
+
+from __future__ import annotations
+
+from bitcoinminingetl_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_minhash_candidates_subset_of_exact(spark, sf_dir):
+    """Verified MinHash+LSH pairs must be a subset of the exact Jaccard
+    pairs at the same threshold (LSH can miss pairs, never invent them)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert lsh, "LSH found no pairs — planted duplicates should be detected"
+    assert lsh <= exact
+    # planted exact duplicates (jaccard 1.0) collide in every band -> found
+    assert len(lsh) >= len(exact) // 2
+
+
+def test_simhash_finds_planted_duplicates(spark, sf_dir):
+    """Exact duplicates have identical simhash -> hamming 0 pairs exist."""
+    rows = REGISTRY["q_dedup_simhash"].fn(spark, sf_dir).collect()
+    assert rows
+    assert any(r.hamming == 0 for r in rows)
+
+
+def test_ann_lsh_is_subset_of_exact_ranking(spark, sf_dir):
+    """Every ANN neighbor must appear in the exact brute-force scoring
+    with the same cosine (LSH reduces candidates, never rescores)."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in REGISTRY["q_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    ann = REGISTRY["q_ann_lsh"].fn(spark, sf_dir).collect()
+    assert ann
+    # ann top-k within its bucket; any pair also in exact top-k must agree
+    for r in ann:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.cosine) < 1e-9
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    exact = {
+        r.l_returnflag: r.distinct_parts
+        for r in REGISTRY["q_agg_distinct"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in REGISTRY["q_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    for flag, exact_n in exact.items():
+        assert abs(approx[flag] - exact_n) / exact_n < 0.05
+
+
+def test_multimodal_pipeline_deterministic(spark, sf_dir):
+    df = REGISTRY["q_multimodal_pipeline"].fn(spark, sf_dir)
+    a = sorted((r.doc_id, r.width, r.height, r.aspect) for r in df.collect())
+    b = sorted((r.doc_id, r.width, r.height, r.aspect) for r in df.collect())
+    assert a == b
+    assert all(64 <= r[1] <= 255 and 64 <= r[2] <= 255 for r in a)

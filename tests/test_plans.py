@@ -1,0 +1,57 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4 promises.
+A query that returns correct rows through a bad plan fails here — the
+point is 100 TB behavior, not sf0.001 output."""
+
+from __future__ import annotations
+
+from bitcoinminingetl_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_project")
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_filter_pushdown")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_quantity" in pushed and "l_shipdate" in pushed
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_orderby_limit_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_orderby_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouped_agg_has_partial_aggregation(spark, sf_dir):
+    # map-side partial agg: two HashAggregate nodes around the exchange
+    plan = _plan(spark, sf_dir, "q_avg_grouped")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = REGISTRY["q_avg_grouped"].fn(spark, sf_dir)
+    df.collect()  # execute THIS dataset so its adaptive plan finalizes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators print as "*(n) HashAggregate..." in a final plan
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_cosine_topk_query_side_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_cosine_topk")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
