@@ -1,0 +1,57 @@
+"""Streaming operators surfaced in the driver contract (rows-only — a
+stateful stream over a checkpoint can't be expressed as one DuckDB SQL).
+
+The callable materializes the full streaming lifecycle: land the events
+table as JSON files (the R1 ingestion shape) -> file-stream source with
+declared schema -> watermark + 5-min tumbling aggregate (R11) ->
+foreachBatch parquet append (R6) with AvailableNow (R2's gate, drained) ->
+read the sink back and keep each window's final emission. The returned
+batch DataFrame is what a downstream consumer of avg_info would read."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.registry import query
+from bitcoinminingetl_spark.streaming.pipeline import (
+    read_event_stream,
+    run_to_parquet,
+    windowed_metric_averages,
+)
+
+
+@query("q_streaming_window_avg")  # rows-only: stateful streaming lifecycle
+def q_streaming_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming run of the reference pipeline (R1+R2+R6+R11),
+    drained with AvailableNow; see module docstring. Output: one row per
+    (window, event_type) with its final average — the streaming twin of
+    q_window_join's batch result."""
+    work = tempfile.mkdtemp(prefix="bmetl_stream_")
+    landing, out, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
+    (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(4)
+        .write.json(landing)
+    )
+    stream = read_event_stream(spark, landing, max_files_per_trigger=2)
+    q = run_to_parquet(windowed_metric_averages(stream), out, ckpt)
+    q.awaitTermination(300)
+
+    emitted = spark.read.parquet(out)
+    w = Window.partitionBy("win", "event_type").orderBy(F.col("batch_id").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "avg_value",
+            "n",
+        )
+    )

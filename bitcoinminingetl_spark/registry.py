@@ -21,7 +21,6 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 _OPERATOR_MODULES = (
     "reference_pipeline",
     "scans",
-    "projection",
     "joins",
     "aggregates",
     "windows",
@@ -32,6 +31,7 @@ _OPERATOR_MODULES = (
     "text",
     "udfs",
     "multimodal",
+    "streaming_ops",
 )
 
 

@@ -1,0 +1,39 @@
+"""Append sinks (R6: the reference's per-row INSERT at transform.py:34-46,
+replaced by partition-level parquet writes).
+
+Layout policy for 100 TB: partition by a low-cardinality time-derived
+column (date) so (a) writers append new partitions without touching old
+ones, (b) readers get partition pruning on time predicates — the
+reference's every-query-filters-on-time pattern (data_model.py:29-30)
+becomes directory pruning before any IO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def append_parquet(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """Idempotent-append parquet sink. Each task writes its own files —
+    no coordination, no per-row round trips (contrast reference
+    transform.py:43-45: one cursor.execute per row)."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def append_events_by_day(df: DataFrame, path: str) -> None:
+    """The engine's avg_info-style sink: derive a date partition column
+    from event time and append. Readers filtering on ts get partition
+    pruning for free."""
+    append_parquet(
+        df.withColumn("ds", F.date_format("ts", "yyyy-MM-dd")), path, ("ds",)
+    )
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

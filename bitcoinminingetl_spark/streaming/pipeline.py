@@ -1,0 +1,124 @@
+"""Streaming form of the reference pipeline (SURVEY.md §2.2 Streaming).
+
+The reference is conceptually two unbounded streams polled by Airflow
+ticks (reference main.py:18-21) with a 300 s materialization cadence
+(main.py:21,154-157) and a previous-window fallback for late/missing data
+(load.py:16-25). Structured Streaming expresses each piece natively:
+
+- interval gate (R2)            -> Trigger.ProcessingTime / AvailableNow
+- append sink (R6)              -> writeStream.foreachBatch -> parquet
+- 5-min tumbling materialize    -> groupBy(window(ts, "5 minutes"))
+  (R11)                            + withWatermark (state eviction)
+- late data / fallback (R10)    -> watermark allowed-lateness; windows
+                                   keep accepting rows until the
+                                   watermark passes, so the batch-world
+                                   "retry previous window" becomes
+                                   "window not finalized yet"
+- dedup identity (R13)          -> dropDuplicatesWithinWatermark
+
+State scale: every aggregation below is keyed by (window, event_type) —
+state store shards by key across executors; watermarks bound state size.
+Sources here are file streams (the landed-payload pattern for R1's HTTP
+polling: an external fetcher appends JSON files; at production scale the
+same plans read Kafka).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoinminingetl_spark.functions.numeric import round2
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream source over landed JSON events (R1's ingestion shape:
+    an HTTP poller lands payload files; the stream tails the directory).
+    Schema is declared — never inferred — so a malformed file can't
+    silently widen types mid-stream."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def windowed_metric_averages(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """R11 streaming: per-(window, metric) running averages with watermark.
+
+    One keyed aggregation instead of the batch full-outer join: in
+    streaming, joining two windowed aggregates needs both sides'
+    watermarks to align; grouping by (window, event_type) gives the same
+    wide row after a pivot in the sink, with half the state."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(round2(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sliding_window_averages(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """Sliding windows (10 min length / 5 min hop): each event lands in 2
+    windows; state doubles accordingly — the watermark is what keeps it
+    bounded."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(round2(F.avg("value")).alias("avg_value"))
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after `gap` of
+    inactivity — dynamic-length windows the batch reference can't express."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), round2(F.avg("value")).alias("avg_value"))
+    )
+
+
+def streaming_dedup(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """R13 streaming: drop re-deliveries of the same identity key while
+    its watermark window is open. State = one entry per key in the
+    horizon, evicted as the watermark advances."""
+    return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_parquet(
+    agg: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    output_mode: str = "update",
+):
+    """R6's append sink: foreachBatch -> parquet append. foreachBatch (not
+    a direct parquet sink) because update-mode windowed aggregates re-emit
+    windows; the batch function owns idempotence via overwrite-by-window
+    at scale. AvailableNow drains everything then stops — the test/backfill
+    trigger; production uses Trigger.ProcessingTime("300 seconds") (R2)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    # update mode for plain windowed aggs (re-emits as late data lands);
+    # session windows only support append (finalized sessions).
+    writer = (
+        agg.writeStream.outputMode(output_mode)
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="300 seconds")
+    return writer.start()

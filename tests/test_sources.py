@@ -1,0 +1,63 @@
+"""Sources & sinks: landed-JSON ingestion parity with the reference's
+extract stage, corrupt-record routing, and partitioned append sinks with
+partition pruning."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.etl import PAYLOAD_SCHEMA, parse_payloads
+from bitcoinminingetl_spark.sources.json_source import land_payload, read_landed_json
+from bitcoinminingetl_spark.sources.sink import append_events_by_day
+
+
+def test_land_and_read_payloads(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    land_payload(
+        {"spider_ts": 1609459200, "price_data": {"USD": 50000, "time": 1609459200}},
+        landing,
+    )
+    land_payload(
+        {
+            "spider_ts": 1609459230,
+            "hash_rate_data": {"currentHashrate": 1e8, "currentDifficulty": 1.5e7},
+        },
+        landing,
+    )
+    df = read_landed_json(spark, landing, PAYLOAD_SCHEMA)
+    assert df.count() == 2
+    parsed = parse_payloads(df.select(F.to_json(F.struct("*")).alias("payload")))
+    kinds = {r.kind for r in parsed.collect()}
+    assert kinds == {"price", "hashrate"}
+
+
+def test_corrupt_records_are_routed_not_fatal(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "good.json").write_text(
+        json.dumps({"spider_ts": 1, "price_data": {"USD": 2, "time": 3}}) + "\n"
+    )
+    (landing / "bad.json").write_text("{not valid json!!\n")
+    clean = read_landed_json(spark, str(landing), PAYLOAD_SCHEMA)
+    assert clean.count() == 1  # bad line dropped, job alive
+    kept = read_landed_json(spark, str(landing), PAYLOAD_SCHEMA, keep_corrupt=True)
+    assert kept.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+
+
+def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_day")
+    events = table(spark, sf_dir, "events").limit(500)
+    append_events_by_day(events, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    one_day = back.filter(F.col("ds") == "2024-01-01")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the ds filter must land in PartitionFilters,
+    # not a post-scan Filter
+    assert "PartitionFilters" in plan and "ds" in plan.split("PartitionFilters")[1][:200]
+    # append is additive
+    append_events_by_day(events, out)
+    assert spark.read.parquet(out).count() == 1000
