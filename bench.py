@@ -62,9 +62,10 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)
-            # Foreach-noop action: runs the whole plan, returns nothing to
-            # the driver (no collect bottleneck skewing the number).
-            df.foreach(lambda _: None)
+            # noop sink: materializes every row JVM-side (full plan runs,
+            # nothing crosses into Python — a foreach/collect would time
+            # row serialization, not the query).
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — bench must survive one bad query
             print(f"bench: {name} failed: {exc}", file=sys.stderr)

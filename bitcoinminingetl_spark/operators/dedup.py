@@ -178,8 +178,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    verified = _jaccard_pairs(sh).join(candidates, on=["doc_a", "doc_b"], how="inner")
-    return verified.filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    # Exact verification on CANDIDATES ONLY — the whole point of LSH: the
+    # per-doc shingle sets join to the (small) candidate list, never to
+    # each other, so verification is O(candidates), not O(pairs).
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shingles"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            roundn(
+                n_inter * 1.0 / (F.col("n_a") + F.col("n_b") - n_inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
 
 
 _SIMHASH_BITS = 32
