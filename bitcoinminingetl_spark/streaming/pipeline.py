@@ -122,3 +122,75 @@ def run_to_parquet(
     else:
         writer = writer.trigger(processingTime="300 seconds")
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# R10 as a custom stateful operator (SURVEY §2.2 Streaming: "the 10-min
+# fallback as stateful applyInPandasWithState logic").
+
+FALLBACK_OUTPUT_SCHEMA = (
+    "event_type string, window_start timestamp, avg_value double, "
+    "n long, used_fallback boolean"
+)
+# state: the last window's average per event_type key (the reference's
+# [t-600, t-300] lookback, load.py:16-25, held as keyed streaming state).
+FALLBACK_STATE_SCHEMA = "prev_avg double"
+
+
+def _fallback_fn(key, pdf_iter, state):
+    """Per-key (event_type) stateful handler: aggregate each 5-min window
+    in the batch; when a window's average is NULL-or-zero (the reference's
+    falsy check, load.py:17), emit the previous window's average instead.
+    State carries the last non-falsy average across micro-batches."""
+    import pandas as pd  # executor-side import
+
+    (event_type,) = key
+    prev = state.get[0] if state.exists else None
+    out = []
+    frames = [pdf for pdf in pdf_iter if len(pdf)]
+    if frames:
+        rows = pd.concat(frames, ignore_index=True)
+        rows["window_start"] = rows["ts"].dt.floor("5min")
+        g = rows.groupby("window_start")["value"].agg(["mean", "count"]).sort_index()
+        for win, r in g.iterrows():
+            avg = float(r["mean"]) if r["count"] else None
+            falsy = avg is None or avg == 0.0
+            out.append(
+                {
+                    "event_type": event_type,
+                    "window_start": win,
+                    "avg_value": prev if falsy else avg,
+                    "n": int(r["count"]),
+                    "used_fallback": falsy,
+                }
+            )
+            if not falsy:
+                prev = avg
+    state.update((prev,))
+    yield pd.DataFrame(out, columns=[
+        "event_type", "window_start", "avg_value", "n", "used_fallback"
+    ])
+
+
+def windowed_averages_with_fallback(events: DataFrame) -> DataFrame:
+    """R10+R11 as applyInPandasWithState: keyed by event_type, one output
+    row per (key, 5-min window) whose avg falls back to the previous
+    window's value when the current one is empty-or-zero — semantics the
+    built-in windowed agg can't express (it would just emit no row).
+
+    Scale: state is one double per key — sharded by the groupBy hash
+    across executors like any keyed state; batches arrive Arrow-encoded
+    (pandas), so the Python hop is vectorized, not per-row."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _fallback_fn,
+            outputStructType=FALLBACK_OUTPUT_SCHEMA,
+            stateStructType=FALLBACK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -67,3 +67,22 @@ def test_multimodal_pipeline_deterministic(spark, sf_dir):
     b = sorted((r.doc_id, r.width, r.height, r.aspect) for r in df.collect())
     assert a == b
     assert all(64 <= r[1] <= 255 and 64 <= r[2] <= 255 for r in a)
+
+
+def test_ann_ivf_scores_exact_and_recall_floor(spark, sf_dir):
+    """IVF neighbors agree with the exact scoring wherever they overlap,
+    and nprobe=4/16 keeps recall@10 well above chance (~25% of corpus
+    scored)."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in REGISTRY["q_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    ivf = REGISTRY["q_ann_ivf"].fn(spark, sf_dir).collect()
+    assert ivf
+    hits = 0
+    for r in ivf:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.cosine) < 1e-9
+            hits += 1
+    assert hits / len(exact) >= 0.5

@@ -55,3 +55,10 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 def test_cosine_topk_query_side_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_cosine_topk")
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_partition_pruning_in_plan(spark, sf_dir):
+    df = REGISTRY["q_scan_partition_pruning"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ds" in pf and "2024-01-10" in pf

@@ -134,3 +134,61 @@ def test_session_windows_run(spark, landed_events, tmp_path):
         (F.col("sess.end") < F.col("sess.start")) | (F.col("n_events") < 1)
     ).count()
     assert bad == 0
+
+
+def test_stateful_fallback_operator(spark, tmp_path):
+    """applyInPandasWithState (R10): a window whose average is zero emits
+    the previous window's average with used_fallback=True, and state
+    carries across micro-batches (each file = one batch)."""
+    import json as _json
+
+    from bitcoinminingetl_spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_parquet,
+        windowed_averages_with_fallback,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # batch 1: window 00:00 avg=10 ; batch 2 (separate file): window
+    # 00:05 all-zero -> falsy -> fallback to 10 ; window 00:10 avg=30
+    batches = [
+        [("2024-01-01 00:01:00", 10.0), ("2024-01-01 00:02:00", 10.0)],
+        [("2024-01-01 00:06:00", 0.0), ("2024-01-01 00:11:00", 30.0)],
+    ]
+    import os as _os
+    import time as _time
+
+    for i, rows in enumerate(batches):
+        with open(landing / f"b{i}.json", "w") as f:
+            for j, (ts, v) in enumerate(rows):
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": i * 10 + j,
+                            "ts": ts,
+                            "user_id": 1,
+                            "event_type": "click",
+                            "value": v,
+                        }
+                    )
+                    + "\n"
+                )
+        # file-stream batch order follows modification time — make it explicit
+        mtime = _time.time() - 600 + i * 60
+        _os.utime(landing / f"b{i}.json", (mtime, mtime))
+    stream = read_event_stream(spark, str(landing), max_files_per_trigger=1)
+    q = run_to_parquet(
+        windowed_averages_with_fallback(stream),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.window_start.strftime("%H:%M"): r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert rows["00:00"].avg_value == 10.0 and not rows["00:00"].used_fallback
+    assert rows["00:05"].avg_value == 10.0 and rows["00:05"].used_fallback
+    assert rows["00:10"].avg_value == 30.0 and not rows["00:10"].used_fallback
