@@ -195,3 +195,28 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(
         "day", *[F.col(t).alias(f"avg_{t}") for t in _EVENT_TYPES]
     )
+
+
+@query(
+    "q_agg_salted_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-free exact count-distinct: the two-phase rewrite that replaces
+    a hot-key COUNT(DISTINCT). Phase 1 dedupes (event_type, user_id) —
+    that shuffle hashes on BOTH columns, so a key with 10^9 rows spreads
+    over the whole cluster. Phase 2 counts per key — its input is already
+    one row per (key, user), bounded by distinct users, not events.
+    A direct groupBy(event_type).agg(countDistinct(...)) funnels every
+    row of a hot event_type through one reducer's distinct-set; this plan
+    never concentrates a key until cardinality is already collapsed."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

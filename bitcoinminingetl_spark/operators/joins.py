@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
-from bitcoinminingetl_spark.functions.numeric import dsum, dsum_sql
+from bitcoinminingetl_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from bitcoinminingetl_spark.registry import query
 
 
@@ -226,4 +226,47 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "purchase_id", "user_id", "purchase_ts", F.col("c_ts").alias("last_click_ts")
         )
+    )
+
+
+_N_SALTS = 8
+
+
+@query(
+    "q_join_salted",
+    oracle=f"""
+    SELECT e.event_id, e.event_type, d.type_avg
+    FROM events e
+    JOIN (
+        SELECT event_type, {davg_sql('value')} AS type_avg
+        FROM events GROUP BY event_type
+    ) d ON e.event_type = d.event_type
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual key salting for a skewed shuffle join. `event_type` has ~5
+    distinct values over the whole events table — a worst-case hot-key
+    join: unsalted, every row of a key lands on ONE reducer regardless of
+    cluster size. The salt fans each key across _N_SALTS reducers: the
+    fact side derives salt = pmod(xxhash64(event_id), N) (deterministic,
+    not rand(), so the plan is replayable); the dim side is exploded N×
+    with every salt value; the join key becomes (event_type, salt).
+
+    AQE's skew-join split handles *storage-skewed* sort-merge joins
+    automatically; explicit salting remains the tool when the skew is in
+    the KEY DISTRIBUTION itself or the join feeds keyed state (streaming).
+    Result is byte-identical to the unsalted join — checked by the oracle,
+    which runs the plain join."""
+    events = table(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(davg(F.col("value")).alias("type_avg"))
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(_N_SALTS)]))
+    )
+    fact = events.select(
+        "event_id",
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)).cast("int").alias("salt"),
+    )
+    return fact.join(dim_salted, on=["event_type", "salt"]).select(
+        "event_id", "event_type", "type_avg"
     )
