@@ -53,3 +53,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so operators can use spark.sql."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def events_in_range(spark: SparkSession, sf_dir: str, lo: str, hi: str) -> DataFrame:
+    """events rows with ts in the CLOSED interval [lo, hi] (R7 BETWEEN
+    semantics, reference data_model.py:29-30) — with the range predicate
+    applied to the RAW nanosecond long column BEFORE the ns→µs
+    conversion.
+
+    A filter on the *derived* timestamp cannot push down (the scan only
+    sees IsNotNull); filtering the physical long column turns the range
+    into PushedFilters, so parquet row groups outside [lo, hi] are
+    skipped via min/max stats — at 100 TB the difference between reading
+    a time slice and reading the table. Bounds are chosen so the result
+    is bit-identical to `ts BETWEEN lo AND hi` on the derived column:
+    derived ts = floor(ns/1000) µs, hence ns ∈ [lo_µs·1000, hi_µs·1000+999].
+
+    lo/hi: 'yyyy-MM-dd HH:mm:ss' strings, interpreted in UTC (the session
+    timezone)."""
+    import calendar
+    import datetime as dt
+
+    def _ns(s: str) -> int:
+        t = dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+        return calendar.timegm(t.timetuple()) * 1_000_000_000
+
+    raw = _read(spark, os.path.join(sf_dir, "events.parquet"))
+    return (
+        raw.filter((F.col("ts") >= _ns(lo)) & (F.col("ts") <= _ns(hi) + 999))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )

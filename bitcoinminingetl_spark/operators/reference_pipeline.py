@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.catalog import events_in_range, table
 from bitcoinminingetl_spark.functions.numeric import round2, round2_sql
 from bitcoinminingetl_spark.registry import query
 
@@ -68,11 +68,11 @@ def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each side is a partial-agg + final-agg on the window key; the
     join is an equi-join on the same key, so with AQE both sides share the
-    shuffle partitioning and skew is handled at runtime.
+    shuffle partitioning and skew is handled at runtime. The time range
+    filters the raw ns column (events_in_range) so it prunes parquet row
+    groups at the scan.
     """
-    events = table(spark, sf_dir, "events").filter(
-        F.col("ts").between(F.lit(_T0).cast("timestamp"), F.lit(_T1).cast("timestamp"))
-    )
+    events = events_in_range(spark, sf_dir, _T0, _T1)
 
     def stream_avg(event_type: str, out: str) -> DataFrame:
         return (
@@ -150,11 +150,11 @@ def q_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7: inclusive BETWEEN range predicate (data_model.py:29-30; the
     [t-300, t] closed window at load.py:9-14). Closed interval — unlike
     Spark's window() buckets which are [start, end); we keep BETWEEN
-    semantics for parity. Predicate pushes down to the parquet scan."""
-    return (
-        table(spark, sf_dir, "events")
-        .filter(F.col("ts").between(F.lit(_T0).cast("timestamp"), F.lit(_T1).cast("timestamp")))
-        .select("event_id", "ts", "event_type", "value")
+    semantics for parity. The range is applied to the raw ns column via
+    events_in_range so it reaches the scan as PushedFilters (a predicate
+    on the derived timestamp would not — see catalog.events_in_range)."""
+    return events_in_range(spark, sf_dir, _T0, _T1).select(
+        "event_id", "ts", "event_type", "value"
     )
 
 

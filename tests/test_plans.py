@@ -62,3 +62,12 @@ def test_partition_pruning_in_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "ds" in pf and "2024-01-10" in pf
+
+
+def test_events_time_range_pushes_down(spark, sf_dir):
+    """The ns-column rewrite (catalog.events_in_range): the time range
+    must appear in PushedFilters — a predicate on the derived timestamp
+    would leave only IsNotNull there and read every row group."""
+    plan = _plan(spark, sf_dir, "q_filter_between")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
