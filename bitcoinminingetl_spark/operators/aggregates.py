@@ -20,6 +20,8 @@ from bitcoinminingetl_spark.functions.numeric import (
     dsum_sql,
     round2,
     round2_sql,
+    roundn,
+    roundn_sql,
 )
 from bitcoinminingetl_spark.registry import query
 
@@ -219,4 +221,82 @@ def q_agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle=f"""
+    SELECT event_type,
+           {roundn_sql('quantile_cont(value, 0.5)', 6)} AS p50,
+           {roundn_sql('quantile_cont(value, 0.9)', 6)} AS p90,
+           {roundn_sql('quantile_cont(value, 0.99)', 6)} AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (Spark `percentile` ==
+    DuckDB `quantile_cont`: linear interpolation between order
+    statistics). Exact percentile buffers every value per key — at 100 TB
+    switch to `percentile_approx` (KLL-sketch-style bounded memory,
+    mergeable across partitions); q_approx_distinct shows the same
+    exact-vs-sketch trade for cardinality."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            roundn(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            roundn(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            roundn(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
+@query(
+    "q_corr_stats",
+    oracle=f"""
+    SELECT event_type,
+           {roundn_sql('stddev_samp(value)', 6)} AS sd_value,
+           {roundn_sql('var_samp(value)', 4)} AS var_value,
+           {roundn_sql('corr(value, CAST(user_id AS DOUBLE))', 6)} AS corr_value_user
+    FROM events GROUP BY event_type
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per key: sample stddev/variance and a
+    Pearson correlation. All three are algebraic aggregates (sum, sum of
+    squares, cross-moments) — partial-aggregated map-side, merged at the
+    reducer: one shuffle of O(keys) rows regardless of input size."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            roundn(F.stddev_samp("value"), 6).alias("sd_value"),
+            roundn(F.var_samp("value"), 4).alias("var_value"),
+            roundn(F.corr("value", F.col("user_id").cast("double")), 6).alias(
+                "corr_value_user"
+            ),
+        )
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over the metric column: bucketing is a scalar
+    projection (stays in codegen), counting is a partial-agg groupBy on
+    the bucket id — the canonical distribution profile a data-quality
+    pass runs over every numeric column at ingest."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.col("value") / 50).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -131,3 +131,60 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_rf
         """
     )
+
+
+_SESSION_GAP_S = 30 * 60
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_S}
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM ordered
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM tagged GROUP BY user_id, session_idx
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap-based session operator every
+    clickstream/training-data pipeline needs (the batch twin of
+    streaming session_window): per user, a new session starts after >30
+    minutes of inactivity; sessions get a per-user ordinal via a running
+    sum over the new-session flags.
+
+    Scale: one shuffle on user_id serves the lag, the running sum, AND
+    the final per-session aggregate (same partitioning reused across all
+    three); ties broken by event_id so ordering is total and the result
+    engine-deterministic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > _SESSION_GAP_S), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
