@@ -194,3 +194,35 @@ def windowed_averages_with_fallback(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame, views: DataFrame, tolerance: str = "5 minutes"
+) -> DataFrame:
+    """Stream-stream time-interval join: each click pairs with the same
+    user's views within ±tolerance — the attribution-join shape (R11's
+    two-stream correlation as a true stream-stream join rather than the
+    aggregate-then-join the batch path uses; Spark forbids joining two
+    *aggregated* streams, so the join runs on raw events and any
+    aggregation comes after).
+
+    Both sides carry watermarks; the time-bound condition lets the state
+    store expire rows once the other stream's watermark passes ts +
+    tolerance — without it, stream-stream join state grows forever."""
+    c = clicks.withWatermark("ts", "10 minutes").alias("c")
+    v = views.withWatermark("ts", "10 minutes").alias("v")
+    return c.join(
+        v,
+        F.expr(
+            f"""
+            c.user_id = v.user_id AND
+            v.ts BETWEEN c.ts - INTERVAL {tolerance} AND c.ts + INTERVAL {tolerance}
+            """
+        ),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("v.ts").alias("view_ts"),
+    )

@@ -192,3 +192,54 @@ def test_stateful_fallback_operator(spark, tmp_path):
     assert rows["00:00"].avg_value == 10.0 and not rows["00:00"].used_fallback
     assert rows["00:05"].avg_value == 10.0 and rows["00:05"].used_fallback
     assert rows["00:10"].avg_value == 30.0 and not rows["00:10"].used_fallback
+
+
+def test_stream_stream_interval_join_matches_batch(spark, landed_events, tmp_path):
+    """The streaming click↔view interval join, drained with AvailableNow,
+    produces exactly the batch join's pairs."""
+    from bitcoinminingetl_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_stream_interval_join,
+    )
+
+    stream = read_event_stream(spark, landed_events)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    out = str(tmp_path / "join_out")
+    q = (
+        stream_stream_interval_join(clicks, views)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "join_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    batch = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(landed_events)
+    bc = batch.filter(F.col("event_type") == "click").alias("c")
+    bv = batch.filter(F.col("event_type") == "view").alias("v")
+    expected = {
+        (r.click_id, r.view_id)
+        for r in bc.join(
+            bv,
+            F.expr(
+                "c.user_id = v.user_id AND "
+                "v.ts BETWEEN c.ts - INTERVAL 5 MINUTES AND c.ts + INTERVAL 5 MINUTES"
+            ),
+        )
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("v.event_id").alias("view_id"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert got, "no pairs joined — fixture should produce matches"
