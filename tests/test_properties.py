@@ -1,0 +1,121 @@
+"""Property-based and invariance tests (SURVEY §5.2 item 3).
+
+Two families:
+- plan invariants: results must not depend on physical execution knobs
+  (shuffle partition count, input split size) — the property that makes a
+  plan trustworthy when AQE re-plans it at 1000 executors.
+- hypothesis-generated differentials: tiny random inputs checked against a
+  pure-Python reference implementation (sessionization, dedup).
+Spark round-trips are slow, so example counts are deliberately small —
+these guard semantics, they are not fuzzing for crashes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from bitcoinminingetl_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_agg_results_invariant_under_shuffle_partitions(spark, sf_dir):
+    """q_avg_grouped and the flagship q_window_join must return identical
+    rows at 8 vs 2 shuffle partitions: decimal-quantized aggregation
+    (functions/numeric) makes double sums independent of partial-agg
+    merge order."""
+    for name in ("q_avg_grouped", "q_window_join"):
+        base = _rows(REGISTRY[name].fn(spark, sf_dir))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "2")
+            alt = _rows(REGISTRY[name].fn(spark, sf_dir))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert base == alt, name
+
+
+def test_dedup_pairs_invariant_under_input_splits(spark, sf_dir):
+    """Jaccard pair detection is a set property of the corpus — forcing
+    tiny input splits (more scan partitions) must not change it."""
+    base = _rows(REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir))
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        alt = _rows(REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert base == alt
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user_id
+            st.integers(min_value=0, max_value=86_400), # seconds offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sessionize_matches_python_reference(spark, events):
+    """Session count per user == 1 + number of >30-min gaps in that
+    user's sorted event times (pure-Python reference)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=off), uid, "click", 1.0)
+        for i, (uid, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    # reuse the operator's plan by inlining its logic over this frame
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    got = (
+        df.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_idx").alias("n_sessions"))
+    )
+    got_map = {r.user_id: r.n_sessions for r in got.collect()}
+
+    expected: dict[int, int] = {}
+    by_user: dict[int, list[int]] = {}
+    for uid, off in events:
+        by_user.setdefault(uid, []).append(off)
+    for uid, offs in by_user.items():
+        offs.sort()
+        n = 1 + sum(1 for a, b in zip(offs, offs[1:]) if b - a > 1800)
+        expected[uid] = n
+    assert got_map == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=30)
+)
+def test_dedup_idempotent_and_counts_distinct(spark, keys):
+    """dropDuplicates is idempotent and keeps exactly one row per key."""
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    once = df.dropDuplicates(["k"])
+    twice = once.dropDuplicates(["k"])
+    assert once.count() == len(set(keys))
+    assert sorted(r.k for r in twice.collect()) == sorted(set(keys))
