@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
 from bitcoinminingetl_spark.functions.numeric import roundn, roundn_sql
@@ -368,4 +369,67 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(cos, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= _COSINE_THRESHOLD)
+    )
+
+
+@query(
+    "q_corpus_dedup",
+    oracle=f"""
+    WITH canon AS (
+        SELECT doc_id, md5(text) AS h,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS rn
+        FROM documents
+    ),
+    exact_survivors AS (SELECT doc_id FROM canon WHERE rn = 1),
+    sh AS ({_SHINGLE_SQL}),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM exact_survivors)
+          AND b.doc_id IN (SELECT doc_id FROM exact_survivors)
+        GROUP BY 1, 2
+    ),
+    near_dups AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+    )
+    SELECT doc_id FROM exact_survivors
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
+    """,
+)
+def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus dedup pass a training-data pipeline actually
+    materializes — composition of the stages the other q_dedup_* queries
+    expose individually:
+
+    1. exact stage: keep the lowest doc_id per content hash (md5) —
+       one hash aggregate, removes byte-identical copies.
+    2. near-dup stage: among exact survivors, compute 3-gram Jaccard
+       pairs (the q_dedup_ngram_jaccard plan) and drop the HIGHER doc_id
+       of every pair ≥ 0.3 — deterministic keep-lowest policy.
+
+    Output: the surviving doc_ids (the corpus you'd train on). At scale
+    stage 2 swaps in the MinHash+LSH candidate generator
+    (q_dedup_minhash_lsh) with identical keep-policy plumbing; the exact
+    variant here is the DuckDB-checkable ground truth."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_survivors = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    pairs = _jaccard_pairs(_shingled(exact_survivors)).filter(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
+    )
+    near_dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact_survivors.select("doc_id").join(
+        near_dups, on="doc_id", how="left_anti"
     )
