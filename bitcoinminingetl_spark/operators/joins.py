@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
-from bitcoinminingetl_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from bitcoinminingetl_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql, round2
 from bitcoinminingetl_spark.registry import query
 
 
@@ -269,4 +269,50 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fact.join(dim_salted, on=["event_type", "salt"]).select(
         "event_id", "event_type", "type_avg"
+    )
+
+
+@query(
+    "q_upsert_merge",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey,
+               CAST(round(CAST(o_totalprice * 1.1 AS DECIMAL(18,6)), 2)
+                    AS DOUBLE) AS o_totalprice,
+               'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT b.o_orderkey,
+           coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+    FROM orders b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE/upsert: apply an update set over a base snapshot by
+    key, updated columns winning via coalesce — the engine-level pattern
+    under Delta/Iceberg MERGE INTO (which is this join + a transactional
+    file swap). The update side here is derived (every 10th order
+    repriced +10%, status 'U') so the query is self-contained and
+    oracle-checkable.
+
+    Scale: equi-join on the merge key; when updates are small (the usual
+    case) the planner broadcasts them and the base table never shuffles —
+    an incremental-maintenance primitive, not a full rewrite."""
+    base = table(spark, sf_dir, "orders")
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            round2(F.col("o_totalprice") * 1.1).alias("u_totalprice"),
+            F.lit("U").alias("u_orderstatus"),
+        )
+    )
+    return (
+        base.join(updates, on="o_orderkey", how="left")
+        .select(
+            "o_orderkey",
+            F.coalesce("u_totalprice", "o_totalprice").alias("o_totalprice"),
+            F.coalesce("u_orderstatus", "o_orderstatus").alias("o_orderstatus"),
+        )
     )

@@ -138,3 +138,65 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = events.filter(F.col("value") > 100).select("event_type")
     vhi = events.filter(F.col("value") > 150).select("event_type")
     return hi.exceptAll(vhi)
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS val
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS val
+    FROM orders
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide columns -> (key, measure, value) long form —
+    the inverse of q_pivot's avg_info widening. Spark's native unpivot
+    generates the rows without a shuffle (narrow op); the long form is
+    what per-metric operators (histograms, quality profiles) consume."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "val")
+    )
+
+
+@query(
+    "q_hash_split",
+    oracle="""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT CASE
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+            ELSE 'test'
+        END AS split
+        FROM documents
+    ) GROUP BY split
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the assignment every training
+    pipeline needs to be REPRODUCIBLE and ENGINE-PORTABLE: bucket by the
+    first hex digit of md5(doc_id) (12/2/2 of 16 ≈ 75/12.5/12.5%). md5 is
+    identical across engines (unlike xxhash64/rand seeds), so the same
+    row lands in the same split everywhere, forever — no shuffle, no
+    state, pure projection; new data partitions assign independently."""
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(first.isin(*list("0123456789ab")), "train")
+        .when(first.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
