@@ -226,3 +226,37 @@ def stream_stream_interval_join(
         F.col("c.ts").alias("click_ts"),
         F.col("v.ts").alias("view_ts"),
     )
+
+
+class AlertingListener:
+    """R14's failure alerting (reference main.py:27-56 sends an HTML email
+    on task failure; retries are Spark-level `spark.task.maxFailures`).
+
+    A StreamingQueryListener that hands terminal events to a callback —
+    the engine-side hook where the reference's send_email goes. Kept
+    dependency-free: the callback receives (kind, payload) tuples; tests
+    collect them, production wires a real notifier.
+
+    Use: `spark.streams.addListener(AlertingListener.build(cb))`.
+    """
+
+    @staticmethod
+    def build(callback):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                callback(("started", event.id))
+
+            def onQueryProgress(self, event):
+                callback(("progress", event.progress.numInputRows))
+
+            def onQueryIdle(self, event):
+                callback(("idle", event.id))
+
+            def onQueryTerminated(self, event):
+                # exception is None on clean stop — the alert condition is
+                # a non-None exception (the reference's failure email path)
+                callback(("terminated", event.exception))
+
+        return _L()

@@ -243,3 +243,40 @@ def test_stream_stream_interval_join_matches_batch(spark, landed_events, tmp_pat
     }
     assert got == expected
     assert got, "no pairs joined — fixture should produce matches"
+
+
+def test_alerting_listener_observes_lifecycle(spark, landed_events, tmp_path):
+    """R14 parity: the listener sees start/progress/clean-termination for
+    a drained query; exception is None on clean stop (the alert fires
+    only when it isn't)."""
+    from bitcoinminingetl_spark.streaming.pipeline import (
+        AlertingListener,
+        read_event_stream,
+        run_to_parquet,
+        windowed_metric_averages,
+    )
+
+    events = []
+    listener = AlertingListener.build(events.append)
+    spark.streams.addListener(listener)
+    try:
+        q = run_to_parquet(
+            windowed_metric_averages(read_event_stream(spark, landed_events)),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        # listener callbacks are async; wait briefly for terminated event
+        import time
+
+        for _ in range(40):
+            if any(k == "terminated" for k, _ in events):
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    kinds = [k for k, _ in events]
+    assert "started" in kinds
+    assert "terminated" in kinds
+    term_payloads = [p for k, p in events if k == "terminated"]
+    assert term_payloads[-1] is None  # clean drain -> no alert
