@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.catalog import events_in_range
 from bitcoinminingetl_spark.registry import query
 from bitcoinminingetl_spark.streaming.pipeline import (
     read_event_stream,
@@ -34,7 +34,11 @@ def q_streaming_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="bmetl_stream_")
     landing, out, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
     (
-        table(spark, sf_dir, "events")
+        # one week of events: the lifecycle under test (multi-batch drain,
+        # watermarked state, re-emission) is volume-independent, and the
+        # pushed-down ns-range scan keeps the landing write proportional
+        # to the slice, not the table
+        events_in_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-12 00:00:00")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .coalesce(4)
         .write.json(landing)
