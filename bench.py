@@ -56,6 +56,18 @@ def main() -> None:
     lineitem_rows = table(spark, sf_dir, "lineitem").count()
     sf = round(lineitem_rows / 6_000_000, 4)
 
+    # one untimed warmup run of the flagship: JVM JIT + codegen + shuffle
+    # machinery spin-up otherwise lands entirely on whichever query runs
+    # first (~2s at sf0.1), skewing its number vs steady state. Data IO is
+    # NOT pre-cached beyond this one plan's inputs; every timed query
+    # still executes its full plan through the noop sink.
+    try:
+        registry["q_window_join"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001 — warmup failure surfaces in the timed run
+        pass
+
     timings: dict[str, float] = {}
     for name in names:
         spec = registry[name]
