@@ -300,3 +300,81 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_sql_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary, written through the SQL entry
+    point (register view -> spark.sql) to exercise the engine's second
+    front door — the same Catalyst plan as the DataFrame API, proving the
+    two surfaces are one engine. Classic scan-heavy aggregate: predicate
+    pushed to parquet, partial aggregation map-side, ~6 output rows."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q1")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity')} AS sum_qty,
+               {dsum_sql('l_extendedprice')} AS sum_base_price,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {davg_sql('l_quantity')} AS avg_qty,
+               {davg_sql('l_extendedprice')} AS avg_price,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem_q1
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "q_star_join",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation: the 4-table star join (fact → fact → dim → dim)
+    every warehouse runs. Catalyst orders the joins and broadcasts the
+    dims (customer/nation are tiny at TPC-H ratios); the only real
+    shuffle is lineitem ⋈ orders on orderkey, which AQE skew-splits at
+    runtime. The date filter prunes orders before the join touches it."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
