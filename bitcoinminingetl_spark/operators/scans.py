@@ -110,3 +110,41 @@ def q_scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value")).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_dq_profile",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(value) AS BIGINT) AS null_value,
+           CAST(count(*) - count(ts) AS BIGINT) AS null_ts,
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS neg_value,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS dup_ids,
+           CAST(sum(CASE WHEN event_type NOT IN
+               ('click','view','purchase','signup','error') THEN 1 ELSE 0 END)
+               AS BIGINT) AS bad_enum,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    """,
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: the constraint sweep an ingest gate runs
+    before data enters the corpus — null counts, domain violations
+    (negative metric, unknown enum), duplicate-key count, and a control
+    total. ONE pass over the table: every check is a conditional
+    aggregate in the same hash-aggregate, so profiling cost is one scan
+    regardless of how many constraints are added."""
+    ev = table(spark, sf_dir, "events")
+    known = ("click", "view", "purchase", "signup", "error")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("null_value"),
+        (F.count(F.lit(1)) - F.count("ts")).alias("null_ts"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_value"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_ids"),
+        F.sum(F.when(~F.col("event_type").isin(*known), 1).otherwise(0)).alias(
+            "bad_enum"
+        ),
+        dsum(F.col("value")).alias("sum_value"),
+    )

@@ -37,3 +37,36 @@ def append_events_by_day(df: DataFrame, path: str) -> None:
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compaction: rewrite a parquet directory into ~target-sized files.
+
+    Streaming appends (run_to_parquet) and frequent micro-batch sinks
+    accumulate small files; at cluster scale a million 100 KB files turns
+    every scan into a metadata storm. Sizing by the directory's actual
+    bytes (not file count) keeps output files near the scan split target
+    so one file ≈ one task. Returns the new file count.
+
+    Rewrite lands in `<path>._compact` then swaps in — the swap is the
+    non-transactional stand-in for a table format's atomic commit."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

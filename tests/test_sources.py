@@ -61,3 +61,29 @@ def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     # append is additive
     append_events_by_day(events, out)
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Many small appended files collapse to ~target-sized files with
+    identical content."""
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.sources.sink import compact_small_files
+
+    out = str(tmp_path / "frag")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # simulate micro-batch appends: 8 tiny writes
+    for i in range(8):
+        ev.filter(F.col("event_id") % 8 == i).repartition(3).write.mode(
+            "append"
+        ).parquet(out)
+    import glob
+
+    before = len(glob.glob(f"{out}/*.parquet"))
+    rows_before = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    n = compact_small_files(spark, out, target_file_bytes=10 * 1024 * 1024)
+    after = len(glob.glob(f"{out}/*.parquet"))
+    assert after == n
+    assert after < before
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == rows_before
