@@ -28,6 +28,7 @@ _OPERATOR_MODULES = (
     "scalar_funcs",
     "dedup",
     "similarity",
+    "mllib_ops",
     "text",
     "udfs",
     "multimodal",
