@@ -67,6 +67,28 @@ def main() -> None:
         ).save()
     except Exception:  # noqa: BLE001 — warmup failure surfaces in the timed run
         pass
+    # Same spin-up story for the MLlib-backed queries: class loading +
+    # model-UDF codegen costs ~7 s once per JVM. Warm it on a 2-row
+    # in-memory frame — no test data is read or cached here.
+    try:
+        from pyspark.ml.feature import BucketedRandomProjectionLSH, MinHashLSH
+        from pyspark.ml.linalg import Vectors
+
+        tiny = spark.createDataFrame(
+            [(0, Vectors.sparse(8, [0], [1.0]), Vectors.dense([0.0, 1.0])),
+             (1, Vectors.sparse(8, [1], [1.0]), Vectors.dense([1.0, 0.0]))],
+            ["id", "sparse", "dense"],
+        )
+        mh = MinHashLSH(inputCol="sparse", outputCol="h1", seed=1).fit(tiny)
+        mh.transform(tiny).write.format("noop").mode("overwrite").save()
+        brp = BucketedRandomProjectionLSH(
+            inputCol="dense", outputCol="h2", bucketLength=1.0, seed=1
+        ).fit(tiny)
+        brp.approxSimilarityJoin(tiny, tiny, 10.0).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001
+        pass
 
     timings: dict[str, float] = {}
     for name in names:

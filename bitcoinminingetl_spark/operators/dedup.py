@@ -193,9 +193,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Exact verification on CANDIDATES ONLY — the whole point of LSH: the
-    # per-doc shingle sets join to the (small) candidate list, never to
-    # each other, so verification is O(candidates), not O(pairs).
+    return _verify_candidates(sh, candidates)
+
+
+def _verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification on CANDIDATES ONLY — the whole point of
+    LSH: the per-doc shingle sets join to the (small) candidate list,
+    never to each other, so verification is O(candidates), not O(pairs).
+    Shared by the hand-rolled and MLlib-signature LSH variants."""
     sets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("shingles"),
         F.count(F.lit(1)).alias("n_shingles"),

@@ -1,0 +1,169 @@
+"""MLlib-backed scale paths for fuzzy dedup and similarity search —
+the library twins of the hand-rolled operators in dedup.py/similarity.py
+(SURVEY.md §2.2 names MinHashLSH and BucketedRandomProjectionLSH as the
+MLlib scale primitives for `q_dedup_fuzzy` / `q_cosine_topk`).
+
+Why both variants exist: the hand-rolled plans show the pure-DataFrame
+construction (every stage visible to Catalyst); these show the same
+semantics through MLlib's fitted-model API, which is what a team already
+standardized on `pyspark.ml` pipelines would deploy.
+
+Scale note (measured at sf0.1/local[16]): MLlib's own
+`MinHashLSHModel.approxSimilarityJoin` is an OR-construction over
+single-hash tables — every pair sharing ANY one min-hash becomes a
+candidate, so the candidate set explodes at low similarity and the join
+benched 10-13 s vs ~3 s for the banded hand-rolled plan. The dedup
+variant here therefore uses the MLlib model only for what it is good at
+(fitted, versioned signature functions via `.transform`) and does
+candidate generation with the standard banding fix (AND over rows within
+a band, OR across bands) as a DataFrame join over the model's hash
+outputs, then exact-Jaccard verification shared with dedup.py. The ANN
+variant keeps `approxSimilarityJoin` — on a metric space (euclidean) its
+candidate volume is controlled by the distance threshold, and it benched
+~2 s.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import BucketedRandomProjectionLSH, HashingTF, MinHashLSH
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.numeric import roundn
+from bitcoinminingetl_spark.operators.dedup import (
+    _NGRAM,
+    _shingled,
+    _verify_candidates,
+)
+from bitcoinminingetl_spark.operators.similarity import _N_QUERIES, _TOP_K
+from bitcoinminingetl_spark.registry import query
+
+_TF_FEATURES = 1 << 18  # HashingTF bins; collisions ~ |shingles|²/2¹⁹ per doc
+_MLLIB_MINHASH_K = 16
+_MLLIB_BANDS = 4
+_MLLIB_ROWS = _MLLIB_MINHASH_K // _MLLIB_BANDS
+_MLLIB_SEED = 42
+
+
+def _shingle_array(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<string>) — same 3-gram definition as
+    dedup._shingled but kept as an array column for HashingTF input."""
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (_NGRAM - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _NGRAM)),
+        )
+    )
+    return docs.select("doc_id", shingles.alias("shingles"))
+
+
+@query("q_dedup_minhash_mllib")  # rows-only: model signatures are seed-specific
+def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup detection through MLlib's fitted-model API:
+    HashingTF (binary, 2^18 bins) -> MinHashLSH(16 tables).transform for
+    per-doc signatures -> band the 16 model hashes 4x4 into bucket keys
+    -> candidate equi-join on (band, signature) -> exact-Jaccard
+    verification shared with q_dedup_minhash_lsh.
+
+    Semantics match q_dedup_minhash_lsh (banded LSH, exact verify, same
+    0.3 threshold); only the signature function differs (MLlib's seeded
+    perfect-hash family vs xxhash64 salts). Candidate recall for a pair
+    with Jaccard j: 1-(1-j^4)^4. Rows-only check; the unit test asserts
+    output ⊆ exact n-gram pairs and recall on planted duplicates."""
+    docs = table(spark, sf_dir, "documents")
+    feat = HashingTF(
+        inputCol="shingles",
+        outputCol="features",
+        numFeatures=_TF_FEATURES,
+        binary=True,
+    ).transform(_shingle_array(docs))
+    model = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=_MLLIB_MINHASH_K,
+        seed=_MLLIB_SEED,
+    ).fit(feat)
+    # hashes: array<vector>, one 1-dim vector per table — lift to scalar
+    # columns (pure projection, no shuffle), then band exactly like the
+    # hand-rolled plan: AND within a band via one xxhash64 over its rows.
+    hv = [
+        vector_to_array(F.element_at("hashes", i + 1))[0]
+        for i in range(_MLLIB_MINHASH_K)
+    ]
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*hv[b * _MLLIB_ROWS : (b + 1) * _MLLIB_ROWS]).alias("sig"),
+            )
+            for b in range(_MLLIB_BANDS)
+        ]
+    )
+    bands = (
+        model.transform(feat)
+        .select("doc_id", F.explode(bands_arr).alias("bs"))
+        .select("doc_id", "bs.band", "bs.sig")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_candidates(_shingled(docs), candidates)
+
+
+_BRP_TABLES = 8
+_BRP_BUCKET_LEN = 1.0
+# Unit-norm corpus: random pairs sit near sqrt(2)≈1.41, true neighbors
+# below ~1.3 (cos = 1 - d²/2). 1.35 keeps the candidate join bounded
+# while covering the exact top-10 band.
+_BRP_RADIUS = 1.35
+
+
+@query("q_ann_brp_mllib")  # rows-only: LSH candidate set is seed-specific
+def q_ann_brp_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via MLlib BucketedRandomProjectionLSH
+    — the library twin of q_ann_lsh/q_ann_ivf. Embeddings lift to ml
+    vectors (`array_to_vector`, zero-copy Arrow path), the fitted model's
+    `approxSimilarityJoin` generates candidates within euclidean radius
+    1.35 of each query, and a window ranks the top-10 per query by
+    distance. On unit-norm vectors euclidean and cosine rankings agree
+    (d² = 2-2cos), so the unit test checks recall against the exact
+    q_cosine_topk ranking. Query side is 5 rows -> broadcast; the corpus
+    never self-joins."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="vec",
+        outputCol="hashes",
+        numHashTables=_BRP_TABLES,
+        bucketLength=_BRP_BUCKET_LEN,
+        seed=_MLLIB_SEED,
+    ).fit(emb)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    joined = (
+        model.approxSimilarityJoin(q, emb, _BRP_RADIUS, distCol="dist")
+        .filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            roundn(F.col("dist"), 6).alias("euclid"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("euclid"), F.col("neighbor_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+    )

@@ -86,3 +86,48 @@ def test_ann_ivf_scores_exact_and_recall_floor(spark, sf_dir):
             assert abs(exact[key] - r.cosine) < 1e-9
             hits += 1
     assert hits / len(exact) >= 0.5
+
+
+def test_minhash_mllib_matches_exact_pairs(spark, sf_dir):
+    """The MLlib-signature banded LSH variant returns verified
+    exact-Jaccard pairs: a subset of the exact n-gram pairs with
+    identical jaccard values, and most of them recovered (planted dups
+    collide in every band)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["q_dedup_minhash_mllib"].fn(spark, sf_dir).collect()
+    }
+    assert got, "MLlib MinHash found no pairs"
+    for key, j in got.items():
+        assert key in exact
+        assert abs(exact[key] - j) < 1e-9
+    assert len(got) >= len(exact) // 2
+
+
+def test_ann_brp_mllib_recall_vs_exact(spark, sf_dir):
+    """On unit-norm embeddings euclidean and cosine rank identically
+    (d² = 2-2·cos), so the BRP-LSH top-10 should recover most of the
+    exact cosine top-10 per query, with consistent distances."""
+    exact_by_q: dict[int, set[int]] = {}
+    exact_cos = {}
+    for r in REGISTRY["q_cosine_topk"].fn(spark, sf_dir).collect():
+        exact_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        exact_cos[(r.query_id, r.neighbor_id)] = r.cosine
+    rows = REGISTRY["q_ann_brp_mllib"].fn(spark, sf_dir).collect()
+    assert rows
+    hits = total = 0
+    for qid, exact_nbrs in exact_by_q.items():
+        got = {r.neighbor_id for r in rows if r.query_id == qid}
+        hits += len(got & exact_nbrs)
+        total += len(exact_nbrs)
+    assert hits / total >= 0.7
+    for r in rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            # d = sqrt(2 - 2cos) up to the 6-dp rounding both sides apply
+            expected = (2 - 2 * exact_cos[key]) ** 0.5
+            assert abs(expected - r.euclid) < 1e-4
