@@ -280,3 +280,90 @@ def test_alerting_listener_observes_lifecycle(spark, landed_events, tmp_path):
     assert "terminated" in kinds
     term_payloads = [p for k, p in events if k == "terminated"]
     assert term_payloads[-1] is None  # clean drain -> no alert
+
+
+def test_parse_kafka_shaped_frame(spark):
+    """The Kafka value-decoding transform, driven by a synthesized
+    connector-shaped batch frame (same columns/types the connector
+    emits): JSON payloads decode to the events schema with lineage
+    columns; a poison (non-JSON) message is filtered, not fatal."""
+    import json as _json
+
+    from bitcoinminingetl_spark.sources.kafka_source import (
+        KAFKA_SHAPE,
+        parse_kafka_events,
+    )
+
+    def msg(i, payload):
+        return (
+            None,
+            payload.encode(),
+            "events",
+            i % 2,
+            i,
+            __import__("datetime").datetime(2024, 1, 1, 0, 0, i % 60),
+            0,
+        )
+
+    good = [
+        msg(
+            i,
+            _json.dumps(
+                {
+                    "event_id": i,
+                    "ts": "2024-01-01 00:00:00",
+                    "user_id": i * 7,
+                    "event_type": "click",
+                    "value": i / 2.0,
+                }
+            ),
+        )
+        for i in range(4)
+    ]
+    poison = [msg(99, "{not json")]
+    kafka_df = spark.createDataFrame(good + poison, KAFKA_SHAPE)
+    rows = {r.event_id: r for r in parse_kafka_events(kafka_df).collect()}
+    assert set(rows) == {0, 1, 2, 3}  # poison dropped
+    assert rows[2].user_id == 14 and rows[2].value == 1.0
+    assert rows[3].topic == "events" and rows[3].offset == 3
+
+
+def test_rate_source_processing_time_cadence(spark, tmp_path):
+    """Live Trigger.ProcessingTime run (R2's 300 s tick, scaled to 1 s):
+    the rate-source stream aggregates by event_type and must complete
+    multiple timed micro-batches with growing input before a clean stop."""
+    import time
+
+    from bitcoinminingetl_spark.sources.kafka_source import rate_event_stream
+
+    agg = (
+        rate_event_stream(spark, rows_per_second=200)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), round2(F.avg("value")).alias("avg_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_cadence")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        batches = 0
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["numInputRows"] > 0:
+                batches += 1
+                if batches >= 3:
+                    break
+            time.sleep(0.5)
+        assert batches >= 3, f"only {batches} non-empty timed batches in 30s"
+        out = {r.event_type: r.n for r in spark.sql(
+            "SELECT * FROM rate_cadence"
+        ).collect()}
+        assert set(out) <= {"click", "view", "purchase", "signup"}
+        assert sum(out.values()) > 0
+    finally:
+        q.stop()
