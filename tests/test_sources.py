@@ -87,3 +87,35 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert after == n
     assert after < before
     assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == rows_before
+
+
+def test_zorder_layout_prunes_multi_column(spark, sf_dir, tmp_path):
+    """Z-ordered files carry tight min/max envelopes on BOTH clustered
+    columns: a two-predicate filter touches fewer files than on a
+    hash-shuffled layout with the same file count, and content is
+    identical."""
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.sources.layout import write_zordered
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    z_path, r_path = str(tmp_path / "zorder"), str(tmp_path / "random")
+    write_zordered(ev, z_path, ["user_id", "value"], n_files=8)
+    ev.repartition(8).write.mode("overwrite").parquet(r_path)
+
+    pred = (F.col("user_id") <= 2) & (F.col("value") <= 50)
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    z_files, r_files = files_touched(z_path), files_touched(r_path)
+    assert z_files < r_files, f"z-order touched {z_files} vs random {r_files}"
+    # layout must not change content
+    a = sorted(tuple(r) for r in spark.read.parquet(z_path).collect())
+    b = sorted(tuple(r) for r in ev.collect())
+    assert a == b
