@@ -1,0 +1,180 @@
+"""Corpus-construction operators: the selection/grouping passes a
+training-data pipeline runs AFTER profiling and dedup — deterministic
+stratified sampling, class rebalancing, and near-dup clustering
+(BASELINE.json north star: "the operations a large-scale training-data
+pipeline would need").
+
+Determinism doctrine (same as q_hash_split, sortset.py): anything that
+"randomly" selects rows uses md5 bucketing, not rand(). md5 is identical
+across engines and runs, so the sample is reproducible, auditable, and
+DuckDB-oracle-checkable — rand(seed) is none of those (seeded streams
+differ per engine AND per partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.operators.dedup import (
+    _JACCARD_THRESHOLD,
+    _jaccard_pairs,
+    _shingled,
+    NGRAM_PAIRS_ORACLE,
+)
+from bitcoinminingetl_spark.registry import query
+
+# Per-class sampling rates in 16ths, keyed by the first hex digit of
+# md5(doc_id) — en is heavily over-represented in the corpus, so keep
+# 4/16 of it, 8/16 of zh, all of everything else.
+_RATE_16THS = {"en": 4, "zh": 8}
+_HEX = "0123456789abcdef"
+
+
+def _keep_hexes(rate16: int) -> list[str]:
+    return list(_HEX[:rate16])
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CASE lang
+        WHEN 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ({', '.join(repr(h) for h in _keep_hexes(_RATE_16THS['en']))})
+        WHEN 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ({', '.join(repr(h) for h in _keep_hexes(_RATE_16THS['zh']))})
+        ELSE TRUE
+    END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: per-language keep rates
+    applied by md5(doc_id) hex bucket (en 4/16, zh 8/16, rest 1.0) — the
+    `sampleBy` of a corpus pipeline, minus the irreproducibility. Pure
+    projection + filter: no shuffle, no state; pushes down to the scan;
+    a row's fate never depends on partitioning or history."""
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.lit(True)
+    for lang, rate in _RATE_16THS.items():
+        keep = F.when(F.col("lang") == lang, first.isin(*_keep_hexes(rate))).otherwise(
+            keep
+        )
+    return table(spark, sf_dir, "documents").filter(keep).select("doc_id", "lang")
+
+
+@query(
+    "q_class_balance",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ),
+    m AS (SELECT min(cnt) AS m FROM (
+        SELECT count(*) AS cnt FROM documents GROUP BY lang))
+    SELECT doc_id, lang FROM ranked, m WHERE rn <= m.m
+    """,
+)
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing: downsample every language to the size of the
+    smallest one, choosing survivors by md5 order (a deterministic
+    shuffle) so the kept subset is unbiased w.r.t. doc_id order but
+    stable across runs/engines. Two window passes over one shuffle by
+    lang; the minority count joins back as a 1-row broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+    min_count = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("m"))
+    )
+    return (
+        ranked.join(F.broadcast(min_count))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("doc_id", "lang")
+    )
+
+
+_CC_MAX_ITERS = 20
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({NGRAM_PAIRS_ORACLE})
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair graph (doc pairs >= 0.3), labeling every clustered doc with the
+    minimum doc_id reachable from it — the step that turns pairwise
+    near-dup hits into a keep-one-per-cluster decision (pair-based
+    pruning drops doc_b of each pair, which over-deletes on chains
+    A~B~C where A!~C; components don't).
+
+    Iterative min-label propagation: labels start as doc_id; each round
+    every vertex takes min(label, neighbors' labels); fixpoint after
+    O(component diameter) rounds (near-dup components are shallow —
+    sf0.01 converges in <=3). Each round is one distributed join+agg;
+    the driver only checks the 1-row convergence count. The edge list is
+    eagerly localCheckpoint'ed so the expensive pair computation runs
+    once, not once per round, and label lineage stays flat. DuckDB
+    oracle: recursive-CTE transitive closure, same fixpoint."""
+    pairs = _jaccard_pairs(_shingled(table(spark, sf_dir, "documents"))).filter(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.groupBy("u").agg(F.min("v").alias("nbr_min")).select(
+        F.col("u").alias("doc_id"),
+        F.least(F.col("u"), F.col("nbr_min")).alias("cluster_id"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_CC_MAX_ITERS):
+        # propagate: my new label = min(mine, min over neighbors' labels)
+        nbr = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

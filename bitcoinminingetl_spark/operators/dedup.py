@@ -121,9 +121,9 @@ def _jaccard_pairs(shingled: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
+# DuckDB-side exact near-dup pairs — the oracle for q_dedup_ngram_jaccard
+# and the edge set for q_dedup_clusters' oracle (corpus_ops.py).
+NGRAM_PAIRS_ORACLE = f"""
     WITH sh AS ({_SHINGLE_SQL}),
     sizes AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
@@ -139,8 +139,10 @@ def _jaccard_pairs(shingled: DataFrame) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("q_dedup_ngram_jaccard", oracle=NGRAM_PAIRS_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs above 0.3 — the ground truth
     the probabilistic variants (MinHash, SimHash) approximate. Correct at

@@ -29,6 +29,7 @@ _OPERATOR_MODULES = (
     "dedup",
     "similarity",
     "mllib_ops",
+    "corpus_ops",
     "text",
     "udfs",
     "multimodal",

@@ -3,6 +3,8 @@ the properties their docstrings promise, beyond the rows-only smoke."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from bitcoinminingetl_spark.registry import load_all
 
 REGISTRY = load_all()
@@ -131,3 +133,32 @@ def test_ann_brp_mllib_recall_vs_exact(spark, sf_dir):
             # d = sqrt(2 - 2cos) up to the 6-dp rounding both sides apply
             expected = (2 - 2 * exact_cos[key]) ** 0.5
             assert abs(expected - r.euclid) < 1e-4
+
+
+def test_dedup_clusters_properties(spark, sf_dir):
+    """Connected-component labels: every near-dup pair shares a cluster,
+    every cluster_id is the component's minimum doc_id, and only docs
+    appearing in some pair are labeled."""
+    pairs = REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["q_dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    assert labels
+    in_pairs = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert set(labels) == in_pairs
+    for r in pairs:
+        assert labels[r.doc_a] == labels[r.doc_b]
+    clusters: dict[int, set[int]] = {}
+    for doc, c in labels.items():
+        clusters.setdefault(c, set()).add(doc)
+    for c, members in clusters.items():
+        assert c == min(members)
+
+
+def test_class_balance_equalizes(spark, sf_dir):
+    """Every language ends at exactly the minority-class count."""
+    out = REGISTRY["q_class_balance"].fn(spark, sf_dir)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert len(set(counts.values())) == 1
