@@ -378,3 +378,35 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q_group_concat",
+    oracle="""
+    SELECT lang,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE n_chars < 200
+    GROUP BY lang
+    """,
+)
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT / string_agg: collapse a group's ids into one sorted
+    comma-joined string (the manifest/lineage-column pattern).
+    collect_list order is partition-dependent — sort_array makes the
+    result deterministic under any parallelism, which is what lets an
+    unordered distributed aggregate hash-match a single-threaded oracle
+    (both sides order lexicographically)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") < 200)
+        .groupBy("lang")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
+            ).alias("doc_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

@@ -188,3 +188,64 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "q_window_ntile",
+    oracle=f"""
+    SELECT event_id, event_type, value,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           {roundn_sql('percent_rank() OVER w', 6)} AS pct_rank,
+           {roundn_sql('cume_dist() OVER w', 6)} AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows per event_type: ntile(4) bucketing,
+    percent_rank, cume_dist. ntile's bucket boundaries depend on row
+    ORDER (not value) under ties, so the ordering carries the event_id
+    tiebreaker — the determinism rule every oracle-checked window here
+    follows."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        roundn(F.percent_rank().over(w), 6).alias("pct_rank"),
+        roundn(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over each user's full stream. The frame is
+    explicitly UNBOUNDED..UNBOUNDED: the SQL-default frame stops at
+    CURRENT ROW, which silently turns last_value into "current value" —
+    the classic window-frame bug, pinned here on both engines."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
