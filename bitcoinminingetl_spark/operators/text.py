@@ -219,6 +219,82 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K = 3  # tokens per shingle
+_WINNOW_W = 4  # winnowing window (consecutive shingle hashes)
+
+
+@query(
+    "q_fingerprint_winnow",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pos AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {_WINNOW_K - 1}))
+                   AS p
+        FROM d WHERE len(toks) >= {_WINNOW_K}
+    ), h AS (
+        SELECT doc_id, p,
+               substr(md5(array_to_string(toks[p:p + {_WINNOW_K - 1}], ' ')), 1, 8)
+                   AS h
+        FROM pos
+    ), wm AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS mh
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(DISTINCT mh) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(list_sort(list(DISTINCT mh)), ' ')) AS winnow_digest
+    FROM wm GROUP BY doc_id
+    """,
+)
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    every token 3-gram, then keep the minimum hash of each sliding window
+    of 4 consecutive shingle hashes — the selected minima are a compact,
+    position-robust fingerprint set guaranteeing any match of >= w+k-1
+    tokens shares a fingerprint. Output per doc: shingle count, distinct
+    fingerprint count, and an order-canonical digest of the fingerprint
+    set (equal digests => winnow-identical docs).
+
+    Engine shape: positions come from `explode(sequence(...))` so shingle
+    assembly and hashing stay scalar (codegen'd, not HOF lambdas); the
+    rolling minimum is one window over (doc_id, p) — a single shuffle
+    that the final per-doc aggregate reuses, so at 100 TB this is scan ->
+    one exchange -> window + partial agg. The hash is substr(md5, 8 hex)
+    — engine-portable and lexicographically ordered identically
+    everywhere (cf. q_hash_split's determinism doctrine)."""
+    k, w = _WINNOW_K, _WINNOW_W
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= k)
+    )
+    pos = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("p"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        "p",
+        F.substring(
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("p"), F.lit(k)))), 1, 8
+        ).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    minima = hashed.select("doc_id", F.min("h").over(win).alias("mh"))
+    return minima.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.countDistinct("mh").cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort(F.collect_set("mh")), " ")).alias(
+            "winnow_digest"
+        ),
+    )
+
+
 @query(
     "q_tfidf_terms",
     oracle=f"""

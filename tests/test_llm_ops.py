@@ -162,3 +162,35 @@ def test_class_balance_equalizes(spark, sf_dir):
     counts = {r.lang: r.n for r in out.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert len(set(counts.values())) == 1
+
+
+def test_winnow_fingerprint_properties(spark, sf_dir, tmp_path):
+    """Winnowing invariants on real data (fingerprint set never larger
+    than shingle set, every long-enough doc covered) plus planted-fixture
+    semantics: identical texts share a digest, distinct texts don't, and
+    n_shingles = n_tokens - k + 1."""
+    winnow = {
+        r.doc_id: r
+        for r in REGISTRY["q_fingerprint_winnow"].fn(spark, sf_dir).collect()
+    }
+    assert winnow
+    for r in winnow.values():
+        assert 1 <= r.n_fingerprints <= r.n_shingles
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "a completely different document about winnowing fingerprints ok"
+    fixture = spark.createDataFrame(
+        [
+            (1, text_a, "en", "web", len(text_a)),
+            (2, text_a, "en", "web", len(text_a)),
+            (3, text_b, "en", "web", len(text_b)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fixture.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["q_fingerprint_winnow"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1].winnow_digest == out[2].winnow_digest
+    assert out[1].winnow_digest != out[3].winnow_digest
+    assert out[1].n_shingles == len(text_a.split()) - 2
