@@ -159,6 +159,36 @@ _BANDS = 4
 _ROWS_PER_BAND = _MINHASH_K // _BANDS
 
 
+def _candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from a (doc_id, band, sig)
+    relation via ONE groupBy(band, sig) + in-group pair generation — the
+    same rewrite as _jaccard_pairs: the equi-self-join computes and
+    shuffles the band relation twice (and for the MLlib variant "compute"
+    means the whole HashingTF + model-hash pipeline), the groupBy does it
+    once and emits identical pairs from the grouped doc list. Bucket
+    fan-out is g(g-1)/2 either way; a doc appears at most once per
+    (band, sig) so no self-pairs arise."""
+    grouped = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 @query("q_dedup_minhash_lsh")  # rows-only: xxhash64 signatures are Spark-specific
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup detection, the 100 TB dedup path:
@@ -199,20 +229,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
-        )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    return _verify_candidates(sh, candidates)
+    return _verify_candidates(sh, _candidate_pairs(bands))
 
 
 def _verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:

@@ -35,6 +35,7 @@ from bitcoinminingetl_spark.catalog import table
 from bitcoinminingetl_spark.functions.numeric import roundn
 from bitcoinminingetl_spark.operators.dedup import (
     _NGRAM,
+    _candidate_pairs,
     _shingled,
     _verify_candidates,
 )
@@ -108,18 +109,7 @@ def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bands_arr).alias("bs"))
         .select("doc_id", "bs.band", "bs.sig")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
-        )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return _verify_candidates(_shingled(docs), candidates)
+    return _verify_candidates(_shingled(docs), _candidate_pairs(bands))
 
 
 _BRP_TABLES = 8
