@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
 from bitcoinminingetl_spark.functions.numeric import (
@@ -409,4 +410,68 @@ def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_ids"),
             F.count(F.lit(1)).alias("n_docs"),
         )
+    )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bar_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {davg_sql('value')} AS avg_value
+    FROM w GROUP BY event_type, bar_ts
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type — the canonical time-series rollup
+    of the reference's price stream (avg_info generalizes to
+    open/high/low/close; src/mining/utils/load.py:8-42 computes only the
+    mean). open/close are the values at the window's earliest/latest
+    (ts, event_id) — the composite tiebreak makes the bar deterministic
+    even with equal timestamps, unlike bare min_by/max_by whose tie
+    winner is partition-order-dependent.
+
+    Plan shape: both row_number windows and the final aggregate hash-
+    partition on the same (event_type, bar) key, so Catalyst plans ONE
+    exchange, two in-partition sorts, and a partitioning-reusing agg — at
+    100 TB this is a single shuffle of the (pruned) event columns. The
+    raw O/H/L/C doubles pass through unmodified (no float arithmetic →
+    exact cross-engine equality); only avg_value is computed, via the
+    decimal-quantized davg."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar_ts"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "bar_ts")
+    flagged = ev.select(
+        "event_type",
+        "bar_ts",
+        "value",
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    return flagged.groupBy("event_type", "bar_ts").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        davg(F.col("value")).alias("avg_value"),
     )

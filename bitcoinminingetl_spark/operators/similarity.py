@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
-from bitcoinminingetl_spark.functions.numeric import roundn, roundn_sql
+from bitcoinminingetl_spark.functions.numeric import (
+    davg,
+    davg_sql,
+    roundn,
+    roundn_sql,
+)
 from bitcoinminingetl_spark.operators.dedup import _DOT_SQL, _dot, _norm, _norm_sql
 from bitcoinminingetl_spark.registry import query
 
@@ -221,4 +226,55 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _TOP_K)
+    )
+
+
+@query(
+    "q_embed_centroids",
+    oracle=f"""
+    WITH e AS (
+        SELECT label,
+               unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+    ), per AS (
+        -- CAST to DOUBLE before the decimal quantization: DuckDB casts
+        -- FLOAT->DECIMAL via the float's shortest decimal rendering,
+        -- Spark promotes to double first — one ulp apart at 4 dp.
+        SELECT label, pos, {davg_sql('CAST(x AS DOUBLE)')} AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_vecs,
+           list(c ORDER BY pos) AS centroid
+    FROM per GROUP BY label
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the distributed vector-mean that
+    is the reduce step of k-means / the class-prototype computation in
+    embedding-space corpus curation. posexplode flattens vectors to
+    (label, dim, component) so the mean is an ordinary hash aggregate on
+    (label, dim) — 64 small keys per vector instead of any vector UDAF —
+    then one more tiny aggregate reassembles the centroid array in
+    dimension order (array_sort over (pos, c) structs, field-order
+    comparison). Shuffle volume is exactly the per-(label, dim) partial
+    sums — executors pre-aggregate locally, so at 100 TB the exchange
+    carries |labels| x dims rows, not the corpus. Component means go
+    through decimal-quantized davg for cross-engine bit-stability."""
+    emb = table(spark, sf_dir, "embeddings")
+    per = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            davg(F.col("x").cast("double")).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return per.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
     )
