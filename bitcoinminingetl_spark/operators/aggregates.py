@@ -475,3 +475,62 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         davg(F.col("value")).alias("avg_value"),
     )
+
+
+_Z_THRESHOLD = 2.5
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           {roundn_sql('(value - mu) / sigma', 4)} AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs({roundn_sql('(value - mu) / sigma', 4)}) >= {_Z_THRESHOLD}
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per metric stream — the cheap anomaly
+    gate over the reference's price/hashrate feeds generalized to every
+    event_type. Two passes over the fact: a per-type mean/stddev
+    aggregate (|event_types| rows) broadcast back onto the scan, then a
+    scalar filter on |z| >= 2.5. The broadcast join means the second
+    pass is shuffle-free — at 100 TB this is two scans, or one scan if
+    the stats come from a maintained profile table (q_dq_profile). The
+    filter applies to the 4-dp rounded z so the survivor set is
+    engine-exact."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = roundn((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= _Z_THRESHOLD)
+    )
+
+
+@query("q_approx_percentiles")  # rows-only: sketch quantiles are engine-specific
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) per key — the 100 TB
+    path for quantiles: mergeable per-partition sketches, one narrow
+    shuffle of sketch state instead of sorting the column. accuracy=10000
+    bounds rank error at 1/10000. Rows-only check (sketch boundaries are
+    engine-specific); the unit test asserts each approximate quantile
+    lands within the exact neighboring order statistics from
+    q_percentiles."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9, 0.99], 10000
+            ).alias("approx_pcts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -36,6 +36,8 @@ from bitcoinminingetl_spark.functions.numeric import roundn
 from bitcoinminingetl_spark.operators.dedup import (
     _NGRAM,
     _candidate_pairs,
+    _dot,
+    _norm,
     _shingled,
     _verify_candidates,
 )
@@ -155,5 +157,91 @@ def q_ann_brp_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("euclid"), F.col("neighbor_id"))
     return (
         joined.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+    )
+
+
+_IVF_KM_CELLS = 16
+_IVF_KM_NPROBE = 4
+_IVF_KM_ITERS = 5
+
+
+@query("q_ann_ivf_kmeans")  # rows-only: fitted centroids are seed/partition-specific
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer — the production version of
+    q_ann_ivf's bootstrap (whose docstring already points here: "at 100 TB
+    this is a sampled kmeans fit"). MLlib KMeans (k=16, fixed seed, 5
+    iterations — cells only need to partition space, not converge) fits
+    the centroids; `model.transform` assigns every corpus vector its cell
+    JVM-side; queries rank cells by squared euclidean to the 16 broadcast
+    centroids and probe the best 4; candidates re-rank by exact cosine,
+    top-10 per query.
+
+    At 100 TB: fit on a sample (KMeans cost is per-fit, amortized across
+    every query), persist the model, `transform` is a map-only pass, and
+    the probe join stays broadcast (queries × nprobe rows). Rows-only
+    check — float-sum order inside the fit can move centroids by ulps —
+    with a recall-floor unit test against the exact ranking."""
+    from pyspark.ml.clustering import KMeans
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+        )
+        .withColumn("norm", _norm(F.col("embedding")))
+    )
+    km = KMeans(
+        k=_IVF_KM_CELLS,
+        seed=_MLLIB_SEED,
+        maxIter=_IVF_KM_ITERS,
+        featuresCol="vec",
+        predictionCol="cell",
+    ).fit(emb)
+    corpus = km.transform(emb).select("vec_id", "embedding", "norm", "cell")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "p_cell int, c_emb array<double>",
+    )
+    # 5 queries x 16 centroids: the HOF distance lambda runs on 80 rows.
+    dist2 = F.aggregate(
+        F.zip_with("embedding", "c_emb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("p_cell"))
+    probes = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d2", dist2)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= _IVF_KM_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.col("p_cell").alias("q_cell"),
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        roundn(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _TOP_K)
     )

@@ -347,3 +347,74 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
     )
+
+
+@query(
+    "q_text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                '\s+', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                '\s+', ' ', 'g'))) AS norm_fingerprint
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the pass every corpus pipeline runs
+    before exact dedup so trivial variants (case, punctuation, whitespace)
+    collapse to one key: lowercase -> strip non-alphanumerics -> collapse
+    whitespace -> trim, plus the md5 of the normalized form as the dedup
+    key. Pure scalar projection (regexp_replace chains inside whole-stage
+    codegen): zero shuffles at any scale. Patterns stay in the portable
+    regex subset Java and RE2 agree on."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_fingerprint"),
+    )
+
+
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_NUM = r"[0-9][0-9]+"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<email>', 'g'),
+                '{_PII_NUM}', '<num>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_NUM}')) AS BIGINT) AS n_nums
+    FROM documents
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based PII scrubbing for training corpora: replace email
+    addresses and multi-digit number runs with typed placeholders and
+    count the hits per document (the audit trail redaction pipelines
+    keep). Order matters — emails first, so their digit runs aren't
+    half-rewritten by the number pass. Scalar regex projection, zero
+    shuffles; the real-world pattern set (phones, SSNs, IPs...) extends
+    the chain without changing the plan shape."""
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<email>"), _PII_NUM, "<num>"
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_NUM), 0))
+        .cast("long")
+        .alias("n_nums"),
+    )

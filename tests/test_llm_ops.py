@@ -194,3 +194,71 @@ def test_winnow_fingerprint_properties(spark, sf_dir, tmp_path):
     assert out[1].winnow_digest == out[2].winnow_digest
     assert out[1].winnow_digest != out[3].winnow_digest
     assert out[1].n_shingles == len(text_a.split()) - 2
+
+
+def test_approx_percentiles_within_tolerance(spark, sf_dir):
+    """Each sketch quantile must land within 1% (relative) of the exact
+    interpolated percentile for the same key and column."""
+    from pyspark.sql import functions as F2
+
+    from bitcoinminingetl_spark.catalog import table
+
+    approx = {
+        r.l_returnflag: r.approx_pcts
+        for r in REGISTRY["q_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F2.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F2.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F2.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for key, pcts in approx.items():
+        for got, want in zip(pcts, exact[key]):
+            assert abs(got - want) / want < 0.01
+
+
+def test_pii_redact_planted_fixture(spark, tmp_path):
+    """Planted emails/numbers are replaced and counted; clean text passes
+    through untouched."""
+    rows = [
+        (1, "contact bob.smith+x@corp.example.org or call 5551234 now", "en",
+         "web", 55),
+        (2, "no pii here at all", "en", "web", 18),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["q_pii_redact"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_emails == 1 and out[1].n_nums == 1
+    assert out[1].redacted == "contact <email> or call <num> now"
+    assert out[2].redacted == "no pii here at all"
+    assert out[2].n_emails == 0 and out[2].n_nums == 0
+
+
+def test_ann_ivf_kmeans_scores_exact_and_recall_floor(spark, sf_dir):
+    """KMeans-trained IVF: neighbors agree with the exact scoring
+    wherever they overlap, and nprobe=4/16 keeps recall@10 above the
+    same floor as the bootstrap-centroid IVF."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in REGISTRY["q_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    ivf = REGISTRY["q_ann_ivf_kmeans"].fn(spark, sf_dir).collect()
+    assert ivf
+    hits = 0
+    for r in ivf:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.cosine) < 1e-9
+            hits += 1
+    assert hits / len(exact) >= 0.5
