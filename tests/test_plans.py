@@ -71,3 +71,31 @@ def test_events_time_range_pushes_down(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_filter_between")
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+
+
+def test_winnow_single_exchange(spark, sf_dir):
+    """Winnowing's window and its per-doc aggregate share one hash
+    partitioning on doc_id — exactly one shuffle in the whole plan."""
+    plan = _plan(spark, sf_dir, "q_fingerprint_winnow")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ohlc_single_exchange(spark, sf_dir):
+    """Both row_number windows and the OHLC aggregate reuse one exchange
+    on (event_type, bar_ts)."""
+    plan = _plan(spark, sf_dir, "q_ohlc_bars")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+
+
+def test_anomaly_zscore_stats_broadcast(spark, sf_dir):
+    """The per-type stats join back onto the fact scan as a broadcast —
+    the second pass over events is shuffle-free."""
+    plan = _plan(spark, sf_dir, "q_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_text_normalize_no_shuffle(spark, sf_dir):
+    """Pure scalar projection: no exchange anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q_text_normalize")
+    assert "Exchange" not in plan
