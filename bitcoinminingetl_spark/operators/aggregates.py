@@ -534,3 +534,112 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+_RESAMPLE_MIN = 15
+_RESAMPLE_SEC = 60 * _RESAMPLE_MIN
+
+
+@query(
+    "q_resample_interpolate",
+    oracle=f"""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(to_timestamp(CAST(floor(epoch(ts) / {_RESAMPLE_SEC}) AS BIGINT)
+                   * {_RESAMPLE_SEC}) AS TIMESTAMP) AS bucket,
+               {davg_sql('value')} AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL {_RESAMPLE_MIN} MINUTES))
+                   AS bucket
+        FROM bounds
+    ), filled AS (
+        SELECT s.event_type, s.bucket, a.v FROM spine s
+        LEFT JOIN agg a ON a.event_type = s.event_type AND a.bucket = s.bucket
+    ), anno AS (
+        SELECT event_type, bucket, v,
+            last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+            first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+            last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+            first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+        FROM filled
+    )
+    SELECT event_type, bucket,
+           v IS NOT NULL AS observed,
+           {roundn_sql('coalesce(v, prev_v + (next_v - prev_v)'
+                       ' * (epoch(bucket) - epoch(prev_t))'
+                       ' / (epoch(next_t) - epoch(prev_t)), prev_v, next_v)', 6)}
+               AS value
+    FROM anno
+    """,
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with linear interpolation — the reference's
+    previous-window fallback (R10, load.py:17-25) generalized from "reuse
+    the last value" to "reconstruct the missing bucket from both
+    neighbors": 15-minute buckets per event_type, a generated dense time
+    spine per stream (sequence(min, max, interval) — no driver-side range
+    materialization), left join of observations onto the spine, then
+    gap values = prev + (next - prev) * elapsed-fraction via
+    ignorenulls last/first over an ordered window. Leading/trailing gaps
+    degrade to nearest-neighbor (coalesce chain). `observed` flags
+    real vs reconstructed rows — downstream consumers must be able to
+    tell them apart.
+
+    Scale: the spine explode is |streams| x |buckets| rows (tiny vs the
+    fact), the join and all four window passes share one hash
+    partitioning on event_type, and per-stream bucket counts are bounded
+    by the time range — state stays O(buckets), never O(events)."""
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / _RESAMPLE_SEC).cast("long") * _RESAMPLE_SEC
+    )
+    agg = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(davg(F.col("value")).alias("v"))
+    )
+    spine = (
+        agg.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    "lo", "hi", F.expr(f"INTERVAL {_RESAMPLE_MIN} MINUTES")
+                )
+            ).alias("bucket"),
+        )
+    )
+    filled = spine.join(agg, ["event_type", "bucket"], "left")
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(before)
+    next_v = F.first("v", ignorenulls=True).over(after)
+    prev_t = F.last(
+        F.when(F.col("v").isNotNull(), F.col("bucket")), ignorenulls=True
+    ).over(before)
+    next_t = F.first(
+        F.when(F.col("v").isNotNull(), F.col("bucket")), ignorenulls=True
+    ).over(after)
+    frac = (F.unix_timestamp(F.col("bucket")) - F.unix_timestamp(prev_t)) / (
+        F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.col("v").isNotNull().alias("observed"),
+        roundn(
+            F.coalesce(F.col("v"), prev_v + (next_v - prev_v) * frac, prev_v, next_v),
+            6,
+        ).alias("value"),
+    )

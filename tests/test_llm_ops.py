@@ -262,3 +262,26 @@ def test_ann_ivf_kmeans_scores_exact_and_recall_floor(spark, sf_dir):
             assert abs(exact[key] - r.cosine) < 1e-9
             hits += 1
     assert hits / len(exact) >= 0.5
+
+
+def test_resample_interpolate_planted_gap(spark, tmp_path):
+    """A stream observed at t0 (10.0) and t0+30min (20.0) with nothing in
+    between gets exactly one reconstructed 15-min bucket at the linear
+    midpoint (15.0), flagged observed=False."""
+    t0_ns = 1_700_000_100 * 1_000_000_000  # inside a 15-min bucket
+    rows = [
+        (1, t0_ns, 7, "m", 10.0, "{}"),
+        (2, t0_ns + 30 * 60 * 1_000_000_000, 7, "m", 20.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        REGISTRY["q_resample_interpolate"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert len(out) == 3
+    assert [r.observed for r in out] == [True, False, True]
+    assert [r.value for r in out] == [10.0, 15.0, 20.0]
