@@ -119,3 +119,50 @@ def test_zorder_layout_prunes_multi_column(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(z_path).collect())
     b = sorted(tuple(r) for r in ev.collect())
     assert a == b
+
+
+def test_csv_round_trip_failfast(spark, sf_dir, tmp_path):
+    """CSV write -> schema-first FAILFAST read returns identical rows."""
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.sources.formats import read_csv, write_csv
+
+    nation = table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_csv(nation, path)
+    back = read_csv(spark, path, nation.schema)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+
+
+def test_orc_round_trip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC write -> read preserves rows; predicates reach the ORC scan."""
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.sources.formats import read_orc, write_orc
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    plan = (
+        back.filter("o_totalprice > 100000")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_jdbc_append_options_shape():
+    from bitcoinminingetl_spark.sources.formats import jdbc_append_options
+
+    opts = jdbc_append_options(
+        "jdbc:mysql://db:3306/mining", "price", "u", "p", batchsize=500
+    )
+    assert opts["dbtable"] == "price"
+    assert opts["batchsize"] == "500"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
