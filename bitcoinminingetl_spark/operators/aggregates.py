@@ -602,10 +602,16 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.timestamp_seconds(
         (F.unix_timestamp("ts") / _RESAMPLE_SEC).cast("long") * _RESAMPLE_SEC
     )
+    # localCheckpoint: the bucket aggregate feeds BOTH the spine (min/max)
+    # and the join — uncheckpointed, Spark recomputes it from the raw scan
+    # twice. The checkpointed relation is O(streams x buckets) rows
+    # (never O(events)), so materializing it is scale-safe and saves a
+    # full second scan of the fact table — at 100 TB, the dominant cost.
     agg = (
         table(spark, sf_dir, "events")
         .groupBy("event_type", bucket.alias("bucket"))
         .agg(davg(F.col("value")).alias("v"))
+        .localCheckpoint()
     )
     spine = (
         agg.groupBy("event_type")
@@ -642,4 +648,156 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("v"), prev_v + (next_v - prev_v) * frac, prev_v, next_v),
             6,
         ).alias("value"),
+    )
+
+
+@query(
+    "q_mode_per_key",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS modal_event_type, n FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        FROM c
+    ) WHERE rn = 1
+    """,
+)
+def q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per key (each user's most frequent event type)
+    with a deterministic tiebreak (lexicographically smallest wins) —
+    `mode()` built-ins break ties arbitrarily, which can never pass a
+    differential check. Count aggregate + ranking window on the same
+    partitioning: the window reuses the aggregate's exchange."""
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_event_type"), "n")
+    )
+
+
+@query(
+    "q_funnel_stages",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CASE WHEN p.t_purchase IS NOT NULL THEN 'purchase'
+                WHEN c.t_click IS NOT NULL THEN 'click'
+                ELSE 'view' END AS funnel_stage
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): each stage's
+    entry time is the user's first qualifying event STRICTLY AFTER the
+    previous stage — the order constraint is what separates a funnel
+    from three independent mins. Three per-user aggregates, each joined
+    to the previous stage's (small) survivor set; every shuffle keys on
+    user_id so AQE can coalesce them, and the stage frames shrink
+    monotonically. Output: per-user stage timestamps + furthest stage
+    reached."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), "purchase")
+            .when(F.col("t_click").isNotNull(), "click")
+            .otherwise("view")
+            .alias("funnel_stage"),
+        )
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               date_diff('day', f.cohort, date_trunc('day', e.ts)) AS day_off
+        FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT user_id) FILTER (WHERE day_off = 1) AS BIGINT)
+               AS retained_d1,
+           CAST(count(DISTINCT user_id) FILTER (WHERE day_off = 7) AS BIGINT)
+               AS retained_d7
+    FROM act GROUP BY cohort
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, with distinct
+    day-1 and day-7 returners per cohort. The first-seen aggregate is
+    |users| rows — broadcast back onto the fact scan (same two-pass shape
+    as q_anomaly_zscore), then (user, cohort, day-offset) dedup feeds one
+    multi-distinct aggregate. At 100 TB the broadcast threshold decides
+    between this plan and a shuffled join; both keep the fact to two
+    scans."""
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    act = (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort")).alias("day_off"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("day_off") == 1, F.col("user_id"))).alias(
+            "retained_d1"
+        ),
+        F.countDistinct(F.when(F.col("day_off") == 7, F.col("user_id"))).alias(
+            "retained_d7"
+        ),
     )
