@@ -801,3 +801,47 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retained_d7"
         ),
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ), c AS (
+        SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           {roundn_sql('n * 1.0 / sum(n) OVER (PARTITION BY prev_type)', 6)} AS p
+    FROM c
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lag() pairs each event with its predecessor ((ts, event_id) ordering
+    — deterministic under equal timestamps), one hash aggregate counts
+    (prev, next) pairs, and a window over prev normalizes rows into
+    transition probabilities. The per-user sequencing shuffle is the only
+    fact-sized exchange; the |types|^2 count matrix is trivially small
+    from there."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        roundn(F.col("n") * 1.0 / F.sum("n").over(tot), 6).alias("p"),
+    )

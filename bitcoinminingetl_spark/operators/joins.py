@@ -316,3 +316,47 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("u_orderstatus", "o_orderstatus").alias("o_orderstatus"),
         )
     )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH scored AS (
+        SELECT c_custkey, c_name, s_suppkey, s_name,
+               CAST(levenshtein(c_name, s_name) AS INT) AS dist
+        FROM customer CROSS JOIN supplier WHERE c_custkey <= 50
+    )
+    SELECT c_custkey, c_name, s_suppkey, s_name, dist FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY dist, s_suppkey) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (entity resolution in miniature): each probe
+    customer's closest supplier name by Levenshtein edit distance, ties
+    broken by key. The probe side is explicitly bounded and the dimension
+    broadcast, so the cross join is |probes| x |dim| with no shuffle —
+    the honest shape of edit-distance matching; at corpus scale you
+    block first (q_dedup_* show the blocking patterns) and run this
+    scoring only within blocks."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .select("c_custkey", "c_name")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    scored = cust.crossJoin(F.broadcast(supp)).select(
+        "c_custkey",
+        "c_name",
+        "s_suppkey",
+        "s_name",
+        F.levenshtein("c_name", "s_name").alias("dist"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist", "s_suppkey")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

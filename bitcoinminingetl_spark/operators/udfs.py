@@ -125,3 +125,60 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .applyInPandas(zscore, "doc_id long, lang string, zscore double")
     )
+
+
+_CHUNK = 32
+
+
+@query(
+    "q_python_udtf",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0, CAST(ceil(len(toks) / {_CHUNK}.0) AS INT) - 1)) AS chunk_idx
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(
+               toks[chunk_idx * {_CHUNK} + 1 :
+                    least((chunk_idx + 1) * {_CHUNK}, len(toks))], ' ')
+               AS chunk_text,
+           CAST(least((chunk_idx + 1) * {_CHUNK}, len(toks))
+                - chunk_idx * {_CHUNK} AS INT) AS n_tokens
+    FROM g
+    """,
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth Python escape hatch: a table-generating UDTF
+    (`@udtf`, Spark 3.5+) — one input row yields many output rows with
+    their own schema. Demo: context-window chunking, the split every LLM
+    training pipeline runs before tokenization (fixed 32-token windows,
+    last chunk ragged). Invoked via SQL LATERAL join, the idiomatic UDTF
+    call site; each executor runs the generator over its partition, so
+    the operation stays embarrassingly parallel. For chunking
+    specifically a pure-SQL rewrite exists (the oracle IS one) — the
+    UDTF form is the template for chunkers with real tokenizers, which
+    are Python-library-bound."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id: bigint, chunk_idx: int, chunk_text: string, n_tokens: int"
+        )
+    )
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001 — signature fixed by Spark
+            toks = text.split(" ")
+            for i in range(0, len(toks), _CHUNK):
+                chunk = toks[i : i + _CHUNK]
+                yield doc_id, i // _CHUNK, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        "SELECT c.* FROM documents_udtf, LATERAL chunk_doc(doc_id, text) c"
+    )
