@@ -9,6 +9,7 @@ import json
 import pytest
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
 from bitcoinminingetl_spark.functions.numeric import round2
@@ -367,3 +368,85 @@ def test_rate_source_processing_time_cadence(spark, tmp_path):
         assert sum(out.values()) > 0
     finally:
         q.stop()
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Restart semantics (the reliability property behind R2's gate
+    state, main.py:83-98 — persisted progress survives process death):
+    drain half the files, stop, land the rest, restart with the SAME
+    checkpoint. The second run must (a) continue batch numbering from
+    the checkpoint instead of starting over — proof the source offsets
+    were recovered, not re-read — and (b) converge to exactly the batch
+    answer over ALL data, with no double-counted events."""
+    rows = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect()
+    )
+    landing, out, ckpt = (
+        str(tmp_path / "landing"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    import os
+
+    os.makedirs(landing)
+
+    def land(name, chunk):
+        with open(f"{landing}/{name}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.isoformat(sep=" "),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                        }
+                    )
+                    + "\n"
+                )
+
+    half = len(rows) // 2
+    land("first", rows[:half])
+    q1 = run_to_parquet(
+        windowed_metric_averages(read_event_stream(spark, landing)), out, ckpt
+    )
+    _drain(q1)
+    batches_run1 = {r.batch_id for r in spark.read.parquet(out).collect()}
+
+    land("second", rows[half:])
+    q2 = run_to_parquet(
+        windowed_metric_averages(read_event_stream(spark, landing)), out, ckpt
+    )
+    _drain(q2)
+
+    emitted = spark.read.parquet(out)
+    batches_run2 = {
+        r.batch_id for r in emitted.collect()
+    } - batches_run1
+    assert batches_run2, "second run emitted nothing"
+    assert min(batches_run2) > max(batches_run1)  # offsets recovered
+
+    w = Window.partitionBy("win", "event_type").orderBy(F.col("batch_id").desc())
+    final = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "avg_value", "n"
+        )
+    )
+    batch_expected = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "5 minutes").alias("win"), "event_type"
+        )
+        .agg(round2(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "avg_value", "n"
+        )
+    )
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(map(tuple, batch_expected.collect()))
+    assert got == want
