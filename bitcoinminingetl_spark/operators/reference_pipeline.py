@@ -338,3 +338,47 @@ def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "orders").select(
         F.row_number().over(w).alias("sk"), "o_orderkey", "o_totalprice"
     )
+
+
+@query(
+    "q_bigint_decimal_agg",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(CAST(user_id AS VARCHAR)
+                    || lpad(CAST(event_id AS VARCHAR), 18, '0')
+                    AS DECIMAL(38,0)) AS hashes
+        FROM events
+    )
+    SELECT event_type,
+           CAST(sum(hashes) AS VARCHAR) AS total_hashes,
+           CAST(max(hashes) AS VARCHAR) AS max_hashes,
+           CAST(count(*) AS BIGINT) AS n
+    FROM h GROUP BY event_type
+    """,
+)
+def q_bigint_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashrate-fidelity promise made concrete (SURVEY §1.4): the
+    reference stores ~7x10^20 H/s as strings in MySQL bigint columns
+    (transform.py:23-24, init.sql:10-11) and re-parses with float() —
+    silently losing precision past 2^53. Here string-carried integers
+    WIDER than int64 (a synthetic 19-21 digit value per event) cast to
+    DECIMAL(38,0) and aggregate EXACTLY — sums compared digit-for-digit
+    as strings against the oracle, so any float round-trip anywhere in
+    the pipeline would fail the hash check. Spark's decimal aggregation
+    is Tungsten-native (128-bit), so exactness costs no Python and no
+    UDF; partial aggregation still applies."""
+    big = F.concat(
+        F.col("user_id").cast("string"),
+        F.lpad(F.col("event_id").cast("string"), 18, "0"),
+    ).cast("decimal(38,0)")
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_type", big.alias("hashes"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("hashes").cast("string").alias("total_hashes"),
+            F.max("hashes").cast("string").alias("max_hashes"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
