@@ -845,3 +845,53 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         roundn(F.col("n") * 1.0 / F.sum("n").over(tot), 6).alias("p"),
     )
+
+
+_ROLLING_DAYS = 7
+
+
+@query(
+    "q_rolling_distinct_users",
+    oracle=f"""
+    WITH days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), contrib AS (
+        SELECT user_id,
+               unnest(generate_series(
+                   day, day + INTERVAL {_ROLLING_DAYS - 1} DAYS, INTERVAL 1 DAY))
+                   AS as_of
+        FROM days
+    ), observed AS (
+        SELECT DISTINCT day AS as_of FROM days
+    )
+    SELECT CAST(c.as_of AS TIMESTAMP) AS as_of,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN observed o ON c.as_of = o.as_of
+    GROUP BY 1
+    """,
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) per observed day. COUNT
+    (DISTINCT) is not a window-frame aggregate in any engine, so the
+    scale pattern is contribution explosion: dedup to (user, day) — the
+    only fact-sized pass — then each active day contributes the user to
+    the next 7 as-of days and one hash aggregate counts distincts. The
+    exploded relation is 7x the (already tiny) distinct pairs, not 7x
+    the events; swap `countDistinct` for `approx_count_distinct` when
+    even that multiplier matters."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {_ROLLING_DAYS - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("as_of"),
+    )
+    observed = days.select(F.col("day").alias("as_of")).distinct()
+    return contrib.join(observed, "as_of").groupBy("as_of").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
