@@ -895,3 +895,77 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.join(observed, "as_of").groupBy("as_of").agg(
         F.countDistinct("user_id").alias("wau")
     )
+
+
+@query(
+    "q_histogram_equiheight",
+    oracle="""
+    WITH b AS (
+        SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    SELECT bucket, min(value) AS lo, max(value) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-HEIGHT histogram (the q_histogram twin: equal counts, varying
+    widths — what optimizers and drift monitors actually want for skewed
+    columns). This exact form is the small-scale GROUND TRUTH: global
+    ntile is a single-partition sort, deliberately not a 100 TB plan
+    (same role as q_dedup_ngram_jaccard vs its LSH scale paths). At
+    scale, bucket boundaries come from q_approx_percentiles'
+    percentile_approx sketch and rows bucket by range comparison — a
+    map-only pass; this oracle-checked version is what that
+    approximation is validated against."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q_entropy_per_key",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ), p AS (
+        SELECT user_id, n, n * 1.0 / sum(n) OVER (PARTITION BY user_id) AS p
+        FROM c
+    )
+    SELECT user_id,
+           {roundn_sql('sum(-p * ln(p))', 6)} AS entropy,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM p GROUP BY user_id
+    """,
+)
+def q_entropy_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    diversity score corpus curation uses to find bots (near-zero
+    entropy) and noise (max entropy). Counts -> window-normalized
+    probabilities -> -sum(p ln p), all on one user_id partitioning: the
+    count aggregate, the normalizing window, and the final sum reuse a
+    single exchange."""
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tw = Window.partitionBy("user_id")
+    p = F.col("n") / F.sum("n").over(tw)
+    return (
+        c.select("user_id", (-p * F.log(p)).alias("term"), "n")
+        .groupBy("user_id")
+        .agg(
+            roundn(F.sum("term"), 6).alias("entropy"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+    )
