@@ -106,17 +106,31 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # Full per-query timing map goes to a file on disk; the stdout line is
+    # kept compact (headline queries only) because the driver captures only
+    # the tail of stdout — r1's one-line dump of 105 timings overflowed it
+    # and left the bench artifact unparseable.
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+    }
+    (Path(_REPO) / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "full_timings": "BENCH_FULL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -76,6 +76,18 @@ def parse_payloads(raw: DataFrame, json_col: str = "payload") -> DataFrame:
     )
 
 
+def _fmt2(col: Column) -> Column:
+    """The reference's f"{avg:.2f}" (load.py:52-53): plain 2-dp decimal
+    string, NO grouping separators (format_number would insert them for
+    every value >= 1000 — i.e. all hashrate/difficulty output). Cast to
+    double first (%.2f rejects Spark Decimal; the reference formats
+    Python floats), and keep NULL as NULL (Java %.2f renders a null arg
+    as the literal string "nu")."""
+    return F.when(
+        col.isNotNull(), F.format_string("%.2f", col.cast("double"))
+    )
+
+
 def _closed_window(ts: Column, now_epoch: int, lo_off: int, hi_off: int) -> Column:
     """R7: BETWEEN is closed on both ends, anchored at processing time."""
     return ts.between(
@@ -115,9 +127,14 @@ def load_avg_info(parsed: DataFrame, now_epoch: int) -> DataFrame:
         cur_avg.crossJoin(prev_avg)
         .crossJoin(hr_avg)
         .select(
-            F.format_number(usd, 2).alias("usd"),
-            F.format_number(F.col("hashrate_avg"), 2).alias("hashrate"),
-            F.format_number(F.col("difficulty_avg"), 2).alias("difficulty"),
+            # format_string('%.2f') matches the reference's f"{avg:.2f}"
+            # (load.py:52-53) exactly; format_number() would insert
+            # grouping separators ('7,000,...,000.00') that the reference
+            # never emits — visible only at hashrate/difficulty scale
+            # (>= 1000), which is precisely this module's data range.
+            _fmt2(usd).alias("usd"),
+            _fmt2(F.col("hashrate_avg")).alias("hashrate"),
+            _fmt2(F.col("difficulty_avg")).alias("difficulty"),
             F.timestamp_seconds(F.lit(now_epoch)).alias("spider_ts"),
         )
     )

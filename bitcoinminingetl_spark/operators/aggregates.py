@@ -524,6 +524,8 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific); the unit test asserts each approximate quantile
     lands within the exact neighboring order statistics from
     q_percentiles."""
+    # The sketch emits one array per key; it is re-projected to scalar
+    # columns because the driver canonicalizer cannot hash array cells.
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -532,6 +534,13 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l_extendedprice", [0.5, 0.9, 0.99], 10000
             ).alias("approx_pcts"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("approx_pcts", 1).alias("p50"),
+            F.element_at("approx_pcts", 2).alias("p90"),
+            F.element_at("approx_pcts", 3).alias("p99"),
+            "n_rows",
         )
     )
 

@@ -67,7 +67,7 @@ def _shingled(docs: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_pairs(shingled: DataFrame) -> DataFrame:
+def _jaccard_pairs(shingled: DataFrame, df_cap: int | None = None) -> DataFrame:
     """All doc pairs sharing >=1 shingle, with exact Jaccard similarity.
     |A∪B| = |A|+|B|-|A∩B|.
 
@@ -77,13 +77,35 @@ def _jaccard_pairs(shingled: DataFrame) -> DataFrame:
     shuffles it once and emits the same pairs from the grouped doc list —
     benched 24% faster at sf0.1 with identical output. Pair fan-out per
     shingle is g(g-1)/2 either way and lands on the task owning that
-    shingle key either way, so the skew story is unchanged; at corpus
-    scale hot "stop-shingles" need document-frequency pruning regardless
-    of plan shape (kept out here: the oracle checks unpruned semantics)."""
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shingle key either way, so the skew story is unchanged.
+
+    ``df_cap`` is the stop-shingle guard, the piece that makes the exact
+    variant survive skew at corpus scale: a shingle appearing in g docs
+    fans out g(g-1)/2 pairs, so one boilerplate shingle shared by 10^6
+    docs emits 5*10^11 pairs from a single task. With a cap, shingles
+    with document frequency > df_cap are dropped BEFORE pair generation —
+    a free filter on the already-grouped relation (no extra shuffle) that
+    bounds per-shingle fan-out at df_cap(df_cap-1)/2. Jaccard is then
+    computed over the pruned shingle universe (per-doc sizes recounted
+    from the kept shingles), keeping the metric internally consistent —
+    mirrored exactly by the DuckDB oracle's HAVING count(*) <= cap.
+    df_cap=None keeps unpruned semantics (the oracle ground truth)."""
     grouped = shingled.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
+    if df_cap is not None:
+        grouped = grouped.filter(F.size("ds") <= df_cap)
+        # per-doc sizes over the PRUNED universe, recovered from the
+        # grouped relation itself (no second scan of the shingle table)
+        sizes = (
+            grouped.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"))
+        )
+    else:
+        sizes = shingled.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
     pair_structs = F.flatten(
         F.transform(
             F.col("ds"),
@@ -150,6 +172,45 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_minhash_lsh beyond ~10^7 docs."""
     docs = table(spark, sf_dir, "documents")
     return _jaccard_pairs(_shingled(docs)).filter(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
+    )
+
+
+_DF_CAP = 50
+
+NGRAM_PRUNED_ORACLE = f"""
+    WITH sh0 AS ({_SHINGLE_SQL}),
+    kept AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_DF_CAP}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {roundn_sql('n_inter * 1.0 / (sa.n + sb.n - n_inter)', 6)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+    """
+
+
+@query("q_dedup_ngram_pruned", oracle=NGRAM_PRUNED_ORACLE)
+def q_dedup_ngram_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with stop-shingle document-frequency pruning
+    (df_cap=50) — the skew guard the unpruned variant lacks: boilerplate
+    shingles shared by more than df_cap documents are dropped before pair
+    generation, bounding any single task's pair fan-out. This is the
+    variant to run at corpus scale when exact (non-LSH) pairs are needed;
+    q_dedup_ngram_jaccard remains the unpruned ground truth."""
+    docs = table(spark, sf_dir, "documents")
+    return _jaccard_pairs(_shingled(docs), df_cap=_DF_CAP).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
     )
 

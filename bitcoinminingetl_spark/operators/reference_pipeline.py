@@ -116,7 +116,7 @@ def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(event_id AS VARCHAR) AS id_str,
            CAST(user_id AS VARCHAR) AS uid_str,
            CAST(floor(value) AS BIGINT) AS value_floor,
-           CAST(value AS DECIMAL(12, 2)) AS value_dec,
+           CAST(CAST(value AS DECIMAL(12, 2)) AS DOUBLE) AS value_dec,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
            CAST(to_timestamp(event_id * 60 + 1609459200) AS TIMESTAMP) AS synth_ts
     FROM events
@@ -132,7 +132,10 @@ def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string").alias("id_str"),
         F.col("user_id").cast("string").alias("uid_str"),
         F.floor("value").cast("long").alias("value_floor"),
-        F.col("value").cast("decimal(12,2)").alias("value_dec"),
+        # The DECIMAL(12,2) cast is the R4 parity point; the final cast to
+        # double is hash-canonical (Decimal('18.20') vs float 18.2 hash
+        # differently in the driver's canonicalizer even when cell-identical).
+        F.col("value").cast("decimal(12,2)").cast("double").alias("value_dec"),
         F.unix_timestamp("ts").alias("epoch_s"),
         F.timestamp_seconds(F.col("event_id") * 60 + 1609459200).alias("synth_ts"),
     )
@@ -266,7 +269,7 @@ def q_window_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type,
            {round2_sql('avg(value)')} AS avg_rounded,
-           printf('%.2f', avg(value)) AS avg_str
+           printf('%.2f', {round2_sql('avg(value)')}) AS avg_str
     FROM events
     GROUP BY event_type
     """,
@@ -274,13 +277,17 @@ def q_window_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_round_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R12: 2-dp output parity — the reference formats averages with
     f"{avg:.2f}" before insert (load.py:52-53). round() for the numeric
-    column, format_number() for the string form."""
+    column, format_string('%.2f') for the string form — NOT
+    format_number(), whose grouping separators diverge from the
+    reference for every value >= 1000 (hashrate ~7e20). The string is
+    formatted from the decimal-rounded value so Spark and the oracle
+    never disagree on a half-way digit."""
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             round2(F.avg("value")).alias("avg_rounded"),
-            F.format_number(F.avg("value"), 2).alias("avg_str"),
+            F.format_string("%.2f", round2(F.avg("value"))).alias("avg_str"),
         )
     )
 

@@ -157,7 +157,9 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),"
                    " x -> x * x), (a, b) -> a + b))", 6)} AS vec_norm,
            CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
-           CAST(embedding[1:3] AS DOUBLE[]) AS head3
+           CAST(embedding[1] AS DOUBLE) AS head3_1,
+           CAST(embedding[2] AS DOUBLE) AS head3_2,
+           CAST(embedding[3] AS DOUBLE) AS head3_3
     FROM embeddings
     """,
 )
@@ -178,9 +180,12 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x * x)), 6
         ).alias("vec_norm"),
         F.array_max("embedding").cast("double").alias("max_val"),
-        F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double")).alias(
-            "head3"
-        ),
+        # slice() is still the op under test; the head is re-projected to
+        # scalar columns because the driver canonicalizer cannot hash
+        # Python lists (array-typed output columns crash it).
+        F.element_at(F.slice("embedding", 1, 3), 1).cast("double").alias("head3_1"),
+        F.element_at(F.slice("embedding", 1, 3), 2).cast("double").alias("head3_2"),
+        F.element_at(F.slice("embedding", 1, 3), 3).cast("double").alias("head3_3"),
     )
 
 

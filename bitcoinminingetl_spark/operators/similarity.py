@@ -247,7 +247,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(max(n) AS BIGINT) AS n_vecs,
-           list(c ORDER BY pos) AS centroid
+           array_to_string(
+               list_transform(list(c ORDER BY pos), x -> printf('%.6f', x)), ','
+           ) AS centroid_csv
     FROM per GROUP BY label
     """,
 )
@@ -272,9 +274,17 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+    # The centroid array is reassembled (array_sort over (pos, c) structs)
+    # and then final-projected to a CSV string: the driver canonicalizer
+    # cannot hash array cells, and the components are 6-dp davg outputs so
+    # %.6f renders identically on both engines.
     return per.groupBy("label").agg(
         F.max("n").cast("long").alias("n_vecs"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("centroid"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: F.format_string("%.6f", s["c"]),
+            ),
+            ",",
+        ).alias("centroid_csv"),
     )

@@ -204,7 +204,7 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
     from bitcoinminingetl_spark.catalog import table
 
     approx = {
-        r.l_returnflag: r.approx_pcts
+        r.l_returnflag: (r.p50, r.p90, r.p99)
         for r in REGISTRY["q_approx_percentiles"].fn(spark, sf_dir).collect()
     }
     exact = {
@@ -243,6 +243,56 @@ def test_pii_redact_planted_fixture(spark, tmp_path):
     assert out[1].redacted == "contact <email> or call <num> now"
     assert out[2].redacted == "no pii here at all"
     assert out[2].n_emails == 0 and out[2].n_nums == 0
+
+
+def test_dedup_pruned_drops_hot_shingle_pairs(spark, tmp_path):
+    """Stop-shingle DF pruning: docs related ONLY through a boilerplate
+    shingle shared by more than df_cap documents lose that edge, while
+    genuinely-near-dup pairs (sharing rare shingles) survive. With the
+    cap above every document frequency, pruning is a no-op."""
+    from bitcoinminingetl_spark.operators import dedup
+
+    # 8 tokens -> 6 pure-boilerplate 3-gram shingles present in EVERY doc
+    # (DF = 59 > df_cap = 50): enough shared mass to push unrelated docs
+    # over the 0.3 Jaccard threshold before pruning (6/14 = 0.43), zero
+    # shared mass after.
+    boiler = "all rights reserved worldwide by applicable law today"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}", "en", "web", 1),
+        (2, f"alpha beta gamma delta epsilon eta {boiler}", "en", "web", 1),
+    ] + [
+        (i, f"unique{i} filler{i} token{i} word{i} {boiler}", "en", "web", 1)
+        for i in range(3, 60)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    sh = dedup._shingled(dedup.table(spark, str(tmp_path), "documents"))
+    unpruned = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._jaccard_pairs(sh)
+        .filter(F.col("jaccard") >= dedup._JACCARD_THRESHOLD)
+        .collect()
+    }
+    pruned = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._jaccard_pairs(sh, df_cap=dedup._DF_CAP)
+        .filter(F.col("jaccard") >= dedup._JACCARD_THRESHOLD)
+        .collect()
+    }
+    # (1,2) share 4 rare shingles -> survives pruning; boilerplate-only
+    # pairs (e.g. (3,4)) existed unpruned but are gone after
+    assert (1, 2) in pruned
+    assert (3, 4) in unpruned and (3, 4) not in pruned
+    # cap above every DF -> identical to unpruned semantics
+    nop = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._jaccard_pairs(sh, df_cap=10_000)
+        .filter(F.col("jaccard") >= dedup._JACCARD_THRESHOLD)
+        .collect()
+    }
+    assert nop == unpruned
 
 
 def test_ann_ivf_kmeans_scores_exact_and_recall_floor(spark, sf_dir):

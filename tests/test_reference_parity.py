@@ -100,10 +100,34 @@ def parsed_window(spark):
 def test_load_avg_info_current_window(spark, parsed_window):
     parsed, now = parsed_window
     row = load_avg_info(parsed, now).collect()[0]
-    # avg(50000,50060,50120,50180,50240) = 50120
-    assert row.usd == "50,120.00"
-    assert row.hashrate == "100,000,060.00"
-    assert row.difficulty == "20,000,000.00"
+    # avg(50000,50060,50120,50180,50240) = 50120 — rendered exactly as the
+    # reference's f"{avg:.2f}" (load.py:52-53): no grouping separators
+    assert row.usd == f"{50120:.2f}"
+    assert row.hashrate == f"{100000060:.2f}"
+    assert row.difficulty == f"{20000000:.2f}"
+
+
+def test_load_avg_info_hashrate_scale_format(spark):
+    """f'{avg:.2f}' parity at real network scale (~7e20 hashrate,
+    ~1.5e14 difficulty): values >= 1000 must NOT pick up grouping
+    separators (reference load.py:52-53 emits '7.00e+20'-free plain
+    decimal strings via Python's %.2f)."""
+    now = TS + 300
+    payloads = [
+        {"spider_ts": TS + dt, "price_data": {"USD": 50001, "time": TS + dt}}
+        for dt in (0, 60)
+    ] + [
+        {
+            "spider_ts": TS + 30,
+            "hash_rate_data": {"currentHashrate": 7e20, "currentDifficulty": 1.5e14},
+        }
+    ]
+    raw = spark.createDataFrame([(json.dumps(p),) for p in payloads], "payload string")
+    row = load_avg_info(parse_payloads(raw), now).collect()[0]
+    assert row.usd == f"{50001:.2f}"
+    assert row.hashrate == f"{7e20:.2f}"
+    assert row.difficulty == f"{1.5e14:.2f}"
+    assert "," not in row.hashrate
 
 
 def test_load_falls_back_to_previous_window(spark, parsed_window):
@@ -111,7 +135,7 @@ def test_load_falls_back_to_previous_window(spark, parsed_window):
     # a tick one window later: current [t, t+300] has no price rows ->
     # falls back to [t-300, t] (reference load.py:16-25)
     row = load_avg_info(parsed, now + 300).collect()[0]
-    assert row.usd == "50,120.00"
+    assert row.usd == f"{50120:.2f}"
 
 
 def test_load_empty_windows_yield_null(spark, parsed_window):
