@@ -24,6 +24,7 @@ from bitcoinminingetl_spark.functions.numeric import (
     roundn,
     roundn_sql,
 )
+from bitcoinminingetl_spark.functions.state import ckpt
 from bitcoinminingetl_spark.registry import query
 
 
@@ -611,16 +612,17 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.timestamp_seconds(
         (F.unix_timestamp("ts") / _RESAMPLE_SEC).cast("long") * _RESAMPLE_SEC
     )
-    # localCheckpoint: the bucket aggregate feeds BOTH the spine (min/max)
-    # and the join — uncheckpointed, Spark recomputes it from the raw scan
+    # ckpt: the bucket aggregate feeds BOTH the spine (min/max) and the
+    # join — unmaterialized, Spark recomputes it from the raw scan
     # twice. The checkpointed relation is O(streams x buckets) rows
     # (never O(events)), so materializing it is scale-safe and saves a
     # full second scan of the fact table — at 100 TB, the dominant cost.
-    agg = (
+    # (reliable checkpoint when a checkpoint dir is set; see state.ckpt)
+    agg = ckpt(
         table(spark, sf_dir, "events")
         .groupBy("event_type", bucket.alias("bucket"))
-        .agg(davg(F.col("value")).alias("v"))
-        .localCheckpoint()
+        .agg(davg(F.col("value")).alias("v")),
+        eager=False,
     )
     spine = (
         agg.groupBy("event_type")
@@ -932,6 +934,41 @@ def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("value", "event_id")
     return (
         ev.select("value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_EQH_BUCKETS = 10
+
+
+@query("q_histogram_equiheight_approx")  # rows-only: sketch boundaries are engine-specific
+def q_histogram_equiheight_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height histogram, 100 TB path: bucket boundaries from ONE
+    percentile_approx sketch aggregate (mergeable per-partition state,
+    no sort), broadcast back onto the scan as nine scalar columns, and
+    each row's bucket assigned by range comparison inside whole-stage
+    codegen — a map-only pass followed by a 10-key aggregate. Replaces
+    q_histogram_equiheight's global-ntile single-task sort, which is the
+    oracle ground truth this sketch is tolerance-tested against
+    (tests/test_llm_ops.py::test_equiheight_approx_matches_ntile)."""
+    ev = table(spark, sf_dir, "events")
+    qs = [i / _EQH_BUCKETS for i in range(1, _EQH_BUCKETS)]
+    bounds = ev.agg(
+        F.percentile_approx("value", qs, 10000).alias("bs")
+    ).select(
+        *[F.element_at("bs", i + 1).alias(f"b{i}") for i in range(len(qs))]
+    )
+    bucket = F.lit(1)
+    for i in range(len(qs)):
+        bucket = bucket + (F.col("value") > F.col(f"b{i}")).cast("int")
+    return (
+        ev.join(F.broadcast(bounds))
+        .select("value", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.min("value").alias("lo"),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.state import ckpt
 from bitcoinminingetl_spark.operators.dedup import (
     _JACCARD_THRESHOLD,
     _jaccard_pairs,
@@ -104,6 +105,11 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 20
 
 
+# Materialization policy (reliable checkpoint vs localCheckpoint) is
+# shared engine-wide: see functions/state.ckpt.
+_ckpt = ckpt
+
+
 @query(
     "q_dedup_clusters",
     oracle=f"""
@@ -135,22 +141,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vertex takes min(label, neighbors' labels); fixpoint after
     O(component diameter) rounds (near-dup components are shallow —
     sf0.01 converges in <=3). Each round is one distributed join+agg;
-    the driver only checks the 1-row convergence count. The edge list is
-    eagerly localCheckpoint'ed so the expensive pair computation runs
-    once, not once per round, and label lineage stays flat. DuckDB
-    oracle: recursive-CTE transitive closure, same fixpoint."""
+    the driver only checks the 1-row convergence count. The edge list
+    and each round's labels are eagerly materialized via _ckpt so the
+    expensive pair computation runs once, not once per round, and label
+    lineage stays flat — reliable checkpoint() when the session has a
+    checkpoint dir (survives executor loss at 100 TB), localCheckpoint
+    otherwise. DuckDB oracle: recursive-CTE transitive closure, same
+    fixpoint."""
     pairs = _jaccard_pairs(_shingled(table(spark, sf_dir, "documents"))).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
     )
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .localCheckpoint(eager=True)
     )
+    edges = _ckpt(edges)
     labels = edges.groupBy("u").agg(F.min("v").alias("nbr_min")).select(
         F.col("u").alias("doc_id"),
         F.least(F.col("u"), F.col("nbr_min")).alias("cluster_id"),
-    ).localCheckpoint(eager=True)
+    )
+    labels = _ckpt(labels)
     for _ in range(_CC_MAX_ITERS):
         # propagate: my new label = min(mine, min over neighbors' labels)
         nbr = (
@@ -166,8 +176,150 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _ckpt(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_DECON_N = 13  # the n-gram width The Pile/GPT-3-style decontamination uses
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                generate_series(1, greatest(len(string_split(text, ' '))
+                    - {_DECON_N - 1}, 1)),
+                i -> array_to_string(
+                    string_split(text, ' ')[i:i+{_DECON_N - 1}], ' ')
+            ))) AS shingle
+        FROM documents
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.doc_id % 10 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag corpus documents sharing any
+    13-gram with the held-out evaluation set (stand-in: doc_id % 10 == 0)
+    — the GPT-3/Pile-style overlap check a training pipeline runs before
+    every release, reported as (doc_id, n_hits = distinct eval 13-grams
+    present).
+
+    One shingle pass feeds both sides (the eval filter is a predicate,
+    not a second scan); overlap is an equi-join on 8-byte xxhash64 keys
+    followed by a per-doc count. At 100 TB the eval side is tiny
+    (benchmarks, not the corpus) — broadcast it and the corpus never
+    shuffles; here eval is 10% of docs so the planner's hash join on the
+    hashed-shingle key is the right call either way. 13-gram collisions
+    under xxhash64 are ~n²/2⁶⁴ — immaterial, and a collision only
+    over-flags one document (the safe direction for decontamination)."""
+    sh = _shingled(table(spark, sf_dir, "documents"), n=_DECON_N)
+    ev = (
+        sh.filter(F.col("doc_id") % 10 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 10 != 0)
+        .join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@query(
+    "q_dedup_clusters_fast",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({NGRAM_PAIRS_ORACLE})
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def q_dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters with POINTER JUMPING: each round does the usual
+    neighbor min-label propagation AND THEN path compression — every
+    vertex re-labels to its label's label (one self-join of the label
+    map on cluster_id = doc_id). Propagation alone walks one hop per
+    round (O(component diameter) rounds, the large-star/small-star
+    complaint); compression halves the remaining path every round, so
+    convergence is O(log diameter) — on a 1000-hop chain that is ~10
+    joins instead of 1000, the difference between a job and a hang at
+    100 TB. Each round stays a bounded number of distributed join+aggs
+    over checkpointed state (reliable checkpoint under a checkpoint dir,
+    see _ckpt); same fixpoint, same recursive-CTE oracle as the
+    propagation-only twin."""
+    pairs = _jaccard_pairs(_shingled(table(spark, sf_dir, "documents"))).filter(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    )
+    edges = _ckpt(edges)
+    labels = edges.groupBy("u").agg(F.min("v").alias("nbr_min")).select(
+        F.col("u").alias("doc_id"),
+        F.least(F.col("u"), F.col("nbr_min")).alias("cluster_id"),
+    )
+    labels = _ckpt(labels)
+    for _ in range(_CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        propagated = (
+            labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jumping: my new label = my label's label
+        parent = propagated.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
+        new_labels = (
+            propagated.join(
+                parent, propagated["cluster_id"] == parent["p_id"], "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("p_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = _ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

@@ -1,22 +1,26 @@
 """Multimodal columns (BASELINE.json north star): media as opaque binary
 columns + typed metadata structs, processed by Arrow-batched Python.
 
-The container has no image/audio codecs, so the decode kernel is a
-deterministic fake behind a clearly marked stub (`_decode_image`); the
-Spark-side plumbing — BinaryType column, metadata struct schema,
-mapInPandas batch shape, partition sizing — is real and oracle/unit
-tested. Swapping the fake for PIL/ffmpeg changes one function body,
-no plan changes.
+The decode kernel is a REAL, dependency-free container parser: PNG /
+JPEG / GIF / BMP dimensions are read straight from the header bytes in
+pure Python (no PIL/libvips needed — container metadata lives in the
+first few hundred bytes). Payloads that are not a recognized image
+container decode to (null, null, 'unknown') — the honest answer for a
+media lake with mixed or corrupt payloads. Full pixel decode (resize,
+feature extraction) would swap in a codec library inside the same
+mapInPandas kernel; the Spark-side plumbing — BinaryType column,
+metadata struct schema, Arrow batch shape, partition sizing — is
+identical either way and is what this module tests.
 
 Scale notes: binary payloads ride the same parquet scans as everything
 else; never collect them. Partition sizing matters more than usual —
 spark.sql.files.maxPartitionBytes bounds bytes-per-task so a partition of
 10 MB images fits executor memory; decode parallelism == partition count.
+Header-only parsing reads <1 KB per payload regardless of image size, so
+the kernel is IO-bound on the parquet scan, not CPU-bound.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -24,8 +28,6 @@ from pyspark.sql import functions as F
 
 from bitcoinminingetl_spark.catalog import table
 from bitcoinminingetl_spark.registry import query
-
-_HAVE_CODECS = False  # no PIL/ffmpeg in this environment
 
 
 @query(
@@ -52,46 +54,103 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_image(payload: bytes) -> tuple[int, int, str]:
-    """Decode an image payload to (width, height, format).
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """Walk JPEG marker segments to the first SOFn frame header
+    (C0-CF minus C4/C8/CC, which are not frames) and read the 16-bit
+    big-endian height/width stored at offsets +5/+7 of the segment."""
+    i, n = 2, len(b)
+    while i + 9 <= n:
+        if b[i] != 0xFF:
+            return None  # desynced: not a marker stream
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:  # standalone markers
+            i += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return (w, h) if w and h else None
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        i += 2 + seg_len
+    return None
 
-    STUB: real decoding needs an image codec (PIL/libvips), absent from
-    this container. The deterministic fake derives dimensions from the
-    payload digest so tests are stable; the real implementation replaces
-    only this body.
-    """
-    if _HAVE_CODECS:
-        raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
-    d = hashlib.sha256(payload).digest()
-    return 64 + d[0] % 192, 64 + d[1] % 192, "fake"
+
+def _decode_image(payload: bytes) -> tuple[int | None, int | None, str]:
+    """Decode an image payload's (width, height, format) from its
+    container header — pure Python, no codec dependency. Unrecognized
+    payloads return (None, None, 'unknown') rather than raising: a
+    corrupt blob must not kill a 100 TB decode pass."""
+    b = payload
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            return (
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+                "png",
+            )
+        if b[:2] == b"\xff\xd8":
+            dims = _jpeg_dims(b)
+            if dims:
+                return dims[0], dims[1], "jpeg"
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+                "gif",
+            )
+        if b[:2] == b"BM" and len(b) >= 26:
+            return (
+                int.from_bytes(b[18:22], "little", signed=True),
+                abs(int.from_bytes(b[22:26], "little", signed=True)),
+                "bmp",
+            )
+    except (IndexError, ValueError):
+        pass
+    return None, None, "unknown"
 
 
-@query("q_multimodal_pipeline")  # rows-only: fake-decode output is engine-side
+_DECODE_SCHEMA = "doc_id long, width int, height int, format string, aspect double"
+
+
+def _decode_batches(batches):
+    """The mapInPandas decode kernel: one Arrow batch of (doc_id,
+    payload: binary) in, one typed metadata frame out. Module-level so
+    the planted-fixture test can drive it with real image bytes."""
+    for pdf in batches:
+        dims = [_decode_image(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([d[0] for d in dims], dtype="Int32"),
+                "height": pd.Series([d[1] for d in dims], dtype="Int32"),
+                "format": [d[2] for d in dims],
+                "aspect": pd.Series(
+                    [
+                        round(d[0] / d[1], 4) if d[0] and d[1] else None
+                        for d in dims
+                    ],
+                    dtype="float64",
+                ),
+            }
+        )
+
+
+@query("q_multimodal_pipeline")  # rows-only: binary payloads aren't SQL-expressible
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media feature-extraction pipeline shape: binary column ->
     mapInPandas decode/feature kernel -> typed metadata struct columns.
     Arrow moves the bytes to Python per-batch; output schema is declared
-    up front (width/height/format/aspect). The decode kernel is the
-    stubbed `_decode_image` (see module docstring)."""
-
-    def decode(batches):
-        for pdf in batches:
-            dims = [_decode_image(b) for b in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
-                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
-                    "format": [d[2] for d in dims],
-                    "aspect": pd.Series(
-                        [round(d[0] / d[1], 4) for d in dims], dtype="float64"
-                    ),
-                }
-            )
-
+    up front (width/height/format/aspect, dimensions nullable for
+    non-image payloads). The decode kernel is the real header parser
+    `_decode_image`; over the documents stand-in payloads every row
+    honestly reports 'unknown' — the planted-fixture test feeds the same
+    kernel real PNG/JPEG/GIF/BMP bytes and asserts exact dimensions."""
     payloads = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return payloads.mapInPandas(
-        decode, "doc_id long, width int, height int, format string, aspect double"
-    )
+    return payloads.mapInPandas(_decode_batches, _DECODE_SCHEMA)

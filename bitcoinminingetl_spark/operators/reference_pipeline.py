@@ -348,6 +348,74 @@ def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_surrogate_key_dist",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY o_orderkey) AS sk, o_orderkey, o_totalprice
+    FROM orders
+    """,
+)
+def q_surrogate_key_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15 at scale: contiguous surrogate keys WITHOUT the global
+    single-task window q_surrogate_key uses. The zipWithIndex emulation,
+    all DataFrame ops:
+
+    1. Key-range buckets from ONE percentile_approx sketch of
+       o_orderkey, broadcast onto the scan — every row gets a
+       deterministic bucket id whose ranges are ascending.
+    2. row_number within each bucket (Window.partitionBy(bucket) — a
+       parallel hash exchange, every bucket ranks concurrently).
+    3. Per-bucket row counts (a |buckets|-row aggregate) turn into
+       starting offsets via a cumulative window over that tiny relation,
+       broadcast back onto the data.
+
+    sk = offset + within-bucket rank reproduces exactly row_number()
+    OVER (ORDER BY o_orderkey) — same oracle as the serial variant —
+    while the only full-data exchange is hash(bucket), i.e. parallel.
+    This is the 100 TB AUTO_INCREMENT.
+
+    (Why explicit sketch buckets instead of repartitionByRange +
+    monotonically_increasing_id: range repartitioning re-SAMPLES its
+    boundaries per plan branch, so the per-partition counts branch and
+    the data branch can see different partitionings — measured: off-by-
+    thousands sk values, nondeterministic across runs. percentile_approx
+    is deterministic for identical input, so every branch agrees.)"""
+    n_buckets = 8
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = orders.agg(
+        F.percentile_approx("o_orderkey", qs, 10000).alias("bs")
+    ).select(*[F.element_at("bs", i + 1).alias(f"b{i}") for i in range(len(qs))])
+    bucket = F.lit(0)
+    for i in range(len(qs)):
+        bucket = bucket + (F.col("o_orderkey") > F.col(f"b{i}")).cast("int")
+    bucketed = (
+        orders.join(F.broadcast(bounds))
+        .select("o_orderkey", "o_totalprice", bucket.alias("bkt"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("bkt").orderBy("o_orderkey")
+    )
+    counts = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = counts.select(
+        "bkt",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    return (
+        bucketed.join(F.broadcast(offs), "bkt")
+        .select(
+            (F.col("offset") + rn).cast("int").alias("sk"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+
+
+@query(
     "q_bigint_decimal_agg",
     oracle="""
     WITH h AS (

@@ -64,11 +64,73 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
 
 
 def test_multimodal_pipeline_deterministic(spark, sf_dir):
+    """Text stand-in payloads are not images: every row must honestly
+    decode to 'unknown' with null dimensions, deterministically."""
     df = REGISTRY["q_multimodal_pipeline"].fn(spark, sf_dir)
-    a = sorted((r.doc_id, r.width, r.height, r.aspect) for r in df.collect())
-    b = sorted((r.doc_id, r.width, r.height, r.aspect) for r in df.collect())
+    a = sorted((r.doc_id, r.width, r.height, r.format) for r in df.collect())
+    b = sorted((r.doc_id, r.width, r.height, r.format) for r in df.collect())
     assert a == b
-    assert all(64 <= r[1] <= 255 and 64 <= r[2] <= 255 for r in a)
+    assert all(r[1] is None and r[2] is None and r[3] == "unknown" for r in a)
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+        + b"\x00\x00\x00\x00"  # crc not validated by header parse
+    )
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_multimodal_decodes_real_headers(spark):
+    """The dependency-free codec reads true dimensions from PNG IHDR,
+    JPEG SOF0, GIF, and BMP headers in a real BinaryType payload column
+    through the same mapInPandas kernel the registered query uses;
+    garbage bytes decode to null/'unknown' instead of raising."""
+    from bitcoinminingetl_spark.operators import multimodal
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + (640).to_bytes(4, "little")
+        + (4294966816).to_bytes(4, "little")  # -480: top-down BMP, abs()'d
+    )
+    rows = [
+        (1, bytearray(_png_bytes(800, 600))),
+        (2, bytearray(_jpeg_bytes(1024, 768))),
+        (3, bytearray(gif)),
+        (4, bytearray(bmp)),
+        (5, bytearray(b"just some text, not an image")),
+    ]
+    payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: r
+        for r in payloads.mapInPandas(
+            multimodal._decode_batches, multimodal._DECODE_SCHEMA
+        ).collect()
+    }
+    assert (out[1].width, out[1].height, out[1].format) == (800, 600, "png")
+    assert (out[2].width, out[2].height, out[2].format) == (1024, 768, "jpeg")
+    assert out[2].aspect == round(1024 / 768, 4)
+    assert (out[3].width, out[3].height, out[3].format) == (320, 200, "gif")
+    assert (out[4].width, out[4].height, out[4].format) == (640, 480, "bmp")
+    assert (out[5].width, out[5].height, out[5].format) == (None, None, "unknown")
 
 
 def test_ann_ivf_scores_exact_and_recall_floor(spark, sf_dir):
@@ -243,6 +305,103 @@ def test_pii_redact_planted_fixture(spark, tmp_path):
     assert out[1].redacted == "contact <email> or call <num> now"
     assert out[2].redacted == "no pii here at all"
     assert out[2].n_emails == 0 and out[2].n_nums == 0
+
+
+def test_dedup_clusters_fast_chain_convergence(spark, tmp_path):
+    """On a 16-doc near-dup CHAIN (each doc overlaps only its neighbors
+    — worst case for plain propagation, which needs ~16 rounds), the
+    pointer-jumping variant must still reach the full fixpoint within
+    the round cap and agree exactly with the propagation-only twin:
+    every doc labeled with the chain minimum."""
+    toks = [f"t{i}" for i in range(120)]
+    rows = [
+        (i + 1, " ".join(toks[5 * i : 5 * i + 20]), "en", "web", 1)
+        for i in range(16)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    slow = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in REGISTRY["q_dedup_clusters"].fn(spark, str(tmp_path)).collect()
+    )
+    fast = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in REGISTRY["q_dedup_clusters_fast"].fn(spark, str(tmp_path)).collect()
+    )
+    assert fast == slow
+    assert {c for _, c in fast} == {1}  # one chain, labeled by its minimum
+
+
+def test_decontaminate_planted_overlap(spark, tmp_path):
+    """A corpus doc sharing a verbatim 13-word span with an eval doc
+    (doc_id % 10 == 0) is flagged with the right hit count; unrelated
+    corpus docs and eval docs themselves are not flagged."""
+    leaked = "the quick brown fox jumps over the lazy dog near the old mill"
+    assert len(leaked.split()) == 13
+    rows = [
+        (10, f"eval question: {leaked} answer follows here", "en", "web", 1),
+        (11, f"scraped page containing {leaked} plus unrelated chatter", "en", "web", 1),
+        (12, "completely unrelated text with no overlap at all whatsoever", "en", "web", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r.n_hits
+        for r in REGISTRY["q_decontaminate"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {11: 1}  # exactly the one shared 13-gram
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """With a reliable checkpoint directory configured, q_dedup_clusters
+    switches from localCheckpoint to fault-tolerant checkpoint() and
+    produces identical clusters; the checkpoint dir actually receives
+    state."""
+    base = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in REGISTRY["q_dedup_clusters"].fn(spark, sf_dir).collect()
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        reliable = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in REGISTRY["q_dedup_clusters"].fn(spark, sf_dir).collect()
+        )
+        import os
+
+        assert any(os.scandir(ckdir))  # checkpoint state was written
+    finally:
+        # restore "no checkpoint dir" for the rest of the suite
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+    assert reliable == base
+
+
+def test_equiheight_approx_matches_ntile(spark, sf_dir):
+    """The sketch-boundary histogram must agree with the exact global-
+    ntile ground truth: same bucket ids, every bucket within 5% of the
+    ideal equal height, and bucket ranges non-overlapping/monotone."""
+    exact = {
+        r.bucket: r for r in REGISTRY["q_histogram_equiheight"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.bucket: r
+        for r in REGISTRY["q_histogram_equiheight_approx"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    total = sum(r.n for r in exact.values())
+    ideal = total / len(exact)
+    for b, r in approx.items():
+        assert abs(r.n - ideal) / ideal < 0.05
+    ordered = [approx[b] for b in sorted(approx)]
+    for prev, nxt in zip(ordered, ordered[1:]):
+        assert prev.hi <= nxt.lo
 
 
 def test_dedup_pruned_drops_hot_shingle_pairs(spark, tmp_path):

@@ -99,3 +99,32 @@ def test_text_normalize_no_shuffle(spark, sf_dir):
     """Pure scalar projection: no exchange anywhere in the plan."""
     plan = _plan(spark, sf_dir, "q_text_normalize")
     assert "Exchange" not in plan
+
+
+def test_fuzzy_match_blocks_no_cartesian(spark, sf_dir):
+    """Blocking turned the scoring join into an equi-join: no cartesian
+    product / nested-loop join anywhere, and the small supplier side is
+    broadcast so the customer scan never shuffles for the join."""
+    plan = _plan(spark, sf_dir, "q_fuzzy_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_equiheight_approx_no_global_sort(spark, sf_dir):
+    """The sketch-boundary histogram must not smuggle in the global sort
+    it exists to avoid: no Sort over the full fact, no Window; one
+    single-row boundary broadcast plus the final 10-key aggregate."""
+    plan = _plan(spark, sf_dir, "q_histogram_equiheight_approx")
+    assert "Window" not in plan
+    assert "ntile(" not in plan  # note: "percentile_approx(" is expected
+
+
+def test_surrogate_key_dist_parallel_rank(spark, sf_dir):
+    """The distributed surrogate key ranks within sketch buckets via a
+    parallel hash exchange on the bucket id — the full-data window is
+    partitioned (unlike q_surrogate_key's deliberate single-task global
+    window); only the 8-row offsets relation uses an unpartitioned
+    window."""
+    plan = _plan(spark, sf_dir, "q_surrogate_key_dist")
+    assert "hashpartitioning(bkt" in plan
