@@ -220,7 +220,12 @@ _BANDS = 4
 _ROWS_PER_BAND = _MINHASH_K // _BANDS
 
 
-def _candidate_pairs(bands: DataFrame) -> DataFrame:
+_LSH_BUCKET_CAP = 5_000
+
+
+def _candidate_pairs(
+    bands: DataFrame, bucket_cap: int | None = _LSH_BUCKET_CAP
+) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs from a (doc_id, band, sig)
     relation via ONE groupBy(band, sig) + in-group pair generation — the
     same rewrite as _jaccard_pairs: the equi-self-join computes and
@@ -228,12 +233,26 @@ def _candidate_pairs(bands: DataFrame) -> DataFrame:
     means the whole HashingTF + model-hash pipeline), the groupBy does it
     once and emits identical pairs from the grouped doc list. Bucket
     fan-out is g(g-1)/2 either way; a doc appears at most once per
-    (band, sig) so no self-pairs arise."""
+    (band, sig) so no self-pairs arise.
+
+    ``bucket_cap`` is the LSH twin of _jaccard_pairs' stop-shingle
+    df_cap: a band signature shared by g documents fans out g(g-1)/2
+    candidate pairs from one task, and a degenerate signature (e.g.
+    boilerplate-dominated min-hashes) shared by 10^6 docs would emit
+    5*10^11 pairs. Buckets above the cap are dropped EXPLICITLY — an
+    intentional recall trade on pathological buckets, not a silent
+    truncation: any pair lost here shares a dominant boilerplate
+    signature and is the exact-verify stage's job to reject anyway. At
+    the default 5000 the cap never fires on healthy data (expected
+    bucket size is a handful of near-dups); it exists to bound the
+    worst case."""
     grouped = (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if bucket_cap is not None:
+        grouped = grouped.filter(F.size("ds") <= bucket_cap)
     pair_structs = F.flatten(
         F.transform(
             F.col("ds"),

@@ -418,3 +418,49 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_nums"),
     )
+
+
+@query(
+    "q_repetition_score",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+               ) AS grams
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           {roundn_sql('1.0 - len(list_distinct(grams)) * 1.0 / len(grams)', 6)}
+               AS rep_ratio
+    FROM g
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (the Gopher-rules quality signal
+    the near-dup family doesn't cover): fraction of 3-gram positions
+    occupied by a gram already seen in the SAME document — machine-
+    generated/template spam scores high, natural prose near zero.
+    rep_ratio = 1 - distinct/total over the per-doc gram array, computed
+    entirely inside whole-stage codegen (split -> transform -> size /
+    array_distinct): a pure map-side projection, zero shuffles, same
+    plan at 100 TB. Complements q_quality_score (char-level ratios) and
+    q_dedup_* (cross-doc duplication)."""
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        roundn(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)) * F.lit(1.0) / F.size(grams),
+            6,
+        ).alias("rep_ratio"),
+    )

@@ -228,6 +228,22 @@ def stream_stream_interval_join(
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each streaming event picks up the
+    dimension attributes for its key — the lookup-table shape every
+    production stream runs (user profile, device registry, price book).
+
+    The static side is a plain batch DataFrame: Spark re-plans it per
+    micro-batch (so a refreshed dim parquet is picked up on the next
+    trigger) and, when it fits the broadcast threshold, ships it as a
+    broadcast hash join — the streaming side never shuffles and carries
+    no join state (unlike stream-stream joins, a static side needs no
+    watermark: rows can't be late). At 100 TB of stream-days this is the
+    only join shape whose state doesn't grow with the stream. Inner join
+    drops events with no dim row — use left for keep-and-null."""
+    return events.join(F.broadcast(dim), on="user_id")
+
+
 class AlertingListener:
     """R14's failure alerting (reference main.py:27-56 sends an HTML email
     on task failure; retries are Spark-level `spark.task.maxFailures`).

@@ -450,3 +450,43 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, final.collect()))
     want = sorted(map(tuple, batch_expected.collect()))
     assert got == want
+
+
+def test_stream_static_enrich_matches_batch(spark, landed_events, tmp_path):
+    """Stream-static broadcast enrichment: every streamed event picks up
+    its user's segment from a static dimension; result equals the same
+    join run in batch, and events without a dim row are dropped (inner
+    join semantics)."""
+    from bitcoinminingetl_spark.streaming.pipeline import stream_static_enrich
+
+    batch = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(landed_events)
+    # dim covers only even user_ids so the inner-join drop is exercised
+    dim = (
+        batch.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn(
+            "segment", F.when(F.col("user_id") % 4 == 0, "whale").otherwise("minnow")
+        )
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+    static_dim = spark.read.parquet(dim_path)
+
+    stream = read_event_stream(spark, landed_events, max_files_per_trigger=1)
+    enriched = stream_static_enrich(stream, static_dim)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _drain(run_to_parquet(enriched, out, ckpt, output_mode="append"))
+
+    got = {
+        (r.event_id, r.segment)
+        for r in spark.read.parquet(out).select("event_id", "segment").collect()
+    }
+    exp = {
+        (r.event_id, r.segment)
+        for r in batch.join(static_dim, "user_id").select("event_id", "segment").collect()
+    }
+    assert got == exp and got  # non-empty and exactly the batch join
