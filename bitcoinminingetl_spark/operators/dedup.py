@@ -564,3 +564,60 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_survivors.select("doc_id").join(
         near_dups, on="doc_id", how="left_anti"
     )
+
+
+@query("q_corpus_dedup_lsh")  # rows-only: LSH signatures are engine-specific
+def q_corpus_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_corpus_dedup with its near-dup stage swapped for the 100 TB
+    candidate generator — the composition a training-data pipeline
+    actually ships:
+
+    1. exact stage: keep the lowest doc_id per md5(content) hash.
+    2. MinHash signatures -> banded LSH buckets -> candidate pairs
+       (shuffle ~ O(docs x bands), never O(pairs)) -> exact-Jaccard
+       verification on candidates only -> drop the higher doc_id of
+       every verified pair >= 0.3.
+
+    Rows-only check (signatures are engine-specific); the unit test
+    asserts the planted byte-dup and near-dup are dropped and that the
+    survivor set CONTAINS q_corpus_dedup's (LSH candidates are a subset
+    of the exact pair set, so LSH can only drop fewer docs — the recall
+    trade is one-sided and auditable)."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_survivors = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    sh = _shingled(exact_survivors)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
+            for k in range(_MINHASH_K)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{b * _ROWS_PER_BAND + r}")
+                                for r in range(_ROWS_PER_BAND)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    near_pairs = _verify_candidates(sh, _candidate_pairs(bands))
+    near_dups = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact_survivors.select("doc_id").join(
+        near_dups, on="doc_id", how="left_anti"
+    )

@@ -307,6 +307,39 @@ def test_pii_redact_planted_fixture(spark, tmp_path):
     assert out[2].n_emails == 0 and out[2].n_nums == 0
 
 
+def test_corpus_dedup_lsh_composition(spark, sf_dir, tmp_path):
+    """The LSH-candidate corpus pipeline drops planted byte-dups and
+    near-dups, keeps clean docs, and its survivor set contains the
+    exact-pair pipeline's (LSH candidates ⊆ exact pairs, so LSH drops a
+    subset of the docs — the recall trade is one-sided)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "web", 1),
+        (2, base, "en", "web", 1),  # byte-identical -> exact stage drops
+        (3, base + " extra", "en", "web", 1),  # near-dup of 1 -> LSH drop
+        (4, "totally different content with no overlap here at all", "en", "web", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    lsh_survivors = {
+        r.doc_id
+        for r in REGISTRY["q_corpus_dedup_lsh"].fn(spark, str(tmp_path)).collect()
+    }
+    assert 1 in lsh_survivors and 4 in lsh_survivors
+    assert 2 not in lsh_survivors  # byte dup
+    assert 3 not in lsh_survivors  # near dup (jaccard 9/11 > 0.3, LSH-caught)
+
+    # superset property on the real corpus
+    exact = {
+        r.doc_id for r in REGISTRY["q_corpus_dedup"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        r.doc_id for r in REGISTRY["q_corpus_dedup_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert lsh >= exact
+
+
 def test_dedup_clusters_fast_chain_convergence(spark, tmp_path):
     """On a 16-doc near-dup CHAIN (each doc overlaps only its neighbors
     — worst case for plain propagation, which needs ~16 rounds), the

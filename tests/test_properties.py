@@ -119,3 +119,73 @@ def test_dedup_idempotent_and_counts_distinct(spark, keys):
     twice = once.dropDuplicates(["k"])
     assert once.count() == len(set(keys))
     assert sorted(r.k for r in twice.collect()) == sorted(set(keys))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("a b c d e f g".split()), min_size=1, max_size=20
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_score_matches_python_reference(spark, docs):
+    """rep_ratio == 1 - |distinct 3-grams| / |3-gram positions| against a
+    pure-Python reference, for arbitrary token streams (including docs
+    shorter than the gram width, which contribute one full-text gram)."""
+    from bitcoinminingetl_spark.registry import load_all
+
+    rows = [(i + 1, " ".join(toks), "en", "web", 1) for i, toks in enumerate(docs)]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(td + "/documents.parquet")
+        got = {
+            r.doc_id: (r.n_grams, r.n_distinct, r.rep_ratio)
+            for r in load_all()["q_repetition_score"].fn(spark, td).collect()
+        }
+    for i, toks in enumerate(docs):
+        n_pos = max(len(toks) - 2, 1)
+        grams = [" ".join(toks[j : j + 3]) for j in range(n_pos)]
+        n_grams, n_distinct = len(grams), len(set(grams))
+        want_ratio = round(1.0 - n_distinct / n_grams, 6)
+        g = got[i + 1]
+        assert (g[0], g[1]) == (n_grams, n_distinct)
+        assert abs(g[2] - want_ratio) < 1e-9
+
+
+@settings(max_examples=5, deadline=None)
+@given(cap=st.integers(min_value=1, max_value=6))
+def test_pruned_jaccard_pairs_subset_of_cooccurrence(spark, cap):
+    """For any df_cap, pruned pairs only relate docs that co-occur on a
+    kept shingle (df <= cap), and each pair's Jaccard stays in (0, 1] —
+    internal consistency of the pruned universe."""
+    from bitcoinminingetl_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e", "en", "web", 1),
+        (2, "a b c x y", "en", "web", 1),
+        (3, "a b c d e", "en", "web", 1),
+        (4, "p q r s t", "en", "web", 1),
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(td + "/documents.parquet")
+        sh = dedup._shingled(
+            dedup.table(spark, td, "documents")
+        )
+        pairs = dedup._jaccard_pairs(sh, df_cap=cap).collect()
+    for r in pairs:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.doc_a < r.doc_b
+    # doc 4 shares no shingle with anyone: never paired at any cap
+    assert all(4 not in (r.doc_a, r.doc_b) for r in pairs)
