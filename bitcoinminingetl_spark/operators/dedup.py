@@ -621,3 +621,85 @@ def q_corpus_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_survivors.select("doc_id").join(
         near_dups, on="doc_id", how="left_anti"
     )
+
+
+_INCR_SPLIT_FRAC = 0.8  # stand-in: first 80% of doc_ids are "the corpus"
+
+INCR_DEDUP_ORACLE = f"""
+    WITH split AS (
+        SELECT CAST(floor(max(doc_id) * {_INCR_SPLIT_FRAC}) AS BIGINT) AS cut
+        FROM documents
+    ),
+    sh AS ({_SHINGLE_SQL}),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc, count(*) AS n_inter
+        FROM sh n JOIN sh c ON n.shingle = c.shingle, split
+        WHERE n.doc_id > split.cut AND c.doc_id <= split.cut
+        GROUP BY 1, 2
+    )
+    SELECT new_doc, corpus_doc,
+           {roundn_sql('n_inter * 1.0 / (sn.n + sc.n - n_inter)', 6)} AS jaccard
+    FROM inter
+    JOIN sizes sn ON sn.doc_id = new_doc
+    JOIN sizes sc ON sc.doc_id = corpus_doc
+    WHERE n_inter * 1.0 / (sn.n + sc.n - n_inter) >= {_JACCARD_THRESHOLD}
+    """
+
+
+@query("q_dedup_incremental", oracle=INCR_DEDUP_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production shape: a batch of NEW documents
+    (stand-in: the top 20% of doc_ids) checked against the EXISTING
+    corpus index, never against itself. This is what a daily ingest
+    actually runs; the full-corpus q_dedup_* passes are the bootstrap.
+
+    The asymmetry is the scale win: the corpus side's shingle index is
+    precomputed once and reused across batches (here both sides derive
+    from one shingled relation — at 100 TB the corpus shingles live as a
+    bucketed table keyed by shingle, so each increment joins without
+    re-shuffling history). Join fan-out is |new shingles| x
+    per-shingle corpus frequency, bounded by the same stop-shingle
+    df_cap guard as the batch path when needed. Output: (new_doc,
+    corpus_doc, jaccard) pairs >= 0.3 — the docs an ingest gate would
+    reject or route to review."""
+    docs = table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.floor(F.max("doc_id") * _INCR_SPLIT_FRAC).cast("long").alias("cut")
+    )
+    sh = _shingled(docs).join(F.broadcast(cut))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    new_sh = sh.filter(F.col("doc_id") > F.col("cut")).select(
+        F.col("doc_id").alias("new_doc"), "shingle"
+    )
+    corpus_sh = sh.filter(F.col("doc_id") <= F.col("cut")).select(
+        F.col("doc_id").alias("corpus_doc"), "shingle"
+    )
+    inter = (
+        new_sh.join(corpus_sh, "shingle")
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("n_n")),
+            "new_doc",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("corpus_doc"), F.col("n_sh").alias("n_c")
+            ),
+            "corpus_doc",
+        )
+        .select(
+            "new_doc",
+            "corpus_doc",
+            roundn(
+                F.col("n_inter") * 1.0 / (F.col("n_n") + F.col("n_c") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )

@@ -464,3 +464,43 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rep_ratio"),
     )
+
+
+_VOCAB_TOP_K = 100
+
+
+@query(
+    "q_vocab_df",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ),
+    df AS (
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS doc_freq
+        FROM tok GROUP BY token
+    )
+    SELECT token, doc_freq FROM df
+    ORDER BY doc_freq DESC, token
+    LIMIT {_VOCAB_TOP_K}
+    """,
+)
+def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary by document frequency: the top-k tokens by the
+    number of documents containing them — the first pass of tokenizer/
+    vocab construction and the source of stopword lists and the
+    stop-shingle caps the dedup family consumes. array_distinct before
+    the explode keeps the aggregate df-semantics (per-doc dedup happens
+    map-side, so the shuffle carries each (doc, token) once); the top-k
+    is a TakeOrdered over |vocab| rows, never the corpus. Deterministic
+    tiebreak by token so the cut is engine-exact."""
+    toks = F.array_distinct(F.split("text", " "))
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(_VOCAB_TOP_K)
+    )

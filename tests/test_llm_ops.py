@@ -307,6 +307,33 @@ def test_pii_redact_planted_fixture(spark, tmp_path):
     assert out[2].n_emails == 0 and out[2].n_nums == 0
 
 
+def test_dedup_incremental_asymmetry(spark, tmp_path):
+    """Incremental dedup only pairs NEW docs (top 20% of ids) against
+    the corpus — never new-vs-new or corpus-vs-corpus, even when those
+    pairs would clear the similarity threshold."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "web", 1),                      # corpus
+        (2, base + " mu", "en", "web", 1),              # corpus (dup of 1: ignored)
+        (3, "unrelated corpus text entirely different words", "en", "web", 1),
+        (9, base + " nu", "en", "web", 1),              # new: dup of corpus 1,2
+        (10, base + " xi", "en", "web", 1),             # new: dup of 1,2 AND of 9
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    # cut = floor(10 * 0.8) = 8 -> docs 9,10 are "new"
+    pairs = {
+        (r.new_doc, r.corpus_doc)
+        for r in REGISTRY["q_dedup_incremental"].fn(spark, str(tmp_path)).collect()
+    }
+    assert (9, 1) in pairs and (9, 2) in pairs
+    assert (10, 1) in pairs and (10, 2) in pairs
+    assert all(n > 8 and c <= 8 for n, c in pairs)  # strict asymmetry
+    assert (10, 9) not in pairs and (9, 10) not in pairs  # no new-vs-new
+    assert (2, 1) not in pairs  # no corpus-vs-corpus
+
+
 def test_corpus_dedup_lsh_composition(spark, sf_dir, tmp_path):
     """The LSH-candidate corpus pipeline drops planted byte-dups and
     near-dups, keeps clean docs, and its survivor set contains the

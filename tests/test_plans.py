@@ -128,3 +128,10 @@ def test_surrogate_key_dist_parallel_rank(spark, sf_dir):
     window."""
     plan = _plan(spark, sf_dir, "q_surrogate_key_dist")
     assert "hashpartitioning(bkt" in plan
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    """The vocabulary cut must be a TakeOrderedAndProject over the df
+    aggregate — never a global sort materializing all of |vocab|."""
+    plan = _plan(spark, sf_dir, "q_vocab_df")
+    assert "TakeOrderedAndProject" in plan
