@@ -67,6 +67,35 @@ def _shingled(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
     )
 
 
+_SHINGLE_INDEX_CACHE: dict[str, DataFrame] = {}
+
+
+def shingle_index(spark: SparkSession, sf_dir: str, n: int = _NGRAM) -> DataFrame:
+    """The materialized SHINGLE INDEX for a corpus: the (doc_id, shingle)
+    relation persisted once per (session, corpus, n) and shared by every
+    dedup-family query — the engine-side analogue of the bucketed
+    corpus shingle table a production pipeline maintains (see
+    q_dedup_incremental's docstring). Without it, each of the ~8
+    dedup/decontamination queries re-runs the scan + tokenize + shingle
+    explode (~the single most repeated subplan in the engine); with it,
+    the first query materializes ~n_docs x shingles_per_doc rows of
+    (long, long) and the rest reuse them. MEMORY_AND_DISK persist: at
+    100 TB this is the index you'd write to a bucketed table instead;
+    the 8-byte hashed keys make it compact either way. The cache is
+    bounded (entries evicted+unpersisted beyond 4) so test fixtures
+    don't accumulate executor storage."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{n}"
+    df = _SHINGLE_INDEX_CACHE.get(key)
+    if df is None:
+        if len(_SHINGLE_INDEX_CACHE) >= 4:
+            for old in _SHINGLE_INDEX_CACHE.values():
+                old.unpersist()
+            _SHINGLE_INDEX_CACHE.clear()
+        df = _shingled(table(spark, sf_dir, "documents"), n=n).persist()
+        _SHINGLE_INDEX_CACHE[key] = df
+    return df
+
+
 def _jaccard_pairs(shingled: DataFrame, df_cap: int | None = None) -> DataFrame:
     """All doc pairs sharing >=1 shingle, with exact Jaccard similarity.
     |A∪B| = |A|+|B|-|A∩B|.
@@ -170,8 +199,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probabilistic variants (MinHash, SimHash) approximate. Correct at
     any scale but the shingle-equality join is the quadratic risk; use
     q_dedup_minhash_lsh beyond ~10^7 docs."""
-    docs = table(spark, sf_dir, "documents")
-    return _jaccard_pairs(_shingled(docs)).filter(
+    return _jaccard_pairs(shingle_index(spark, sf_dir)).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
     )
 
@@ -209,8 +237,7 @@ def q_dedup_ngram_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, bounding any single task's pair fan-out. This is the
     variant to run at corpus scale when exact (non-LSH) pairs are needed;
     q_dedup_ngram_jaccard remains the unpruned ground truth."""
-    docs = table(spark, sf_dir, "documents")
-    return _jaccard_pairs(_shingled(docs), df_cap=_DF_CAP).filter(
+    return _jaccard_pairs(shingle_index(spark, sf_dir), df_cap=_DF_CAP).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
     )
 
@@ -282,8 +309,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~0.97 at j=0.8). Checked rows-only (signatures are engine-specific);
     the unit test asserts candidates ⊆ exact pairs at threshold after
     verification."""
-    docs = table(spark, sf_dir, "documents")
-    sh = _shingled(docs)
+    sh = shingle_index(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
@@ -557,9 +583,16 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "text")
     )
-    pairs = _jaccard_pairs(_shingled(exact_survivors)).filter(
-        F.col("jaccard") >= _JACCARD_THRESHOLD
+    # A doc's shingles don't depend on the rest of the corpus, so the
+    # survivor shingles are a doc_id-filter of the shared shingle index
+    # rather than a second scan+tokenize+explode. Broadcast semi-join is
+    # right here (ids are a compact long column); at 100 TB the index
+    # lives in a table bucketed on doc_id and the semi-join is
+    # shuffle-free on the bucketing instead of broadcast.
+    sh = shingle_index(spark, sf_dir).join(
+        F.broadcast(exact_survivors.select("doc_id")), "doc_id", "semi"
     )
+    pairs = _jaccard_pairs(sh).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     near_dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return exact_survivors.select("doc_id").join(
         near_dups, on="doc_id", how="left_anti"
@@ -590,7 +623,9 @@ def q_corpus_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "text")
     )
-    sh = _shingled(exact_survivors)
+    sh = shingle_index(spark, sf_dir).join(
+        F.broadcast(exact_survivors.select("doc_id")), "doc_id", "semi"
+    )
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
@@ -669,7 +704,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = docs.agg(
         F.floor(F.max("doc_id") * _INCR_SPLIT_FRAC).cast("long").alias("cut")
     )
-    sh = _shingled(docs).join(F.broadcast(cut))
+    sh = shingle_index(spark, sf_dir).join(F.broadcast(cut))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     new_sh = sh.filter(F.col("doc_id") > F.col("cut")).select(
         F.col("doc_id").alias("new_doc"), "shingle"

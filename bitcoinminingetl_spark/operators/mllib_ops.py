@@ -38,8 +38,8 @@ from bitcoinminingetl_spark.operators.dedup import (
     _candidate_pairs,
     _dot,
     _norm,
-    _shingled,
     _verify_candidates,
+    shingle_index,
 )
 from bitcoinminingetl_spark.operators.similarity import _N_QUERIES, _TOP_K
 from bitcoinminingetl_spark.registry import query
@@ -111,7 +111,7 @@ def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bands_arr).alias("bs"))
         .select("doc_id", "bs.band", "bs.sig")
     )
-    return _verify_candidates(_shingled(docs), _candidate_pairs(bands))
+    return _verify_candidates(shingle_index(spark, sf_dir), _candidate_pairs(bands))
 
 
 _BRP_TABLES = 8
