@@ -22,8 +22,8 @@ from bitcoinminingetl_spark.functions.state import ckpt
 from bitcoinminingetl_spark.operators.dedup import (
     _JACCARD_THRESHOLD,
     _jaccard_pairs,
-    _shingled,
     NGRAM_PAIRS_ORACLE,
+    shingle_index,
 )
 from bitcoinminingetl_spark.registry import query
 
@@ -148,7 +148,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint dir (survives executor loss at 100 TB), localCheckpoint
     otherwise. DuckDB oracle: recursive-CTE transitive closure, same
     fixpoint."""
-    pairs = _jaccard_pairs(_shingled(table(spark, sf_dir, "documents"))).filter(
+    pairs = _jaccard_pairs(shingle_index(spark, sf_dir)).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
     )
     edges = (
@@ -228,7 +228,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-shingle key is the right call either way. 13-gram collisions
     under xxhash64 are ~n²/2⁶⁴ — immaterial, and a collision only
     over-flags one document (the safe direction for decontamination)."""
-    sh = _shingled(table(spark, sf_dir, "documents"), n=_DECON_N)
+    sh = shingle_index(spark, sf_dir, n=_DECON_N)
     ev = (
         sh.filter(F.col("doc_id") % 10 == 0)
         .select("shingle")
@@ -274,7 +274,7 @@ def q_dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     over checkpointed state (reliable checkpoint under a checkpoint dir,
     see _ckpt); same fixpoint, same recursive-CTE oracle as the
     propagation-only twin."""
-    pairs = _jaccard_pairs(_shingled(table(spark, sf_dir, "documents"))).filter(
+    pairs = _jaccard_pairs(shingle_index(spark, sf_dir)).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
     )
     edges = (
@@ -330,3 +330,99 @@ def q_dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+_PACK_CAP = 512  # tokens per packed training sequence
+_PACK_BUCKETS = 8
+
+DOC_PACK_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           cum_before // {_PACK_CAP} AS seq_id,
+           cum_before % {_PACK_CAP} AS seq_pos,
+           (cum_before % {_PACK_CAP}) + n_tokens > {_PACK_CAP} AS straddles
+    FROM c
+"""
+
+
+@query("q_doc_pack", oracle=DOC_PACK_ORACLE)
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the layout pass an LLM training pipeline runs
+    last: concatenate documents in a deterministic order (doc_id) and
+    chunk the token stream into fixed-capacity training sequences
+    (concat-and-split, the GPT-style packing that wastes zero pad
+    tokens). Output per doc: its sequence id, its token offset within
+    that sequence, and whether it straddles a sequence boundary — enough
+    for a writer to materialize the packed examples.
+
+    The core is an exclusive prefix sum of token counts in global
+    doc_id order. A naive Window.orderBy cumsum is a single-task sort
+    (the q_surrogate_key trap), so this uses the same two-phase plan as
+    q_surrogate_key_dist: percentile_approx sketch buckets of doc_id
+    (deterministic, branch-stable — repartitionByRange re-samples per
+    branch) -> within-bucket cumsum under Window.partitionBy(bucket)
+    (parallel) -> per-bucket token totals (a |buckets|-row aggregate)
+    cumsum'd into starting offsets and broadcast back. Only full-data
+    exchange is hash(bucket). The oracle is the plain global-window
+    cumsum, so the distributed plan is checked value-exact against the
+    serial semantics."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    qs = [i / _PACK_BUCKETS for i in range(1, _PACK_BUCKETS)]
+    bounds = docs.agg(
+        F.percentile_approx("doc_id", qs, 10000).alias("bs")
+    ).select(*[F.element_at("bs", i + 1).alias(f"b{i}") for i in range(len(qs))])
+    bucket = F.lit(0)
+    for i in range(len(qs)):
+        bucket = bucket + (F.col("doc_id") > F.col(f"b{i}")).cast("int")
+    bucketed = docs.join(F.broadcast(bounds)).select(
+        "doc_id", "n_tokens", bucket.alias("bkt")
+    )
+    cum_in = F.coalesce(
+        F.sum("n_tokens").over(
+            Window.partitionBy("bkt")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    totals = bucketed.groupBy("bkt").agg(F.sum("n_tokens").alias("tok"))
+    offs = totals.select(
+        "bkt",
+        F.coalesce(
+            F.sum("tok").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    cum_before = F.col("offset") + cum_in
+    return (
+        bucketed.join(F.broadcast(offs), "bkt")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(cum_before / _PACK_CAP).alias("seq_id"),
+            (cum_before % _PACK_CAP).alias("seq_pos"),
+            ((cum_before % _PACK_CAP) + F.col("n_tokens") > _PACK_CAP).alias(
+                "straddles"
+            ),
+        )
+    )

@@ -154,3 +154,61 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return payloads.mapInPandas(_decode_batches, _DECODE_SCHEMA)
+
+
+_FS_K = 8  # frames sampled per clip
+_FS_FPS = 24
+
+
+@query(
+    "q_multimodal_framesample",
+    oracle=f"""
+    WITH v AS (
+        SELECT doc_id,
+               octet_length(encode(text)) % 240 + 1 AS n_frames
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_frames,
+               unnest(range(LEAST({_FS_K}, n_frames))) AS i
+        FROM v
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST((i * n_frames) // LEAST({_FS_K}, n_frames) AS BIGINT)
+               AS frame_idx,
+           CAST(((i * n_frames) // LEAST({_FS_K}, n_frames)) * 1000
+                // {_FS_FPS} AS BIGINT) AS t_ms
+    FROM s
+    """,
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling — the fan-out plan that turns one clip row
+    into K frame-extraction tasks: uniform sample of K frame indices from
+    the clip's frame count (metadata-derived; payload byte length stands
+    in for a real container's duration field, same doctrine as
+    q_multimodal_meta), exploded so downstream decode parallelism is
+    per-FRAME, not per-clip — at 100 TB one 2-hour video must not pin one
+    task. All JVM-side: sequence() + explode, integer `div` arithmetic
+    (floor(i * n_frames / K) spacing, t_ms at {_FS_FPS} fps). The actual
+    pixel decode of a sampled frame would be the same mapInPandas kernel
+    shape as q_multimodal_pipeline with an ffmpeg-backed parser swapped
+    in; the sampling plan here is what Spark owns either way."""
+    nf = (F.length(F.encode(F.col("text"), "UTF-8")) % 240 + 1).cast("long")
+    k = F.least(F.lit(_FS_K).cast("long"), F.col("n_frames"))
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", nf.alias("n_frames"))
+        .select("doc_id", "n_frames", F.explode(F.sequence(F.lit(0), k - 1)).alias("i"))
+        .select(
+            "doc_id",
+            "n_frames",
+            F.expr(
+                f"(i * n_frames) div least({_FS_K}, n_frames)"
+            ).alias("frame_idx"),
+            F.expr(
+                f"((i * n_frames) div least({_FS_K}, n_frames)) * 1000"
+                f" div {_FS_FPS}"
+            ).alias("t_ms"),
+        )
+    )

@@ -249,3 +249,123 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w).alias("last_val"),
         F.nth_value("value", 2).over(w).alias("second_val"),
     )
+
+
+_EWMA_L = 16  # truncation: only the last 16 observations contribute
+
+
+@query(
+    "q_ewma_smooth",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT a.event_id, a.event_type,
+           {roundn_sql(
+               "CAST(SUM(CAST(b.value * power(0.5, a.rn - b.rn)"
+               " AS DECIMAL(28,12))) AS DOUBLE)"
+               " / (2 * (1 - power(0.5, COUNT(*))))",
+               6,
+           )} AS ewma
+    FROM r a
+    JOIN r b ON a.event_type = b.event_type
+            AND b.rn BETWEEN a.rn - {_EWMA_L - 1} AND a.rn
+    GROUP BY a.event_id, a.event_type
+    """,
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per event_type — the
+    time-series smoothing pass (pandas ``ewm(alpha=.5, adjust=True)``
+    semantics, truncated to the last 16 observations so the operator is
+    a bounded window, not an unbounded recurrence). alpha is exactly 0.5
+    on purpose: the weights 0.5^lag are exact binary doubles, so Spark's
+    pow and DuckDB's power agree bit-for-bit and the only cross-engine
+    hazard left is summation ORDER — killed by quantizing each term to
+    DECIMAL(28,12) and summing exactly (the dsum doctrine,
+    functions/numeric.py).
+
+    Plan: one keyed window (parallel per event_type), collect_list over
+    a 16-row frame, then JVM-side higher-order functions (transform +
+    aggregate) — no Python boundary. The 16-element arrays bound both
+    memory and the HOF cost per row. The oracle expresses the same
+    truncated EWMA as a bounded self-join on row_number, which DuckDB
+    can check without window-frame UDAFs."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_L - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", vals.alias("vals")
+    )
+    n = F.size("vals")
+    terms = F.transform(
+        "vals",
+        lambda x, i: x * F.pow(F.lit(0.5), (F.size("vals") - 1 - i)),
+    )
+    s = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(28,12)"),
+        lambda acc, x: (acc + x.cast("decimal(28,12)")).cast("decimal(28,12)"),
+    )
+    ewma = roundn(
+        s.cast("double") / (2 * (1 - F.pow(F.lit(0.5), n))),
+        6,
+    )
+    return ev.select("event_id", "event_type", ewma.alias("ewma"))
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH chg AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    v AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM chg WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build — the warehouse-load pass
+    the reference's MySQL star schema implies (init.sql upserts overwrite
+    in place = SCD1; this is the versioned sibling every dimension table
+    eventually needs). Change capture first: a row survives only when its
+    event_type differs from the user's previous event (lag), THEN
+    validity intervals from lead(ts) over the survivors — the standard
+    two-window formulation. Both windows share partitionBy(user_id), so
+    Catalyst reuses one hash exchange: filter + second window run inside
+    the partitioning the first window established. Output is the
+    effective-dated dimension: [valid_from, valid_to) half-open
+    intervals, NULL valid_to = current row."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

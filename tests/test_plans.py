@@ -135,3 +135,37 @@ def test_vocab_topk_is_take_ordered(spark, sf_dir):
     aggregate — never a global sort materializing all of |vocab|."""
     plan = _plan(spark, sf_dir, "q_vocab_df")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_pack_parallel_cumsum(spark, sf_dir):
+    """Sequence packing must compute the global token prefix-sum through
+    sketch buckets (parallel hash exchange on bkt), never a single-task
+    unpartitioned window over the docs; only the 8-row per-bucket offset
+    relation may use an unpartitioned window."""
+    plan = _plan(spark, sf_dir, "q_doc_pack")
+    assert "hashpartitioning(bkt" in plan
+
+
+def test_ewma_window_is_keyed(spark, sf_dir):
+    """The EWMA window must be partitioned by event_type (parallel keyed
+    state), and the weighted sum must stay JVM-side — no BatchEvalPython
+    / ArrowEvalPython nodes in the plan."""
+    plan = _plan(spark, sf_dir, "q_ewma_smooth")
+    assert "hashpartitioning(event_type" in plan
+    assert "EvalPython" not in plan
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """Change capture and validity intervals both window over user_id —
+    Catalyst must reuse a single hash exchange for both, not shuffle
+    twice."""
+    plan = _plan(spark, sf_dir, "q_scd2_history")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_framesample_stays_jvm_side(spark, sf_dir):
+    """The frame-index fan-out is sequence+explode over metadata — no
+    Python eval nodes, no shuffle (map-only explode on the scan)."""
+    plan = _plan(spark, sf_dir, "q_multimodal_framesample")
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
