@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.numeric import roundn
 from bitcoinminingetl_spark.functions.state import ckpt
 from bitcoinminingetl_spark.operators.dedup import (
     _JACCARD_THRESHOLD,
@@ -424,5 +425,82 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((cum_before % _PACK_CAP) + F.col("n_tokens") > _PACK_CAP).alias(
                 "straddles"
             ),
+        )
+    )
+
+
+_SEMDECON_THRESHOLD = 0.25  # tuned to the synthetic embedding spread
+
+
+@query(
+    "q_decontaminate_semantic",
+    oracle=f"""
+    WITH hits AS (
+        SELECT a.vec_id,
+               {{dot}} / ({{na}} * {{nb}}) AS cosine
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label
+         AND b.vec_id % 10 = 0
+         AND a.vec_id % 10 != 0
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_eval_hits,
+           {{maxcos}} AS max_cosine
+    FROM hits
+    WHERE cosine >= {_SEMDECON_THRESHOLD}
+    GROUP BY vec_id
+    """.format(
+        dot=(
+            "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+            "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+            "(x, y) -> x + y)"
+        ),
+        na=(
+            "sqrt(list_reduce(list_transform(CAST(a.embedding AS DOUBLE[]), "
+            "v -> v * v), (x, y) -> x + y))"
+        ),
+        nb=(
+            "sqrt(list_reduce(list_transform(CAST(b.embedding AS DOUBLE[]), "
+            "v -> v * v), (x, y) -> x + y))"
+        ),
+        maxcos="CAST(round(CAST(max(cosine) AS DECIMAL(28,12)), 6) AS DOUBLE)",
+    ),
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/eval decontamination — the embedding-space
+    complement of q_decontaminate's 13-gram check: an eval example that
+    was PARAPHRASED into the training set shares no n-grams but sits
+    next to it in embedding space. Same eval split convention as the
+    lexical variant (id % 10 == 0 is "the benchmark"); flag every train
+    vector whose cosine against any same-block eval vector reaches the
+    threshold, reporting hit count and max similarity — the evidence a
+    curation run reviews before dropping.
+
+    Plan is the q_dedup_embed_cosine shape, made ASYMMETRIC: train ⋈
+    eval only (never train×train — the contamination question is one-
+    sided, cutting the pair space by 10× here and by |eval|/|corpus| at
+    scale), blocked on label (any coarse quantizer at 100 TB), norms
+    computed O(n) before the join. The eval side is a small fraction of
+    the corpus by construction, so at scale it BROADCASTS and the check
+    is a map-side pass over the training scan."""
+    from bitcoinminingetl_spark.operators.dedup import _dot, _norm
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "norm", _norm(F.col("embedding"))
+    )
+    train = emb.filter(F.col("vec_id") % 10 != 0).alias("a")
+    ev = emb.filter(F.col("vec_id") % 10 == 0).alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        train.join(F.broadcast(ev), F.col("a.label") == F.col("b.label"))
+        .select(F.col("a.vec_id").alias("vec_id"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= _SEMDECON_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+            roundn(F.max("cosine"), 6).alias("max_cosine"),
         )
     )

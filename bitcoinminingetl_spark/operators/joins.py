@@ -370,3 +370,65 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+_BLOOM_CONFS = {
+    # let the injection rule see our ~MB-scale local scans as "large"
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # force the shuffle-join shape the rule targets (a broadcast join
+    # ships the whole dim anyway, so there is nothing for a bloom to save)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "q_join_bloom",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           {dsum_sql('l.l_extendedprice')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction — the 100 TB shuffle-join
+    saver: a selective filter on orders means most lineitem rows will
+    never find a match, so Catalyst's InjectRuntimeFilter builds a bloom
+    filter over the filtered orders keys (bloom_filter_agg subquery) and
+    applies might_contain() to the lineitem SIDE BEFORE the shuffle —
+    rows that cannot join are dropped at the scan instead of being
+    hashed, serialized, and shuffled. At cluster scale the two gating
+    thresholds are met naturally (application-side scan >> 10 GB,
+    creation side < 10 MB); local test data is below both, so this query
+    sets them for the session just long enough to PLAN (QueryExecution
+    memoizes the physical plan eagerly here; the confs are restored
+    before returning, so no other query's plan is affected — AQE may
+    still re-shape the join at runtime, but the injected might_contain
+    filter is already a plan node and survives). Semantics are untouched
+    by the bloom (false positives only pass extra rows to the real
+    join), so the oracle is the plain join."""
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        l = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        out = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                dsum(F.col("l_extendedprice")).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+        out._jdf.queryExecution().executedPlan()  # memoize under our confs
+        return out
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

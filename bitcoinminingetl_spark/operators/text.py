@@ -504,3 +504,67 @@ def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "token")
         .limit(_VOCAB_TOP_K)
     )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT token, count(*) AS tf FROM tok GROUP BY token
+    ),
+    n AS (
+        SELECT count(*) AS n FROM tok
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {roundn_sql(
+               "CAST(sum(CAST(ln(f.tf * 1.0 / n.n) AS DECIMAL(28,12)))"
+               " AS DOUBLE) / count(*)",
+               6,
+           )} AS avg_logprob
+    FROM tok t
+    JOIN tf f USING (token)
+    CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the CCNet-style LM quality
+    filter reduced to its self-trained unigram form: train token
+    frequencies on the corpus itself (one aggregate), then score every
+    document by its mean token log-probability. Gibberish and boilerplate
+    sit at the extremes (rare-token soup scores very negative, stopword
+    soup scores near the top), which is exactly the percentile-cut
+    signal production pipelines threshold on. Self-scoring means no OOV,
+    so no smoothing term clouds the oracle.
+
+    Plan: tokens -> tf aggregate (mergeable, |vocab| rows) -> one
+    shuffle join of (doc, token) against tf on token (heavy-hitter
+    tokens skew this join; AQE skew-split handles it — the alternative,
+    broadcasting tf, only works while |vocab| fits an executor) -> per-
+    doc aggregate. The corpus token total N rides along as a broadcast
+    1-row cross join. Per-token log terms are quantized to
+    DECIMAL(28,12) before the per-doc sum so the result is independent
+    of intra-partition addition order (dsum doctrine)."""
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    lp = F.log(F.col("tf") * 1.0 / F.col("n"))
+    return (
+        tok.join(tf, "token")
+        .join(F.broadcast(n))
+        .select("doc_id", lp.cast("decimal(28,12)").alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            roundn(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )

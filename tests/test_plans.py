@@ -169,3 +169,21 @@ def test_framesample_stays_jvm_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_multimodal_framesample")
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_join_bloom_has_runtime_filter(spark, sf_dir):
+    """The bloom demo must actually inject: a bloom_filter_agg subquery
+    on the filtered orders side and a might_contain() filter applied to
+    the lineitem side before its shuffle."""
+    plan = _plan(spark, sf_dir, "q_join_bloom")
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+
+
+def test_semantic_decon_broadcasts_eval_side(spark, sf_dir):
+    """The train-vs-eval contamination join must broadcast the (small by
+    construction) eval side and stay JVM-side — no shuffle of the
+    training scan, no Python eval."""
+    plan = _plan(spark, sf_dir, "q_decontaminate_semantic")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
