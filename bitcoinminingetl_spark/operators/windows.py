@@ -294,15 +294,20 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory and the HOF cost per row. The oracle expresses the same
     truncated EWMA as a bounded self-join on row_number, which DuckDB
     can check without window-frame UDAFs."""
+    return ewma_smooth(table(spark, sf_dir, "events"))
+
+
+def ewma_smooth(ev: DataFrame) -> DataFrame:
+    """q_ewma_smooth's core over any (event_id, event_type, ts, value)
+    frame — separated so the hypothesis property test can drive the
+    exact production expressions against a Python reference."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(-(_EWMA_L - 1), 0)
     )
     vals = F.collect_list("value").over(w)
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "event_type", vals.alias("vals")
-    )
+    ev = ev.select("event_id", "event_type", vals.alias("vals"))
     n = F.size("vals")
     terms = F.transform(
         "vals",

@@ -189,3 +189,81 @@ def test_pruned_jaccard_pairs_subset_of_cooccurrence(spark, cap):
         assert r.doc_a < r.doc_b
     # doc 4 shares no shingle with anyone: never paired at any cap
     assert all(4 not in (r.doc_a, r.doc_b) for r in pairs)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("a b c d e f g".split()), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_doc_pack_matches_python_reference(spark, docs):
+    """Packing invariants against a pure-Python exclusive prefix sum:
+    seq_id/seq_pos equal the serial concat-and-split assignment for any
+    token-count profile (including empty docs), regardless of how the
+    distributed sketch buckets split the cumsum."""
+    from bitcoinminingetl_spark.operators.corpus_ops import _PACK_CAP
+    from bitcoinminingetl_spark.registry import load_all
+
+    rows = [(i + 1, " ".join(toks), "en", "web", 1) for i, toks in enumerate(docs)]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(td + "/documents.parquet")
+        got = {
+            r.doc_id: (r.n_tokens, r.seq_id, r.seq_pos, r.straddles)
+            for r in load_all()["q_doc_pack"].fn(spark, td).collect()
+        }
+    cum = 0
+    for i, toks in enumerate(docs):
+        n = len(toks)  # [a-z0-9]+ tokens == words by construction
+        want = (n, cum // _PACK_CAP, cum % _PACK_CAP,
+                cum % _PACK_CAP + n > _PACK_CAP)
+        assert got[i + 1] == want, (i + 1, got[i + 1], want)
+        cum += n
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    series=st.lists(
+        st.tuples(
+            st.sampled_from(["p", "h"]),                      # event_type
+            st.floats(min_value=0, max_value=500, width=32),  # value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ewma_matches_python_reference(spark, series):
+    """EWMA (alpha=.5, adjust=True, 16-obs truncation) against the
+    direct Python formula for arbitrary per-type series."""
+    import datetime as _dt
+
+    from bitcoinminingetl_spark.operators.windows import _EWMA_L, ewma_smooth
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + _dt.timedelta(seconds=i), et, float(v))
+        for i, (et, v) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r.event_id: r.ewma for r in ewma_smooth(df).collect()}
+    by_type: dict[str, list[tuple[int, float]]] = {}
+    for i, (et, v) in enumerate(series):
+        by_type.setdefault(et, []).append((i, float(v)))
+    for et, evs in by_type.items():
+        for pos, (eid, _) in enumerate(evs):
+            window = [v for _, v in evs[max(0, pos - _EWMA_L + 1) : pos + 1]]
+            m = len(window)
+            s = sum(v * 0.5 ** (m - 1 - j) for j, v in enumerate(window))
+            want = s / (2 * (1 - 0.5 ** m))
+            assert abs(got[eid] - want) < 1e-6, (eid, got[eid], want)
