@@ -215,3 +215,33 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).cast("long").alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
     )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 3 AS k_tripled,
+           json_extract(props, '$.missing') IS NULL AS no_such_path
+    FROM events
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4) — the
+    modern sibling of q_json_funcs' from_json/get_json_object: parse_json
+    once into a binary-encoded variant, then variant_get typed path
+    extraction, no up-front schema. At 100 TB this is the ingestion
+    answer for payloads whose schema drifts (the reference's R1 API
+    ticks): the parse cost is paid once per row and every downstream
+    path access is a cheap binary probe instead of a re-parse; shredded
+    parquet storage keeps pushdown on the hot paths. try_variant_get on
+    an absent path returns NULL rather than failing — the corrupt-tick
+    tolerance R5 requires."""
+    var = F.parse_json("props")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.try_variant_get(var, "$.k", "long").alias("k"),
+        (F.try_variant_get(var, "$.k", "long") * 3).alias("k_tripled"),
+        F.try_variant_get(var, "$.missing", "string").isNull().alias("no_such_path"),
+    )

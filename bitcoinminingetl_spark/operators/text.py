@@ -568,3 +568,38 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+_HH_K = 64  # tracked slots: >= |vocab| at test scale, so estimates are exact
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS est_count
+    FROM tok GROUP BY token
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item sketch over corpus tokens — approx_top_k (Spark 4's
+    bounded-memory heavy-hitter aggregate): ONE mergeable sketch of
+    fixed size regardless of corpus size, against the exact groupBy
+    (q_vocab_df) whose state is O(|vocab|). This is the 100 TB shape for
+    'what dominates this corpus' dashboards: at scale you'd track k <<
+    |vocab| slots and read ranked estimates; at test scale k exceeds the
+    synthetic vocabulary, the sketch degenerates to exact counts, and
+    the DuckDB group-count oracle checks it value-for-value — which is
+    precisely what makes the demo verifiable rather than rows-only."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .agg(F.expr(f"approx_top_k(token, {_HH_K})").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("long").alias("est_count"),
+        )
+    )

@@ -166,3 +166,49 @@ def test_jdbc_append_options_shape():
     assert opts["dbtable"] == "price"
     assert opts["batchsize"] == "500"
     assert opts["isolationLevel"] == "READ_COMMITTED"
+
+
+def test_python_datasource_matches_native_reader(spark, tmp_path):
+    """The Spark-4 Python data source (landed_ticks) must return the
+    same rows as the native JSON reader over the same landing dir —
+    partition-per-file iteration, flat projection, corrupt-file
+    swallowing."""
+    from bitcoinminingetl_spark.sources.python_source import LandedTickDataSource
+
+    landing = str(tmp_path / "landing")
+    land_payload(
+        {"spider_ts": 1609459200, "price_data": {"USD": 50000, "time": 1609459200}},
+        landing,
+    )
+    land_payload(
+        {
+            "spider_ts": 1609459230,
+            "hash_rate_data": {"currentHashrate": 1e8, "currentDifficulty": 1.5e7},
+        },
+        landing,
+    )
+    with open(landing + "/corrupt-1.json", "w") as f:
+        f.write("{nope")
+
+    spark.dataSource.register(LandedTickDataSource)
+    got = (
+        spark.read.format("landed_ticks")
+        .option("path", landing)
+        .load()
+        .orderBy("spider_ts")
+        .collect()
+    )
+    native = (
+        read_landed_json(spark, landing, PAYLOAD_SCHEMA)
+        .select(
+            "spider_ts",
+            F.col("price_data.USD").alias("usd"),
+            F.col("price_data.time").alias("price_time"),
+            F.col("hash_rate_data.currentHashrate").alias("hashrate"),
+            F.col("hash_rate_data.currentDifficulty").alias("difficulty"),
+        )
+        .orderBy("spider_ts")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in native]
+    assert len(got) == 2  # corrupt file contributed nothing
