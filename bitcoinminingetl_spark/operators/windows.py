@@ -374,3 +374,60 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+_CONC_TTL = 300  # each event holds a slot for 5 minutes (R2's cadence)
+
+
+@query(
+    "q_peak_concurrency",
+    oracle=f"""
+    WITH deltas AS (
+        SELECT event_type, ts AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL {_CONC_TTL} SECOND, -1 FROM events
+    ),
+    sweep AS (
+        SELECT event_type,
+               SUM(d) OVER (
+                   PARTITION BY event_type ORDER BY t, d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS live
+        FROM deltas
+    )
+    SELECT event_type, CAST(max(live) AS BIGINT) AS peak_concurrent
+    FROM sweep GROUP BY event_type
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per stream — the sweep-line pattern for interval
+    overlap questions (max sessions alive at once, peak open orders,
+    connection-pool high-water marks): each event occupies a slot for
+    {_CONC_TTL} s, every interval becomes a +1 at its start and a -1 at
+    its end, and the running sum of deltas ordered by time IS the live
+    count; its max per key is the answer. One explode (map-side, 2n
+    rows), one keyed window, one aggregate — never an interval
+    self-join, which is the O(n²) trap at 100 TB. End-before-start
+    ordering at equal timestamps (the `, d` tiebreak with -1 < +1) makes
+    back-to-back intervals NOT overlap — half-open [start, end)
+    semantics, identical in the oracle."""
+    ev = table(spark, sf_dir, "events")
+    deltas = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr(f"INTERVAL {_CONC_TTL} SECOND")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    live = F.sum("d").over(
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        deltas.select("event_type", live.alias("live"))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("long").alias("peak_concurrent"))
+    )

@@ -187,3 +187,34 @@ def test_semantic_decon_broadcasts_eval_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_decontaminate_semantic")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "EvalPython" not in plan
+
+
+def test_unigram_logprob_stays_jvm_side(spark, sf_dir):
+    """LM scoring is explode + aggregate + one token join — all codegen;
+    no Python eval anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q_unigram_logprob")
+    assert "EvalPython" not in plan
+
+
+def test_heavy_hitters_partial_sketch_agg(spark, sf_dir):
+    """approx_top_k must aggregate as a mergeable sketch: a partial
+    (map-side) node below the exchange and a merge node above it."""
+    plan = _plan(spark, sf_dir, "q_heavy_hitters")
+    assert "partial_approx_top_k" in plan
+
+
+def test_variant_json_map_only(spark, sf_dir):
+    """VARIANT path extraction is a pure projection: no exchange, no
+    Python eval — one scan, one project."""
+    plan = _plan(spark, sf_dir, "q_variant_json")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_peak_concurrency_single_sweep(spark, sf_dir):
+    """The sweep-line must be one keyed window over the delta union —
+    no self-join of intervals (no more than the window exchange plus the
+    final aggregate's reuse of it)."""
+    plan = _plan(spark, sf_dir, "q_peak_concurrency")
+    assert "hashpartitioning(event_type" in plan
+    assert "Join" not in plan
