@@ -1015,3 +1015,74 @@ def q_entropy_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("n_events"),
         )
     )
+
+
+_LEADLAG_MAX = 6  # hours of lead/lag scanned
+
+
+@query(
+    "q_leadlag_corr",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(range(0, {_LEADLAG_MAX + 1})) AS lag_h),
+    joined AS (
+        SELECT l.lag_h, a.n AS n_view, b.n AS n_purchase
+        FROM lags l
+        JOIN h a ON a.event_type = 'view'
+        JOIN h b ON b.event_type = 'purchase'
+              AND CAST(epoch(b.hr) AS BIGINT)
+                  = CAST(epoch(a.hr) AS BIGINT) + l.lag_h * 3600
+    )
+    SELECT CAST(lag_h AS BIGINT) AS lag_h,
+           {roundn_sql('corr(n_view, n_purchase)', 6)} AS lag_corr,
+           CAST(count(*) AS BIGINT) AS n_hours
+    FROM joined GROUP BY lag_h
+    """,
+)
+def q_leadlag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between two metric streams — the
+    reference's domain question generalized (does hashrate follow
+    price? here: do purchases follow views?): hourly volumes of the
+    leading series correlated against the lagging series shifted by
+    0..{_LEADLAG_MAX} hours; the argmax lag is the lead time.
+
+    Plan: ONE hourly count aggregate over both series (the only
+    full-data shuffle), then the 7 lag variants come from exploding a
+    literal lag range on the tiny hourly relation — O(hours x lags)
+    rows, joined on epoch-shifted hour and reduced by corr per lag.
+    Shifting epochs as integer seconds keeps the join key exact and
+    engine-portable (no interval arithmetic in the key)."""
+    h = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = h.filter(F.col("event_type") == "view").select(
+        F.unix_timestamp("hr").alias("e"), F.col("n").alias("n_view")
+    )
+    b = h.filter(F.col("event_type") == "purchase").select(
+        F.unix_timestamp("hr").alias("e_b"), F.col("n").alias("n_purchase")
+    )
+    lagged = a.select(
+        "e",
+        "n_view",
+        F.explode(F.sequence(F.lit(0), F.lit(_LEADLAG_MAX))).alias("lag_h"),
+    )
+    return (
+        lagged.join(
+            b, b["e_b"] == lagged["e"] + lagged["lag_h"] * 3600
+        )
+        .groupBy(F.col("lag_h").cast("long").alias("lag_h"))
+        .agg(
+            roundn(F.corr("n_view", "n_purchase"), 6).alias("lag_corr"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+    )

@@ -212,3 +212,47 @@ def test_python_datasource_matches_native_reader(spark, tmp_path):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in native]
     assert len(got) == 2  # corrupt file contributed nothing
+
+
+def test_python_datasource_streams_incrementally(spark, tmp_path):
+    """The landed_ticks stream reader must consume each landed file
+    exactly once across microbatches: offsets are consumed-file counts,
+    so files landed between triggers appear in the next batch and never
+    again."""
+    from bitcoinminingetl_spark.sources.python_source import LandedTickDataSource
+
+    landing = str(tmp_path / "landing")
+    land_payload(
+        {"spider_ts": 1, "price_data": {"USD": 100, "time": 1}}, landing
+    )
+    land_payload(
+        {"spider_ts": 2, "price_data": {"USD": 200, "time": 2}}, landing
+    )
+
+    spark.dataSource.register(LandedTickDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once() -> list[int]:
+        q = (
+            spark.readStream.format("landed_ticks")
+            .option("path", landing)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return sorted(r.spider_ts for r in spark.read.parquet(out).collect())
+
+    assert run_once() == [1, 2]
+
+    land_payload(
+        {"spider_ts": 3, "price_data": {"USD": 300, "time": 3}}, landing
+    )
+    # same checkpoint -> the restarted query resumes from offset {"n": 2}
+    # and must append ONLY the newly landed file (list, not set: a replay
+    # of files 1-2 would show as duplicates)
+    assert run_once() == [1, 2, 3]
