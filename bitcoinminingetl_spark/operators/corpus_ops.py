@@ -504,3 +504,95 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(F.max("cosine"), 6).alias("max_cosine"),
         )
     )
+
+
+_BUDGET_TOKENS = 20_000  # target corpus size for the selection pass
+_QB_BUCKETS = 8
+
+
+@query(
+    "q_token_budget_select",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE)
+                   / greatest(n_chars, 1) AS density
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, density,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY density DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(round(CAST(density AS DECIMAL(28,12)), 6) AS DOUBLE)
+               AS density
+    FROM c WHERE cum_before < {_BUDGET_TOKENS}
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subset selection — "fill a {_BUDGET_TOKENS}-token
+    training budget with the best documents": rank the corpus by a
+    quality key (token density here; any score column works), take docs
+    in rank order until the budget is exhausted (the last doc may
+    straddle the budget — included, matching greedy selection). This is
+    the curation step after scoring/dedup: FineWeb-style pipelines cut
+    exactly this way.
+
+    Same distributed prefix-sum skeleton as q_doc_pack, proving the
+    pattern generalizes to ARBITRARY orderings: sketch buckets come from
+    percentile_approx over the (density, doc_id) rank key — approximated
+    by bucketing on density alone with doc_id-ordered ties inside
+    buckets — within-bucket cumsum, per-bucket totals to offsets,
+    broadcast back. No single-task global window; the oracle is the
+    serial window cumsum."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+        (
+            F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")).cast(
+                "double"
+            )
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("density"),
+    )
+    qs = [i / _QB_BUCKETS for i in range(1, _QB_BUCKETS)]
+    bounds = docs.agg(
+        F.percentile_approx("density", qs, 10000).alias("bs")
+    ).select(*[F.element_at("bs", i + 1).alias(f"b{i}") for i in range(len(qs))])
+    # density DESC ordering: bucket 0 holds the highest densities
+    bucket = F.lit(len(qs))
+    for i in range(len(qs)):
+        bucket = bucket - (F.col("density") > F.col(f"b{i}")).cast("int")
+    bucketed = docs.join(F.broadcast(bounds)).select(
+        "doc_id", "n_tokens", "density", bucket.alias("bkt")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("density").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_in = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    totals = bucketed.groupBy("bkt").agg(F.sum("n_tokens").alias("tok"))
+    offs = totals.select(
+        "bkt",
+        F.coalesce(
+            F.sum("tok").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    return (
+        bucketed.join(F.broadcast(offs), "bkt")
+        .withColumn("cum_before", F.col("offset") + cum_in)
+        .filter(F.col("cum_before") < _BUDGET_TOKENS)
+        .select("doc_id", "n_tokens", roundn(F.col("density"), 6).alias("density"))
+    )

@@ -276,3 +276,80 @@ class AlertingListener:
                 callback(("terminated", event.exception))
 
         return _L()
+
+
+def windowed_averages_with_fallback_tws(events: DataFrame) -> DataFrame:
+    """The same R10 fallback operator on transformWithStateInPandas —
+    Spark 4's arbitrary-state API (the successor to
+    applyInPandasWithState): state is declared as named, typed handles
+    on a StatefulProcessor instead of one opaque tuple, the processor
+    has an explicit lifecycle (init/handleInputRows/close), and the
+    runtime adds timers and state TTL for free. Requires the RocksDB
+    state store provider (the 100 TB state backend anyway — keyed state
+    spills to disk and checkpoints incrementally instead of living on
+    the executor heap). Semantics and output schema are identical to
+    windowed_averages_with_fallback; the test runs the same fixture
+    through both. NB the TWS Python driver worker speaks protobuf to the
+    JVM, so environments without google.protobuf can't start it — the
+    test importorskips there and the applyInPandasWithState twin keeps
+    the semantics covered."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _FallbackProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._prev = handle.getValueState("prev_avg", FALLBACK_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd  # executor-side import
+
+            (event_type,) = key
+            prev = self._prev.get()[0] if self._prev.exists() else None
+            out = []
+            frames = [pdf for pdf in rows if len(pdf)]
+            if frames:
+                batch = pd.concat(frames, ignore_index=True)
+                batch["window_start"] = batch["ts"].dt.floor("5min")
+                g = (
+                    batch.groupby("window_start")["value"]
+                    .agg(["mean", "count"])
+                    .sort_index()
+                )
+                for win, r in g.iterrows():
+                    avg = float(r["mean"]) if r["count"] else None
+                    falsy = avg is None or avg == 0.0
+                    out.append(
+                        {
+                            "event_type": event_type,
+                            "window_start": win,
+                            "avg_value": prev if falsy else avg,
+                            "n": int(r["count"]),
+                            "used_fallback": falsy,
+                        }
+                    )
+                    if not falsy:
+                        prev = avg
+            self._prev.update((prev,))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_type",
+                    "window_start",
+                    "avg_value",
+                    "n",
+                    "used_fallback",
+                ],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=_FallbackProcessor(),
+            outputStructType=FALLBACK_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

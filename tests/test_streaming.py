@@ -490,3 +490,79 @@ def test_stream_static_enrich_matches_batch(spark, landed_events, tmp_path):
         for r in batch.join(static_dim, "user_id").select("event_id", "segment").collect()
     }
     assert got == exp and got  # non-empty and exactly the batch join
+
+
+def test_stateful_fallback_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 state API): the same R10
+    fallback fixture as test_stateful_fallback_operator must produce the
+    same three windows, with state carried across micro-batches through
+    the RocksDB state store.
+
+    Skipped where protobuf is absent: the TWS driver worker speaks a
+    protobuf protocol to the JVM (pyspark.sql.streaming.proto), so the
+    operator physically cannot start without it — the
+    applyInPandasWithState twin above covers the semantics there."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState needs protobuf"
+    )
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from bitcoinminingetl_spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_parquet,
+        windowed_averages_with_fallback_tws,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [
+        [("2024-01-01 00:01:00", 10.0), ("2024-01-01 00:02:00", 10.0)],
+        [("2024-01-01 00:06:00", 0.0), ("2024-01-01 00:11:00", 30.0)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(landing / f"b{i}.json", "w") as f:
+            for j, (ts, v) in enumerate(rows):
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": i * 10 + j,
+                            "ts": ts,
+                            "user_id": 1,
+                            "event_type": "click",
+                            "value": v,
+                        }
+                    )
+                    + "\n"
+                )
+        mtime = _time.time() - 600 + i * 60
+        _os.utime(landing / f"b{i}.json", (mtime, mtime))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, str(landing), max_files_per_trigger=1)
+        q = run_to_parquet(
+            windowed_averages_with_fallback_tws(stream),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            output_mode="append",
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    rows = {
+        r.window_start.strftime("%H:%M"): r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert rows["00:00"].avg_value == 10.0 and not rows["00:00"].used_fallback
+    assert rows["00:05"].avg_value == 10.0 and rows["00:05"].used_fallback
+    assert rows["00:10"].avg_value == 30.0 and not rows["00:10"].used_fallback
