@@ -1078,7 +1078,7 @@ def q_leadlag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lagged.join(
-            b, b["e_b"] == lagged["e"] + lagged["lag_h"] * 3600
+            F.broadcast(b), b["e_b"] == lagged["e"] + lagged["lag_h"] * 3600
         )
         .groupBy(F.col("lag_h").cast("long").alias("lag_h"))
         .agg(

@@ -432,3 +432,79 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    ),
+    agg AS (
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               max(CASE WHEN c.c_ts <= p.purchase_ts THEN c.c_ts END) AS bwd,
+               min(CASE WHEN c.c_ts >  p.purchase_ts THEN c.c_ts END) AS fwd
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT purchase_id, user_id, purchase_ts,
+           CASE
+               WHEN bwd IS NULL THEN fwd
+               WHEN fwd IS NULL THEN bwd
+               WHEN epoch_us(purchase_ts) - epoch_us(bwd)
+                    <= epoch_us(fwd) - epoch_us(purchase_ts) THEN bwd
+               ELSE fwd
+           END AS nearest_click_ts
+    FROM agg
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join — the sensor/feature-alignment variant
+    of q_join_asof: each purchase pairs with the click CLOSEST in time,
+    either direction, earlier side winning exact ties (deterministic).
+    One equi-join on the key and one conditional aggregate per left row
+    (max of times at-or-before, min of times after) replace the rank
+    window the backward-only emulation uses — same single shuffle on
+    user_id, no second window exchange, and the pattern extends to any
+    'nearest candidate under a scalar distance' join. DuckDB has no
+    nearest ASOF, so the oracle spells out the same backward/forward
+    reduction."""
+    events = table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    agg = (
+        p.join(c, p["user_id"] == c["c_user"], "left")
+        .groupBy("purchase_id", "user_id", "purchase_ts")
+        .agg(
+            F.max(
+                F.when(F.col("c_ts") <= F.col("purchase_ts"), F.col("c_ts"))
+            ).alias("bwd"),
+            F.min(
+                F.when(F.col("c_ts") > F.col("purchase_ts"), F.col("c_ts"))
+            ).alias("fwd"),
+        )
+    )
+    up, ub, uf = (
+        F.unix_micros("purchase_ts"),
+        F.unix_micros("bwd"),
+        F.unix_micros("fwd"),
+    )
+    nearest = (
+        F.when(F.col("bwd").isNull(), F.col("fwd"))
+        .when(F.col("fwd").isNull(), F.col("bwd"))
+        .when(up - ub <= uf - up, F.col("bwd"))
+        .otherwise(F.col("fwd"))
+    )
+    return agg.select(
+        "purchase_id", "user_id", "purchase_ts", nearest.alias("nearest_click_ts")
+    )

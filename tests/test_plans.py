@@ -218,3 +218,10 @@ def test_peak_concurrency_single_sweep(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_peak_concurrency")
     assert "hashpartitioning(event_type" in plan
     assert "Join" not in plan
+
+
+def test_leadlag_corr_broadcasts_hourly_relation(spark, sf_dir):
+    """The lag join runs on the tiny hourly relation — it must broadcast
+    (the full-data shuffle is the single hourly count aggregate)."""
+    plan = _plan(spark, sf_dir, "q_leadlag_corr")
+    assert "BroadcastHashJoin" in plan
