@@ -596,3 +596,91 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_before") < _BUDGET_TOKENS)
         .select("doc_id", "n_tokens", roundn(F.col("density"), 6).alias("density"))
     )
+
+
+# RAG/context-window chunking: fixed chunk with overlap (stride < chunk).
+_CHUNK_CHARS = 120
+_CHUNK_STRIDE = 90
+
+# Deterministic seeded corpus cut.
+_SAMPLE_K = 100
+_SAMPLE_SEED = "42"
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(off // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           substring(text, CAST(off AS BIGINT) + 1, {_CHUNK_CHARS}) AS chunk,
+           CAST(length(substring(text, CAST(off AS BIGINT) + 1, {_CHUNK_CHARS}))
+                AS BIGINT) AS chunk_len
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                      {_CHUNK_STRIDE})) AS off
+        FROM documents
+    )
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking of document text — the
+    context-window prep pass of a RAG / pretraining pipeline (chunk=120
+    chars, stride=90, so consecutive chunks share a 30-char overlap and
+    no character is lost at a boundary).
+
+    The offset list is generated per row with `sequence` and exploded
+    with `posexplode`, so the whole operator is one Generate inside a
+    narrow scan: zero shuffles, no Python, and at 100 TB it pipelines
+    straight into a parquet sink or the dedup family partition-by-
+    partition. posexplode's position doubles as the chunk id (the stride
+    sequence is regular), saving a second pass. Empty documents emit one
+    empty chunk rather than disappearing — row-count parity matters for
+    downstream provenance joins."""
+    docs = table(spark, sf_dir, "documents")
+    offs = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - F.lit(1), F.lit(0)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.posexplode(offs).alias("chunk_id", "off")
+    )
+    chunk = F.expr(f"substring(text, off + 1, {_CHUNK_CHARS})")
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
+
+
+@query(
+    "q_seeded_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+           md5(CAST(doc_id AS VARCHAR) || ':{_SAMPLE_SEED}') AS sample_key
+    FROM documents
+    ORDER BY sample_key
+    LIMIT {_SAMPLE_K}
+    """,
+)
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded uniform sample without replacement: order by
+    md5(doc_id:seed), keep the first k. Equivalent to a reservoir sample
+    but fully distributed and reproducible across engines and runs (the
+    determinism doctrine above; rand(seed) is neither). The plan is
+    TakeOrderedAndProject — each partition keeps its local top-k and only
+    k rows reach the driver-side merge, so at 100 TB the cost is one
+    narrow scan plus a k-row reduction, never a global sort. For a
+    rate-based cut (keep p% rather than top-k) the same key feeds a
+    simple `sample_key < threshold` filter with no ordering at all."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{_SAMPLE_SEED}"))
+    )
+    return (
+        docs.select("doc_id", "lang", key.alias("sample_key"))
+        .orderBy("sample_key")
+        .limit(_SAMPLE_K)
+    )

@@ -288,3 +288,70 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("centroid_csv"),
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH dv AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, dv,
+               list_max(list_transform(dv, v -> abs(v))) / 127.0 AS scale
+        FROM dv
+    )
+    SELECT vec_id,
+           {roundn_sql('scale', 8)} AS scale,
+           {roundn_sql(
+               "CASE WHEN scale > 0 THEN CAST(list_sum(list_transform(dv, "
+               "x -> CAST((x - round(x / scale) * scale) "
+               "* (x - round(x / scale) * scale) AS DECIMAL(28,12)))) "
+               "AS DOUBLE) / len(dv) END", 10)} AS mse,
+           CAST(CASE WHEN scale > 0
+                THEN len(list_filter(dv, x -> round(x / scale) != 0))
+                END AS BIGINT) AS nnz
+    FROM s
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage/
+    serving compression pass of an embedding pipeline — reporting the
+    per-vector scale, reconstruction MSE, and quantized non-zero count
+    (q = round(x/scale), scale = max|x|/127).
+
+    All vector math stays in higher-order functions over the array —
+    map-only, zero shuffles, no Python — so at 100 TB this is a narrow
+    projection that pipelines with the scan. The squared errors are
+    quantized to DECIMAL(28,12) and summed with a decimal accumulator,
+    making the sum independent of both addition order and libm (the
+    error terms use x*x, not pow, because pow is not IEEE-pinned and can
+    differ by an ulp between the JVM and C runtimes); the oracle mirrors
+    the same decimal reduction, so mse is bit-stable at 10 dp. The
+    quantized vectors themselves stay internal (array cells cannot be
+    driver-hashed); a real sink would emit transform(dv, x ->
+    CAST(round(x/scale) AS TINYINT)) alongside the scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("dv"),
+    ).withColumn(
+        "scale", F.expr("array_max(transform(dv, v -> abs(v))) / 127.0D")
+    )
+    sqerr = F.expr(
+        "CAST(aggregate(dv, CAST(0 AS DECIMAL(38,12)), (acc, x) -> "
+        "CAST(acc + CAST((x - round(x / scale) * scale) "
+        "* (x - round(x / scale) * scale) AS DECIMAL(28,12)) "
+        "AS DECIMAL(38,12))) AS DOUBLE)"
+    )
+    nnz = F.expr("size(filter(dv, x -> round(x / scale) <> 0))")
+    return base.select(
+        "vec_id",
+        roundn(F.col("scale"), 8).alias("scale"),
+        roundn(
+            F.when(F.col("scale") > 0, sqerr / F.size("dv")), 10
+        ).alias("mse"),
+        F.when(F.col("scale") > 0, nnz).cast("long").alias("nnz"),
+    )

@@ -554,3 +554,77 @@ def test_resample_interpolate_planted_gap(spark, tmp_path):
     assert len(out) == 3
     assert [r.observed for r in out] == [True, False, True]
     assert [r.value for r in out] == [10.0, 15.0, 20.0]
+
+
+def test_chunking_covers_document_exactly(spark, sf_dir):
+    """Stride-prefix reconstruction: concatenating the first `stride`
+    chars of each chunk in order rebuilds the document (no char lost at a
+    boundary, no double-count), and every chunk obeys the size cap."""
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.operators.corpus_ops import (
+        _CHUNK_CHARS,
+        _CHUNK_STRIDE,
+    )
+
+    chunks = REGISTRY["q_chunk_documents"].fn(spark, sf_dir)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk"))
+                    ),
+                    lambda s: F.substring(s["chunk"], 1, _CHUNK_STRIDE),
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bad = (
+        docs.join(rebuilt, "doc_id")
+        .filter(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+    assert chunks.filter(F.col("chunk_len") > _CHUNK_CHARS).count() == 0
+
+
+def test_quantize_error_bounded_by_half_step(spark, sf_dir):
+    """Round-to-nearest guarantees per-element error <= scale/2, so the
+    MSE can never exceed (scale/2)^2."""
+    rows = REGISTRY["q_embed_quantize"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.scale > 0
+        assert r.mse <= (r.scale / 2) ** 2 + 1e-12
+        assert 0 <= r.nnz <= 64
+
+
+def test_seeded_sample_is_true_topk(spark, sf_dir):
+    """The kept keys must be exactly the k smallest — the max kept key is
+    below every excluded key (the top-k contract, not just 'some 100')."""
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.operators.corpus_ops import (
+        _SAMPLE_K,
+        _SAMPLE_SEED,
+    )
+
+    sample = REGISTRY["q_seeded_sample"].fn(spark, sf_dir)
+    kept = sorted(r.sample_key for r in sample.collect())
+    assert len(kept) == min(
+        _SAMPLE_K, table(spark, sf_dir, "documents").count()
+    )
+    docs = table(spark, sf_dir, "documents")
+    all_keys = sorted(
+        r.k
+        for r in docs.select(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(f":{_SAMPLE_SEED}")
+                )
+            ).alias("k")
+        ).collect()
+    )
+    assert kept == all_keys[: len(kept)]

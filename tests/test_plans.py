@@ -225,3 +225,24 @@ def test_leadlag_corr_broadcasts_hourly_relation(spark, sf_dir):
     (the full-data shuffle is the single hourly count aggregate)."""
     plan = _plan(spark, sf_dir, "q_leadlag_corr")
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_is_one_generate_no_shuffle(spark, sf_dir):
+    """Chunking is a per-row explode inside the scan — any Exchange here
+    would shuffle the full corpus for a map-side operation."""
+    plan = _plan(spark, sf_dir, "q_chunk_documents")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+
+
+def test_embed_quantize_is_map_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_embed_quantize")
+    assert "Exchange" not in plan
+
+
+def test_seeded_sample_uses_partial_topk(spark, sf_dir):
+    """The seeded cut must be TakeOrderedAndProject (per-partition local
+    top-k, k-row merge), never a global Sort of the corpus."""
+    plan = _plan(spark, sf_dir, "q_seeded_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
