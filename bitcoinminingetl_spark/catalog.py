@@ -32,20 +32,40 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     collect; the scan stays lazy so downstream filters/projections reach
     the parquet reader (PushedFilters / ReadSchema).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as long (legacy conf, runtime
-    settable) and convert ns -> µs with integer `div` (a double division
-    would lose precision above 2^53 ns)."""
+    ``events.ts`` is schema-adaptive: depending on the fixture vintage it
+    is either parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
+    surfaces as a nanosecond *long* under the legacy conf — or a plain
+    TIMESTAMP(MICROS)/NTZ column. We branch on the dtype Spark actually
+    reads, never on an assumed file encoding: longs are converted ns→µs
+    with integer `div` (double division loses precision above 2^53 ns),
+    timestamps are cast to the session-zoned TIMESTAMP type so every
+    downstream operator sees one canonical type (session tz is UTC, so
+    NTZ→TZ is instant-preserving)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = _read(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _canonical_ts(df)
+    return df
+
+
+def _canonical_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to TimestampType regardless of fixture encoding."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
 def _read(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Read naive parquet TIMESTAMP(MICROS) as session-zoned TimestampType at
+    # the SCAN (session tz is UTC, so the instant is unchanged) instead of
+    # NTZ + a post-scan cast — a cast above the scan would strip ts range
+    # predicates out of PushedFilters and force full-table reads at 100 TB.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark.read.parquet(path)
 
 
@@ -58,16 +78,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 def events_in_range(spark: SparkSession, sf_dir: str, lo: str, hi: str) -> DataFrame:
     """events rows with ts in the CLOSED interval [lo, hi] (R7 BETWEEN
     semantics, reference data_model.py:29-30) — with the range predicate
-    applied to the RAW nanosecond long column BEFORE the ns→µs
-    conversion.
+    applied to the RAW scan column BEFORE any type rewrite, so the range
+    lands in PushedFilters and parquet row groups outside [lo, hi] are
+    skipped via min/max stats. At 100 TB that is the difference between
+    reading a time slice and reading the table.
 
-    A filter on the *derived* timestamp cannot push down (the scan only
-    sees IsNotNull); filtering the physical long column turns the range
-    into PushedFilters, so parquet row groups outside [lo, hi] are
-    skipped via min/max stats — at 100 TB the difference between reading
-    a time slice and reading the table. Bounds are chosen so the result
-    is bit-identical to `ts BETWEEN lo AND hi` on the derived column:
-    derived ts = floor(ns/1000) µs, hence ns ∈ [lo_µs·1000, hi_µs·1000+999].
+    Schema-adaptive like `table()`: on a nanos-as-long fixture the bounds
+    are integer ns chosen so the result is bit-identical to
+    `ts BETWEEN lo AND hi` on the derived µs column (derived
+    ts = floor(ns/1000), hence ns ∈ [lo_µs·1000, hi_µs·1000+999]); on a
+    native timestamp fixture a plain timestamp BETWEEN pushes down as-is
+    (parquet keeps min/max stats on timestamp columns natively).
 
     lo/hi: 'yyyy-MM-dd HH:mm:ss' strings, interpreted in UTC (the session
     timezone)."""
@@ -79,7 +100,12 @@ def events_in_range(spark: SparkSession, sf_dir: str, lo: str, hi: str) -> DataF
         return calendar.timegm(t.timetuple()) * 1_000_000_000
 
     raw = _read(spark, os.path.join(sf_dir, "events.parquet"))
-    return (
-        raw.filter((F.col("ts") >= _ns(lo)) & (F.col("ts") <= _ns(hi) + 999))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        return (
+            raw.filter((F.col("ts") >= _ns(lo)) & (F.col("ts") <= _ns(hi) + 999))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    raw = _canonical_ts(raw)
+    return raw.filter(
+        F.col("ts").between(F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp"))
     )
