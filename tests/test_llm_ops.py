@@ -367,6 +367,37 @@ def test_corpus_dedup_lsh_composition(spark, sf_dir, tmp_path):
     assert lsh >= exact
 
 
+def test_embed_cosine_lsh_finds_planted_near_dups(spark, tmp_path):
+    """The multi-table sign-LSH sub-buckets must recover planted
+    high-cosine pairs (the seeded planes make recall deterministic),
+    keep pairs within their label block, and reject sub-threshold and
+    cross-label pairs — every emitted pair is exactly verified."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    near = base + 0.05 * rng.standard_normal(64)  # cosine ~0.999
+    other_label = base + 0.05 * rng.standard_normal(64)  # near but label 2
+    far = rng.standard_normal(64)  # cosine ~0 vs base
+    rows = [
+        (1, [float(x) for x in base], 1),
+        (2, [float(x) for x in near], 1),
+        (3, [float(x) for x in other_label], 2),
+        (4, [float(x) for x in far], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in REGISTRY["q_dedup_embed_cosine"].fn(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.9
+    assert all(a < b for a, b in pairs)
+    assert not any({a, b} & {3} for a, b in pairs)  # label block respected
+    assert not any({a, b} & {4} for a, b in pairs)  # sub-threshold rejected
+
+
 def test_dedup_clusters_fast_chain_convergence(spark, tmp_path):
     """On a 16-doc near-dup CHAIN (each doc overlaps only its neighbors
     — worst case for plain propagation, which needs ~16 rounds), the
