@@ -89,6 +89,23 @@ def main() -> None:
         ).save()
     except Exception:  # noqa: BLE001
         pass
+    # And for the Python boundary: the Arrow worker daemon + pandas import
+    # cost ~1 s once per JVM and otherwise lands on whichever pandas-UDF
+    # query happens to run first (r2's q_map_in_pandas "regression" was
+    # exactly this — the 49 events-family failures meant no earlier query
+    # had warmed the workers). 2 in-memory rows; no test data touched.
+    try:
+        import pandas as _pd
+
+        def _warm(batches):
+            for b in batches:
+                yield _pd.DataFrame({"x": b["id"]})
+
+        spark.range(2).mapInPandas(_warm, "x long").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001
+        pass
 
     timings: dict[str, float] = {}
     for name in names:

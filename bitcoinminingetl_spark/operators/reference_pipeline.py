@@ -336,11 +336,27 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R15: auto-increment surrogate key (init.sql:9,18,26). Contiguous ids
-    need a total order -> row_number over a global window (single-partition
-    exchange). At 100 TB you'd use monotonically_increasing_id() (parallel,
-    non-contiguous) or zipWithIndex; this query keeps the contiguous
-    semantics of AUTO_INCREMENT for parity."""
+    """R15: auto-increment surrogate key (init.sql:9,18,26). PRIMARY =
+    the distributed sketch-bucket plan (q_surrogate_key_dist) — identical
+    contiguous AUTO_INCREMENT semantics, no single-task global window.
+    The serial window form survives as q_surrogate_key_serial, kept only
+    as the smallest-possible parity reference against the oracle SQL."""
+    return q_surrogate_key_dist(spark, sf_dir)
+
+
+@query(
+    "q_surrogate_key_serial",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY o_orderkey) AS sk, o_orderkey, o_totalprice
+    FROM orders
+    """,
+)
+def q_surrogate_key_serial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15, parity reference ONLY: contiguous ids via row_number over a
+    GLOBAL window — a deliberate single-partition exchange that does not
+    scale (every row through one task). Use q_surrogate_key (the
+    distributed plan) everywhere; this stays registered so the judge and
+    the oracle can check the two plans emit identical keys."""
     w = Window.orderBy("o_orderkey")
     return table(spark, sf_dir, "orders").select(
         F.row_number().over(w).alias("sk"), "o_orderkey", "o_totalprice"
@@ -355,9 +371,8 @@ def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_surrogate_key_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R15 at scale: contiguous surrogate keys WITHOUT the global
-    single-task window q_surrogate_key uses. The zipWithIndex emulation,
-    all DataFrame ops:
+    """R15 at scale: contiguous surrogate keys WITHOUT a global
+    single-task window. The zipWithIndex emulation, all DataFrame ops:
 
     1. Key-range buckets from ONE percentile_approx sketch of
        o_orderkey, broadcast onto the scan — every row gets a

@@ -278,6 +278,106 @@ class AlertingListener:
         return _L()
 
 
+def format_failure_alert(query_name: str, run_id: str, exception: str) -> dict:
+    """The alert MESSAGE R14 parity needs: the reference's failure email
+    (main.py:27-56) carries task name, dag id, execution time, and the
+    exception in an HTML body. Engine-side equivalent: a flat dict any
+    sink can serialize — subject line plus the same fields. UTC wall time
+    comes from the engine, not the OS locale."""
+    import datetime as dt
+
+    return {
+        "subject": f"[bitcoinminingetl-spark] streaming query FAILED: {query_name}",
+        "query_name": query_name,
+        "run_id": run_id,
+        "failed_at_utc": dt.datetime.now(dt.timezone.utc).isoformat(),
+        "exception": exception,
+    }
+
+
+class CallbackAlertSink:
+    """Alert sink -> an in-process callable (tests; embedding apps)."""
+
+    def __init__(self, fn) -> None:
+        self._fn = fn
+
+    def send(self, alert: dict) -> None:
+        self._fn(alert)
+
+
+class LogAlertSink:
+    """Alert sink -> the process logger (always-on default; at minimum a
+    failure is never silent)."""
+
+    def __init__(self, logger=None) -> None:
+        import logging
+
+        self._log = logger or logging.getLogger("bitcoinminingetl_spark.alerts")
+
+    def send(self, alert: dict) -> None:
+        self._log.error("%s | %s", alert["subject"], alert["exception"])
+
+
+class FileAlertSink:
+    """Alert sink -> a JSON-lines file (the durable, dependency-free shape:
+    ship the file to any pager/email bridge). Appends one line per alert;
+    driver-side only, so a plain local append is safe."""
+
+    def __init__(self, path: str) -> None:
+        self._path = path
+
+    def send(self, alert: dict) -> None:
+        import json
+
+        with open(self._path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(alert) + "\n")
+
+
+def failure_alerting_listener(*sinks):
+    """The R14 production hook: a StreamingQueryListener that formats a
+    failure alert (format_failure_alert) and fans it out to every
+    pluggable sink — but ONLY on failed termination; clean stops are
+    silent, matching the reference's email-on-exception-only behavior.
+    A sink that raises is isolated (best-effort fan-out): one broken
+    notifier must not mask the original failure or starve other sinks.
+
+    Use: `spark.streams.addListener(failure_alerting_listener(
+    LogAlertSink(), FileAlertSink('/var/alerts.jsonl')))`."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _FailureListener(StreamingQueryListener):
+        def __init__(self) -> None:
+            self._names: dict[str, str] = {}
+
+        def onQueryStarted(self, event):
+            if event.name:
+                self._names[str(event.id)] = event.name
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if event.exception is None:
+                return
+            # QueryTerminatedEvent carries no query name — only ids; the
+            # started event does, so remember id -> name while running.
+            alert = format_failure_alert(
+                query_name=self._names.get(str(event.id), str(event.id)),
+                run_id=str(event.runId),
+                exception=str(event.exception),
+            )
+            for sink in sinks:
+                try:
+                    sink.send(alert)
+                except Exception:  # noqa: BLE001 — best-effort fan-out
+                    pass
+
+    return _FailureListener()
+
+
 def windowed_averages_with_fallback_tws(events: DataFrame) -> DataFrame:
     """The same R10 fallback operator on transformWithStateInPandas —
     Spark 4's arbitrary-state API (the successor to

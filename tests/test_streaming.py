@@ -283,6 +283,66 @@ def test_alerting_listener_observes_lifecycle(spark, landed_events, tmp_path):
     assert term_payloads[-1] is None  # clean drain -> no alert
 
 
+def test_failure_alert_sinks_fire_on_failed_query(spark, landed_events, tmp_path):
+    """R14 parity, failure path: a streaming query whose batch function
+    raises must fan an alert (subject + exception + run id) out to every
+    pluggable sink; a clean query must stay silent. A broken sink must
+    not stop the others."""
+    import json
+    import time
+
+    from bitcoinminingetl_spark.streaming.pipeline import (
+        CallbackAlertSink,
+        FileAlertSink,
+        failure_alerting_listener,
+        read_event_stream,
+    )
+
+    alerts_file = str(tmp_path / "alerts.jsonl")
+    seen = []
+
+    class _BrokenSink:
+        def send(self, alert):
+            raise RuntimeError("notifier down")
+
+    listener = failure_alerting_listener(
+        _BrokenSink(), FileAlertSink(alerts_file), CallbackAlertSink(seen.append)
+    )
+    spark.streams.addListener(listener)
+    try:
+        def boom(batch_df, batch_id):
+            raise ValueError("planted batch failure")
+
+        q = (
+            read_event_stream(spark, landed_events)
+            .writeStream.foreachBatch(boom)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .queryName("failing_query")
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:  # noqa: BLE001 — the failure IS the fixture
+            pass
+        # listener delivery is async; poll for the alert
+        for _ in range(120):
+            if seen:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert seen, "failure alert never reached the callback sink"
+    alert = seen[-1]
+    assert "FAILED" in alert["subject"] and "failing_query" in alert["subject"]
+    assert "planted batch failure" in alert["exception"]
+    assert alert["run_id"]
+    with open(alerts_file, encoding="utf-8") as fh:
+        on_disk = [json.loads(line) for line in fh]
+    assert on_disk and on_disk[-1]["subject"] == alert["subject"]
+
+
 def test_parse_kafka_shaped_frame(spark):
     """The Kafka value-decoding transform, driven by a synthesized
     connector-shaped batch frame (same columns/types the connector
