@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "udfs",
     "multimodal",
     "streaming_ops",
+    "tpch",
 )
 
 

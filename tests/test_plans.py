@@ -246,3 +246,45 @@ def test_seeded_sample_uses_partial_topk(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_seeded_sample")
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_tpch_q3_topk_and_pushdown(spark, sf_dir):
+    """Q3 shape: both date predicates and the segment equality reach the
+    scans, and the top-10 compiles to TakeOrderedAndProject (per-partition
+    local top-k), never a global sort of the aggregate."""
+    plan = _plan(spark, sf_dir, "q_tpch_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    pushed = plan.split("PushedFilters:")
+    flat = " ".join(p.splitlines()[0] for p in pushed[1:])
+    assert "l_shipdate" in flat and "o_orderdate" in flat
+    assert "EqualTo(c_mktsegment,BUILDING)" in flat
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    """Q5's 6-table snowflake: every dim join is broadcast; no
+    SortMergeJoin anywhere (a sort-merge on a dim means a fact-sized
+    shuffle that should not exist)."""
+    plan = _plan(spark, sf_dir, "q_tpch_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    flat = " ".join(
+        p.splitlines()[0] for p in plan.split("PushedFilters:")[1:]
+    )
+    assert "EqualTo(r_name,ASIA)" in flat and "o_orderdate" in flat
+
+
+def test_tpch_q18_aggregates_before_join(spark, sf_dir):
+    """Q18: the HAVING aggregate collapses lineitem before any join — the
+    surviving-orderkeys relation broadcasts, so lineitem contributes only
+    its partial-aggregate shuffle."""
+    plan = _plan(spark, sf_dir, "q_tpch_large_orders")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_ri_orphans_is_all_broadcast_no_shuffle(spark, sf_dir):
+    """The referential-integrity audit: five anti joins, all broadcast —
+    zero fact-sized shuffles in the whole union."""
+    plan = _plan(spark, sf_dir, "q_ri_orphans")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert plan.count("Exchange hashpartitioning") == 0
