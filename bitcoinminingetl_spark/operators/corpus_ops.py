@@ -684,3 +684,119 @@ def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key")
         .limit(_SAMPLE_K)
     )
+
+
+# Training-mix construction: per-source token budget (equal shares — the
+# RE-BALANCING cut: big sources get downsampled to the budget, small ones
+# pass whole; weights other than uniform are a one-line change).
+_MIX_TOKENS_PER_SOURCE = 600
+
+
+@query(
+    "q_mix_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                   AS n_tokens,
+               len(regexp_extract_all(text, '[a-z0-9]+'))
+                   / greatest(n_chars, 1) AS density
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY density DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM scored
+    )
+    SELECT doc_id, source, n_tokens FROM cum
+    WHERE cum_before < {_MIX_TOKENS_PER_SOURCE}
+    """,
+)
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: fill an equal per-source token budget
+    with each source's best documents (quality = token density; any score
+    column works). The rebalancing cut every multi-source pretraining mix
+    runs — oversized sources are truncated at the budget in quality
+    order, small sources pass entirely; greedy inclusion means the last
+    doc may straddle the budget, matching q_token_budget_select.
+
+    Scale shape: the cumulative sum partitions BY SOURCE, so every
+    source's prefix-sum runs as an independent task — parallelism =
+    number of sources, no global window anywhere. One source so large
+    its own prefix-sum needs splitting would reuse
+    q_token_budget_select's sketch-bucket skeleton within that source;
+    at real mix cardinalities (10s-100s of sources) the per-source
+    window IS the right plan."""
+    toks = F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        toks.cast("long").alias("n_tokens"),
+        (toks.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))).alias(
+            "density"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("density").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("cum_before") < _MIX_TOKENS_PER_SOURCE)
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+@query(
+    "q_quality_calibrate",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '[a-z0-9]+'))
+                   / greatest(n_chars, 1) AS score
+        FROM documents
+    )
+    SELECT doc_id, source,
+           round(percent_rank() OVER (
+               PARTITION BY source ORDER BY score
+           ), 6) AS pct_rank,
+           percent_rank() OVER (PARTITION BY source ORDER BY score) >= 0.2
+               AS keep
+    FROM scored
+    """,
+)
+def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: raw quality scores are not
+    comparable across sources (web boilerplate scores differently from
+    books), so thresholds must be per-source — replace the raw score
+    with its percent-rank WITHIN its source, then one global cut (keep
+    the top 80%) means the same thing everywhere. This is how quality
+    filters are actually applied across a multi-source mix (per-domain
+    calibrated thresholds, not one global score cut).
+
+    Scale shape: percent_rank partitions by source — independent
+    per-source tasks, no global ordering; percent_rank depends only on
+    rank, so score ties agree with any serial oracle regardless of
+    partitioning."""
+    score = (
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("double")
+        / F.greatest(F.col("n_chars"), F.lit(1))
+    )
+    w = Window.partitionBy("source").orderBy("score")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", score.alias("score"))
+        .select(
+            "doc_id",
+            "source",
+            roundn(F.percent_rank().over(w), 6).alias("pct_rank"),
+            (F.percent_rank().over(w) >= 0.2).alias("keep"),
+        )
+    )

@@ -21,6 +21,7 @@ from bitcoinminingetl_spark.registry import query
 from bitcoinminingetl_spark.streaming.pipeline import (
     read_event_stream,
     run_to_parquet,
+    session_windows,
     windowed_metric_averages,
 )
 
@@ -58,4 +59,50 @@ def q_streaming_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
             "n",
         )
+    )
+
+
+@query("q_streaming_sessionize")  # rows-only: stateful streaming lifecycle
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows driven through the full streaming lifecycle:
+    landed JSON -> file stream -> per-user session_window (30-min
+    inactivity gap) in APPEND mode (dynamic-length windows only emit
+    once finalized by the watermark) -> foreachBatch parquet ->
+    AvailableNow drain. Dynamic session windows are the one windowing
+    shape the batch reference cannot express at all; the batch twin
+    (q_sessionize) builds the same sessions with lag+cumsum (boundary
+    note: batch starts a new session strictly AFTER the gap, streaming's
+    window is end-exclusive, so an event landing exactly on the gap
+    boundary differs). The unit test asserts the session laws on the
+    emitted rows: per-user disjointness, ordering, and the inactivity
+    gap between consecutive sessions.
+
+    Determinism: maxFilesPerTrigger fixes the batch boundaries, so the
+    final watermark — and therefore WHICH sessions are finalized — is
+    the same every run; sessions within the lateness horizon of the last
+    event stay open and unemitted by design."""
+    work = tempfile.mkdtemp(prefix="bmetl_sess_")
+    landing, out, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
+    (
+        events_in_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-12 00:00:00")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(4)
+        .write.json(landing)
+    )
+    stream = read_event_stream(spark, landing, max_files_per_trigger=2)
+    q = run_to_parquet(
+        session_windows(stream), out, ckpt, output_mode="append"
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.read.parquet(out)
+    # append mode emits each finalized session exactly once — no
+    # per-window last-emission dedup needed (that is the update-mode
+    # contract q_streaming_window_avg handles above)
+    return emitted.select(
+        F.col("sess.start").alias("session_start"),
+        F.col("sess.end").alias("session_end"),
+        "user_id",
+        "n_events",
+        "avg_value",
     )

@@ -626,3 +626,36 @@ def test_stateful_fallback_transform_with_state(spark, tmp_path):
     assert rows["00:00"].avg_value == 10.0 and not rows["00:00"].used_fallback
     assert rows["00:05"].avg_value == 10.0 and rows["00:05"].used_fallback
     assert rows["00:10"].avg_value == 30.0 and not rows["00:10"].used_fallback
+
+
+def test_streaming_sessionize_laws(spark, sf_dir):
+    """q_streaming_sessionize's emitted (finalized) sessions obey the
+    session-window laws: every session is non-empty and well-ordered,
+    and a user's consecutive sessions are separated by at least the
+    30-minute inactivity gap (otherwise session_window would have merged
+    them)."""
+    from collections import defaultdict
+
+    from bitcoinminingetl_spark.registry import load_all
+
+    rows = load_all()["q_streaming_sessionize"].fn(spark, sf_dir).collect()
+    assert rows, "no finalized sessions emitted"
+    by_user = defaultdict(list)
+    for r in rows:
+        assert r.n_events >= 1
+        assert r.session_end >= r.session_start
+        by_user[r.user_id].append(r)
+    gap_s = 30 * 60
+    multi = 0
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r.session_start)
+        for a, b in zip(sess, sess[1:]):
+            multi += 1
+            # session_window end = last event + gap (end-exclusive), so
+            # "next session starts at or after the previous end" IS the
+            # inactivity-gap law: b.start - last_event(a) >= gap
+            assert (b.session_start - a.session_end).total_seconds() >= 0
+            # cross-check via the reconstructed last-event time
+            last_event_a = a.session_end.timestamp() - gap_s
+            assert b.session_start.timestamp() - last_event_a >= gap_s
+    assert multi > 0, "fixture produced no user with 2+ sessions"
