@@ -267,3 +267,53 @@ def test_ewma_matches_python_reference(spark, series):
             s = sum(v * 0.5 ** (m - 1 - j) for j, v in enumerate(window))
             want = s / (2 * (1 - 0.5 ** m))
             assert abs(got[eid] - want) < 1e-6, (eid, got[eid], want)
+
+
+def test_mix_sample_budget_property(spark, sf_dir):
+    """q_mix_sample's greedy-inclusion contract, checked per source:
+    (1) selected tokens minus the last (straddling) doc stay under the
+    budget; (2) the selection is the quality-order PREFIX — no skipped
+    better doc; (3) every source with any docs is represented."""
+    from bitcoinminingetl_spark.operators.corpus_ops import (
+        _MIX_TOKENS_PER_SOURCE,
+    )
+
+    picked = REGISTRY["q_mix_sample"].fn(spark, sf_dir).collect()
+    by_source = {}
+    for r in picked:
+        by_source.setdefault(r.source, []).append(r)
+
+    docs = REGISTRY["q_quality_calibrate"].fn(spark, sf_dir).collect()
+    all_sources = {r.source for r in docs}
+    assert set(by_source) == all_sources
+
+    # recompute each source's quality order from the same scoring
+    from bitcoinminingetl_spark.catalog import table as _table
+
+    scored = (
+        _table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
+            .cast("long")
+            .alias("n_tokens"),
+            (
+                F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")).cast(
+                    "double"
+                )
+                / F.greatest(F.col("n_chars"), F.lit(1))
+            ).alias("density"),
+        )
+        .collect()
+    )
+    order = {}
+    for r in scored:
+        order.setdefault(r.source, []).append(r)
+    for src, rows in order.items():
+        rows.sort(key=lambda r: (-r.density, r.doc_id))
+        chosen = {r.doc_id for r in by_source[src]}
+        prefix = rows[: len(chosen)]
+        assert {r.doc_id for r in prefix} == chosen, src  # exact prefix
+        total = sum(r.n_tokens for r in prefix)
+        assert total - prefix[-1].n_tokens < _MIX_TOKENS_PER_SOURCE, src
