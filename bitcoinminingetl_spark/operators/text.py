@@ -603,3 +603,88 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("long").alias("est_count"),
         )
     )
+
+
+@query(
+    "q_bigram_logprob",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(ts) - 1),
+                   i -> {{'w1': ts[i], 'w2': ts[i + 1]}})) AS p
+        FROM split WHERE len(ts) >= 2
+    ),
+    b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           {roundn_sql(
+               "CAST(sum(CAST(ln(c2.c2 * 1.0 / c1.c1) AS DECIMAL(28,12)))"
+               " AS DOUBLE) / count(*)",
+               6,
+           )} AS avg_logprob
+    FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring — q_unigram_logprob's conditional
+    upgrade and the closest SQL-checkable stand-in for the perplexity
+    filter (CCNet/Gopher-style) every pretraining pipeline applies:
+    train bigram transition counts on the corpus itself, then score each
+    document by its mean ln P(w2|w1) = ln(c(w1,w2)/c(w1)). Fluent text
+    rides high-probability transitions; shuffled or boilerplate-stitched
+    text scores low even when its unigram mix looks normal — which is
+    exactly what the bigram model adds over the unigram one.
+    Self-training means every scored bigram was counted, so no smoothing
+    term clouds the oracle; c(w1) counts first-positions over the bigram
+    relation on BOTH sides, keeping the conditional well-normalized.
+    Docs under 2 tokens have no bigrams and drop out (both sides).
+
+    Plan: one explode -> two mergeable count aggregates (|bigrams| and
+    |vocab| rows) -> transition table joins its w1 marginals (small ⋈
+    smaller) -> ONE heavy shuffle joining (doc, w1, w2) against the
+    scored transitions on (w1, w2); hot bigrams skew it and AQE
+    skew-split owns that, same story as the unigram tf join. Per-bigram
+    log terms quantize to DECIMAL(28,12) before the per-doc sum (dsum
+    doctrine: partition-order-independent results)."""
+    toks = F.split("text", " ")
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    b = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.log(F.col("c2") * 1.0 / F.col("c1"))
+        .cast("decimal(28,12)")
+        .alias("lp"),
+    )
+    return (
+        b.join(scored, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            roundn(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -659,3 +659,25 @@ def test_seeded_sample_is_true_topk(spark, sf_dir):
         ).collect()
     )
     assert kept == all_keys[: len(kept)]
+
+
+def test_bigram_logprob_ranks_fluent_above_shuffled(spark, tmp_path):
+    """The bigram LM's whole point over the unigram one: a document with
+    predictable transitions must outscore one with the SAME token
+    multiset in scrambled order (their unigram scores would tie)."""
+    fluent = "the cat sat on the mat " * 10
+    shuffled = "mat the on sat the cat sat mat on cat the the " + \
+        "on mat sat the cat the mat on the sat cat the " * 2
+    rows = [
+        (1, fluent.strip(), "en", "web", len(fluent)),
+        (2, fluent.strip(), "en", "web", len(fluent)),  # reinforce transitions
+        (3, shuffled.strip(), "en", "web", len(shuffled)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r.avg_logprob
+        for r in REGISTRY["q_bigram_logprob"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1] > out[3]
