@@ -1,0 +1,77 @@
+"""Whole-registry physical-plan audit: grep every registered query's
+executed plan for scale anti-patterns and fail loudly on new ones.
+
+What counts as an anti-pattern (and the allowed exceptions):
+- CartesianProduct           — never acceptable; none exist today.
+- BatchEvalPython / row UDFs — only the UDTF demo (q_python_udtf) may
+  evaluate Python per row: demonstrating that escape hatch IS the query.
+- SortMergeJoin              — allowed only where both sides are genuinely
+  fact-sized (full-outer window join, bloom-join probe); a SMJ against a
+  dimension means a broadcast was missed.
+- BroadcastNestedLoopJoin    — allowed only for tiny-side literal/stat
+  relations (1-row aggregates, centroid tables, offset maps); plans
+  carrying one are listed so a reviewer can spot a non-tiny side.
+
+Run: python scripts/audit_plans.py   (exit 1 on violations)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# Queries that execute a real streaming lifecycle when built — auditing
+# them would run the stream; their plans are covered by the streaming
+# tests instead.
+LIFECYCLE = {"q_streaming_window_avg", "q_streaming_sessionize"}
+
+# The one sanctioned per-row Python eval: the UDTF escape-hatch demo.
+ROW_PYTHON_OK = {"q_python_udtf"}
+
+# SMJ allowed where both join sides are fact-sized by construction.
+SMJ_OK = {"q_window_join", "q_join_full", "q_join_bloom"}
+
+
+def main() -> int:
+    from bitcoinminingetl_spark.registry import load_all
+    from bitcoinminingetl_spark.session import get_spark
+
+    spark = get_spark(app_name="audit-plans", cpus=4, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+
+    violations: list[str] = []
+    bnlj_carriers: list[str] = []
+    for name in sorted(reg):
+        if name in LIFECYCLE:
+            continue
+        df = reg[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan and name not in ROW_PYTHON_OK:
+            violations.append(f"{name}: row-at-a-time Python eval")
+        if "SortMergeJoin" in plan and name not in SMJ_OK:
+            violations.append(f"{name}: unexpected SortMergeJoin")
+        if "BroadcastNestedLoopJoin" in plan:
+            bnlj_carriers.append(name)
+
+    print(f"audited {len(reg) - len(LIFECYCLE)} plans at {SF_DIR}")
+    print("BNLJ carriers (verify tiny-side):", " ".join(bnlj_carriers))
+    if violations:
+        print("VIOLATIONS:")
+        for v in violations:
+            print(" -", v)
+        return 1
+    print("RESULT: OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
