@@ -120,6 +120,24 @@ def _jaccard_pairs(shingled: DataFrame, df_cap: int | None = None) -> DataFrame:
     from the kept shingles), keeping the metric internally consistent —
     mirrored exactly by the DuckDB oracle's HAVING count(*) <= cap.
     df_cap=None keeps unpruned semantics (the oracle ground truth)."""
+    return _pair_overlaps(shingled, df_cap).select(
+        "doc_a",
+        "doc_b",
+        roundn(
+            F.col("n_inter")
+            * 1.0
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def _pair_overlaps(shingled: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """The shared pair-overlap skeleton: (doc_a, doc_b, n_inter, n_a,
+    n_b) for all doc pairs sharing >=1 (kept) shingle — the relation
+    every set-similarity metric (Jaccard, containment, overlap
+    coefficient) is a one-line projection of. See _jaccard_pairs for the
+    one-groupBy design and the df_cap stop-shingle guard."""
     grouped = shingled.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
@@ -159,16 +177,6 @@ def _jaccard_pairs(shingled: DataFrame, df_cap: int | None = None) -> DataFrame:
                 "n_shingles", "n_b"
             ),
             on="doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            roundn(
-                F.col("n_inter")
-                * 1.0
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
         )
     )
 
@@ -240,6 +248,55 @@ def q_dedup_ngram_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_ngram_jaccard remains the unpruned ground truth."""
     return _jaccard_pairs(shingle_index(spark, sf_dir), df_cap=_DF_CAP).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
+    )
+
+
+_CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH sh0 AS ({_SHINGLE_SQL}),
+    kept AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_DF_CAP}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {roundn_sql('n_inter * 1.0 / least(sa.n, sb.n)', 6)} AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / least(sa.n, sb.n) >= {_CONTAINMENT_THRESHOLD}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: C = |A∩B| / min(|A|,|B|) ≥ 0.8 — the
+    partial-duplication detector Jaccard structurally misses. A short
+    document quoted whole inside a long one scores C = 1.0 but Jaccard ≈
+    |A|/|B| → 0 as the wrapper grows, so boilerplate-wrapped copies and
+    quote-inclusion dups survive a Jaccard-only pass; every serious
+    corpus dedup runs both metrics over the same pair relation. Shares
+    _pair_overlaps (one groupBy, df_cap stop-shingle guard) with the
+    Jaccard family — the metric is a projection, not a new shuffle."""
+    return (
+        _pair_overlaps(shingle_index(spark, sf_dir), df_cap=_DF_CAP)
+        .select(
+            "doc_a",
+            "doc_b",
+            roundn(
+                F.col("n_inter") * 1.0 / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
     )
 
 

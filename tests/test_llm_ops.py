@@ -681,3 +681,59 @@ def test_bigram_logprob_ranks_fluent_above_shuffled(spark, tmp_path):
         for r in REGISTRY["q_bigram_logprob"].fn(spark, str(tmp_path)).collect()
     }
     assert out[1] > out[3]
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark, tmp_path):
+    """A short doc quoted whole inside a long wrapper: containment = 1.0
+    (caught), Jaccard ≈ |A|/|B| (far below its 0.3 threshold — missed).
+    This asymmetry is the whole reason the containment pass exists."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (1, short, "en", "web", len(short)),
+        (2, filler + " " + short + " " + filler, "en", "web", 1),
+        (3, "completely unrelated text with different words", "en", "web", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in REGISTRY["q_dedup_containment"].fn(spark, str(tmp_path)).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_ngram_jaccard"].fn(spark, str(tmp_path)).collect()
+    }
+    assert cont.get((1, 2)) == 1.0          # full inclusion caught
+    assert (1, 2) not in jac                # the Jaccard-only blind spot
+    assert not any(3 in p for p in cont)    # unrelated doc untouched
+
+
+def test_stop_shingle_guard_bounds_pathological_fanout(spark, tmp_path):
+    """60 docs sharing one boilerplate sentence (df=60 > cap=50): the
+    unpruned pair generator owes 60·59/2 = 1770 pairs from that shingle
+    alone; the df_cap guard drops it BEFORE pair generation, so the
+    pruned variant emits no boilerplate-only pairs while still finding a
+    planted genuine near-dup pair through its sub-cap shingles."""
+    boiler = "all rights reserved contact us at example dot com"
+    uniq = "zq{} xw{} vr{}"
+    rows = [
+        (i, boiler + " " + uniq.format(i, i, i), "en", "web", 1)
+        for i in range(1, 61)
+    ]
+    # planted genuine near-dups: long shared UNIQUE tail, sub-cap shingles
+    tail = " ".join(f"tok{j}" for j in range(30))
+    rows += [
+        (100, tail, "en", "web", 1),
+        (101, tail + " extra", "en", "web", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    pruned = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_ngram_pruned"].fn(spark, str(tmp_path)).collect()
+    }
+    assert (100, 101) in pruned             # real near-dup still found
+    assert all(a >= 100 for a, b in pruned)  # no boilerplate-only pairs
