@@ -875,3 +875,69 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
+
+
+@query(
+    "q_source_overlap_matrix",
+    oracle=f"""
+    WITH sh0 AS ({_SHINGLE_SQL}),
+    kept AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_DF_CAP}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+    )
+    SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    GROUP BY source_lo, source_hi
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the corpus-governance question
+    ("how much does source A duplicate source B?") asked before choosing
+    mix weights: near-dup pairs (the df_cap-guarded exact Jaccard pass)
+    rolled up by unordered source pair. A heavy diagonal means
+    within-source redundancy (dedup there first); heavy off-diagonal
+    cells mean two feeds crawl the same content and one should be
+    down-weighted or decontaminated against the other.
+
+    Plan: the pair relation is orders of magnitude smaller than the
+    corpus, so both source lookups are broadcast joins of the (doc_id,
+    source) projection; the rollup aggregates |sources|² rows at most.
+    Everything heavy is the shared pair skeleton, already guarded."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _jaccard_pairs(shingle_index(spark, sf_dir), df_cap=_DF_CAP).filter(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
+    )
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
