@@ -245,3 +245,47 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _TOP_K)
     )
+
+
+_PCA_K = 16
+
+
+@query("q_embed_pca")  # rows-only: component signs/rotation are solver-specific
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction of the embedding column (64 -> 16
+    dims) — the compression step an embedding pipeline runs before
+    ANN indexing or storage (16 floats/vector instead of 64 at ~the
+    cost of the tail variance). MLlib PCA: one distributed covariance
+    accumulation (a treeAggregate over the vectors — mergeable,
+    one pass), an eigendecomposition of the tiny k×k... d×d Gram matrix
+    on the driver (64×64 here — driver cost is O(d²), independent of
+    row count), and a broadcast projection matrix applied map-only.
+    That is exactly the 100 TB shape: the only data-sized work is two
+    map passes.
+
+    Rows-only check (eigenvector sign and rotation are solver-specific,
+    so values can't hash against an independent oracle); the unit test
+    asserts the model invariants instead: unit-norm projections of the
+    explained-variance ordering, and pairwise reconstruction distances
+    preserved for the planted near-identical pair."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    from pyspark.ml.feature import PCA
+
+    model = PCA(k=_PCA_K, inputCol="features", outputCol="pc").fit(emb)
+    return (
+        model.transform(emb)
+        .select(
+            "vec_id",
+            F.transform(
+                vector_to_array("pc"), lambda v: F.round(v, 6)
+            ).alias("components"),
+        )
+        .select(
+            "vec_id",
+            F.concat_ws(
+                ",", F.transform("components", lambda v: v.cast("string"))
+            ).alias("components_csv"),
+        )
+    )

@@ -737,3 +737,41 @@ def test_stop_shingle_guard_bounds_pathological_fanout(spark, tmp_path):
     }
     assert (100, 101) in pruned             # real near-dup still found
     assert all(a >= 100 for a, b in pruned)  # no boilerplate-only pairs
+
+
+def test_embed_pca_invariants(spark, sf_dir, tmp_path):
+    """PCA model invariants (values are solver-specific, properties are
+    not): components come out in decreasing explained-variance order,
+    the projection is deterministic, and geometry survives — a planted
+    near-identical pair stays close in PCA space while an unrelated
+    vector stays far."""
+    import numpy as np
+
+    def parse(df):
+        return {
+            r.vec_id: np.array([float(x) for x in r.components_csv.split(",")])
+            for r in df.collect()
+        }
+
+    a = parse(REGISTRY["q_embed_pca"].fn(spark, sf_dir))
+    b = parse(REGISTRY["q_embed_pca"].fn(spark, sf_dir))
+    assert a.keys() == b.keys() and all((a[k] == b[k]).all() for k in a)
+    mat = np.vstack(list(a.values()))
+    assert mat.shape[1] == 16
+    variances = mat.var(axis=0)
+    assert all(
+        variances[i] >= variances[i + 1] - 1e-9 for i in range(len(variances) - 1)
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64)
+    rows = [
+        (1, [float(x) for x in base], 1),
+        (2, [float(x) for x in base + 0.01 * rng.standard_normal(64)], 1),
+        (3, [float(x) for x in rng.standard_normal(64)], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    p = parse(REGISTRY["q_embed_pca"].fn(spark, str(tmp_path)))
+    assert np.linalg.norm(p[1] - p[2]) < np.linalg.norm(p[1] - p[3])
