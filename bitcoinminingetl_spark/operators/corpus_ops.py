@@ -22,8 +22,9 @@ from bitcoinminingetl_spark.functions.numeric import roundn
 from bitcoinminingetl_spark.functions.state import ckpt
 from bitcoinminingetl_spark.operators.dedup import (
     _JACCARD_THRESHOLD,
-    _jaccard_pairs,
+    _jaccard_from_overlaps,
     NGRAM_PAIRS_ORACLE,
+    pair_overlaps,
     shingle_index,
 )
 from bitcoinminingetl_spark.registry import query
@@ -148,8 +149,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage stays flat — reliable checkpoint() when the session has a
     checkpoint dir (survives executor loss at 100 TB), localCheckpoint
     otherwise. DuckDB oracle: recursive-CTE transitive closure, same
-    fixpoint."""
-    pairs = _jaccard_pairs(shingle_index(spark, sf_dir)).filter(
+    fixpoint. The edge set derives from the shared persisted pair
+    relation (dedup.pair_overlaps), so pair generation is not recomputed
+    even across queries."""
+    pairs = _jaccard_from_overlaps(pair_overlaps(spark, sf_dir)).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
     )
     edges = (
@@ -274,8 +277,9 @@ def q_dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Each round stays a bounded number of distributed join+aggs
     over checkpointed state (reliable checkpoint under a checkpoint dir,
     see _ckpt); same fixpoint, same recursive-CTE oracle as the
-    propagation-only twin."""
-    pairs = _jaccard_pairs(shingle_index(spark, sf_dir)).filter(
+    propagation-only twin. Edges come from the shared persisted
+    pair_overlaps relation, computed once per corpus."""
+    pairs = _jaccard_from_overlaps(pair_overlaps(spark, sf_dir)).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
     )
     edges = (

@@ -120,7 +120,13 @@ def _jaccard_pairs(shingled: DataFrame, df_cap: int | None = None) -> DataFrame:
     from the kept shingles), keeping the metric internally consistent —
     mirrored exactly by the DuckDB oracle's HAVING count(*) <= cap.
     df_cap=None keeps unpruned semantics (the oracle ground truth)."""
-    return _pair_overlaps(shingled, df_cap).select(
+    return _jaccard_from_overlaps(_pair_overlaps(shingled, df_cap))
+
+
+def _jaccard_from_overlaps(overlaps: DataFrame) -> DataFrame:
+    """Jaccard = |A∩B| / (|A|+|B|-|A∩B|) as a projection of the shared
+    pair-overlap relation — no shuffle of its own."""
+    return overlaps.select(
         "doc_a",
         "doc_b",
         roundn(
@@ -181,6 +187,44 @@ def _pair_overlaps(shingled: DataFrame, df_cap: int | None = None) -> DataFrame:
     )
 
 
+_PAIR_OVERLAPS_CACHE: dict[str, DataFrame] = {}
+
+
+def pair_overlaps(
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int | None = None,
+    n: int = _NGRAM,
+) -> DataFrame:
+    """The materialized PAIR-OVERLAP relation for a corpus: (doc_a,
+    doc_b, n_inter, n_a, n_b) persisted once per (session, corpus, n,
+    df_cap) and shared by every exact set-similarity consumer —
+    q_dedup_ngram_jaccard/_pruned/_containment, q_dedup_clusters{,_fast},
+    q_corpus_dedup, q_source_overlap_matrix. It is the second level of
+    the dedup-family artifact stack: shingle_index materializes the
+    (doc_id, shingle) relation; this materializes the guarded pair
+    generation on top of it, which was previously recomputed per query
+    (the single most expensive repeated subplan in the engine — the
+    groupBy(shingle) + in-group pair explosion + two size joins).
+
+    At 100 TB this is the "candidate/overlap table" a production dedup
+    pipeline writes once per corpus snapshot and serves to every metric,
+    clustering, and governance pass; here it is a MEMORY_AND_DISK
+    persist with the same bounded-eviction policy as shingle_index.
+    Every similarity metric (Jaccard, containment, overlap coefficient)
+    is a map-only projection of this relation."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{n}:{df_cap}"
+    df = _PAIR_OVERLAPS_CACHE.get(key)
+    if df is None:
+        if len(_PAIR_OVERLAPS_CACHE) >= 4:
+            for old in _PAIR_OVERLAPS_CACHE.values():
+                old.unpersist()
+            _PAIR_OVERLAPS_CACHE.clear()
+        df = _pair_overlaps(shingle_index(spark, sf_dir, n), df_cap).persist()
+        _PAIR_OVERLAPS_CACHE[key] = df
+    return df
+
+
 # DuckDB-side exact near-dup pairs — the oracle for q_dedup_ngram_jaccard
 # and the edge set for q_dedup_clusters' oracle (corpus_ops.py).
 NGRAM_PAIRS_ORACLE = f"""
@@ -207,8 +251,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs above 0.3 — the ground truth
     the probabilistic variants (MinHash, SimHash) approximate. Correct at
     any scale but the shingle-equality join is the quadratic risk; use
-    q_dedup_minhash_lsh beyond ~10^7 docs."""
-    return _jaccard_pairs(shingle_index(spark, sf_dir)).filter(
+    q_dedup_minhash_lsh beyond ~10^7 docs. Reads the shared persisted
+    pair-overlap relation (pair_overlaps); the Jaccard metric is a
+    map-only projection of it."""
+    return _jaccard_from_overlaps(pair_overlaps(spark, sf_dir)).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
     )
 
@@ -245,10 +291,11 @@ def q_dedup_ngram_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles shared by more than df_cap documents are dropped before pair
     generation, bounding any single task's pair fan-out. This is the
     variant to run at corpus scale when exact (non-LSH) pairs are needed;
-    q_dedup_ngram_jaccard remains the unpruned ground truth."""
-    return _jaccard_pairs(shingle_index(spark, sf_dir), df_cap=_DF_CAP).filter(
-        F.col("jaccard") >= _JACCARD_THRESHOLD
-    )
+    q_dedup_ngram_jaccard remains the unpruned ground truth. Projects
+    the shared persisted guarded pair-overlap relation."""
+    return _jaccard_from_overlaps(
+        pair_overlaps(spark, sf_dir, df_cap=_DF_CAP)
+    ).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
 
 
 _CONTAINMENT_THRESHOLD = 0.8
@@ -285,10 +332,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A|/|B| → 0 as the wrapper grows, so boilerplate-wrapped copies and
     quote-inclusion dups survive a Jaccard-only pass; every serious
     corpus dedup runs both metrics over the same pair relation. Shares
-    _pair_overlaps (one groupBy, df_cap stop-shingle guard) with the
-    Jaccard family — the metric is a projection, not a new shuffle."""
+    the persisted pair_overlaps relation (one groupBy, df_cap
+    stop-shingle guard) with the Jaccard family — the metric is a
+    projection, not a new shuffle, and the pair generation is not even
+    recomputed."""
     return (
-        _pair_overlaps(shingle_index(spark, sf_dir), df_cap=_DF_CAP)
+        pair_overlaps(spark, sf_dir, df_cap=_DF_CAP)
         .select(
             "doc_a",
             "doc_b",
@@ -666,14 +715,10 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exact_survivors AS (SELECT doc_id FROM canon WHERE rn = 1),
     sh0 AS ({_SHINGLE_SQL}),
-    sh1 AS (
-        SELECT doc_id, shingle FROM sh0
-        WHERE doc_id IN (SELECT doc_id FROM exact_survivors)
-    ),
     kept AS (
-        SELECT shingle FROM sh1 GROUP BY shingle HAVING count(*) <= {_DF_CAP}
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_DF_CAP}
     ),
-    sh AS (SELECT sh1.doc_id, sh1.shingle FROM sh1 JOIN kept USING (shingle)),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
     sizes AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
     ),
@@ -700,40 +745,39 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. exact stage: keep the lowest doc_id per content hash (md5) —
        one hash aggregate, removes byte-identical copies.
-    2. near-dup stage: among exact survivors, compute 3-gram Jaccard
-       pairs (the q_dedup_ngram_pruned plan: stop-shingle df_cap=50
-       guard, so one boilerplate shingle shared by g survivors cannot
-       fan out g(g-1)/2 pairs from a single task) and drop the HIGHER
-       doc_id of every pair ≥ 0.3 — deterministic keep-lowest policy.
+    2. near-dup stage: drop every survivor that is the HIGHER doc_id of
+       a 3-gram Jaccard pair ≥ 0.3 in the SHARED guarded pair relation
+       (pair_overlaps: stop-shingle df_cap=50 over the raw corpus, one
+       persisted computation reused by the whole dedup family).
+
+    The near-dup stage reads the full-corpus pair relation rather than
+    re-deriving pairs over the survivor subset; this is sound because
+    exact duplicates have identical shingle sets — if survivor S is a
+    near-dup of dropped doc D, then S is an equal-Jaccard near-dup of
+    D's surviving twin (the min doc_id of D's hash class, which is
+    < D), so the same survivor is dropped either way, and pairs whose
+    higher id is a non-survivor are no-ops under the anti-join. DF
+    pruning over the raw corpus is also the better stop-shingle
+    estimator: boilerplate frequency should not depend on the dedup
+    stage. The DuckDB oracle applies the identical semantics (full-
+    corpus cap + pair set, anti-joined onto the survivors).
 
     Output: the surviving doc_ids (the corpus you'd train on). At scale
     stage 2 swaps in the MinHash+LSH candidate generator
     (q_dedup_minhash_lsh) with identical keep-policy plumbing; the exact
-    variant here is the DuckDB-checkable ground truth (the oracle applies
-    the identical df_cap over the survivor shingle set)."""
+    variant here is the DuckDB-checkable ground truth."""
     docs = table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact_survivors = (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
+        .select("doc_id")
     )
-    # A doc's shingles don't depend on the rest of the corpus, so the
-    # survivor shingles are a doc_id-filter of the shared shingle index
-    # rather than a second scan+tokenize+explode. Broadcast semi-join is
-    # right here (ids are a compact long column); at 100 TB the index
-    # lives in a table bucketed on doc_id and the semi-join is
-    # shuffle-free on the bucketing instead of broadcast.
-    sh = shingle_index(spark, sf_dir).join(
-        F.broadcast(exact_survivors.select("doc_id")), "doc_id", "semi"
-    )
-    pairs = _jaccard_pairs(sh, df_cap=_DF_CAP).filter(
-        F.col("jaccard") >= _JACCARD_THRESHOLD
-    )
+    pairs = _jaccard_from_overlaps(
+        pair_overlaps(spark, sf_dir, df_cap=_DF_CAP)
+    ).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     near_dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return exact_survivors.select("doc_id").join(
-        near_dups, on="doc_id", how="left_anti"
-    )
+    return exact_survivors.join(near_dups, on="doc_id", how="left_anti")
 
 
 @query("q_corpus_dedup_lsh")  # rows-only: LSH signatures are engine-specific
@@ -918,14 +962,19 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells mean two feeds crawl the same content and one should be
     down-weighted or decontaminated against the other.
 
-    Plan: the pair relation is orders of magnitude smaller than the
-    corpus, so both source lookups are broadcast joins of the (doc_id,
-    source) projection; the rollup aggregates |sources|² rows at most.
-    Everything heavy is the shared pair skeleton, already guarded."""
+    Plan: everything heavy is the shared persisted pair relation
+    (pair_overlaps), already guarded and computed once per corpus. The
+    source lookups join the pair relation (orders of magnitude smaller
+    than the corpus) against the (doc_id, source) projection — the pair
+    side is the SMALL/build side, so no hint is given: AQE broadcasts
+    the pair side when it fits and falls back to a shuffled hash join
+    keyed on doc_id otherwise. (A broadcast hint on the docs projection
+    — corpus cardinality — would OOM at 100 TB.) The rollup aggregates
+    |sources|² rows at most."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = _jaccard_pairs(shingle_index(spark, sf_dir), df_cap=_DF_CAP).filter(
-        F.col("jaccard") >= _JACCARD_THRESHOLD
-    )
+    pairs = _jaccard_from_overlaps(
+        pair_overlaps(spark, sf_dir, df_cap=_DF_CAP)
+    ).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     sa = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
     )
@@ -933,8 +982,8 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
     )
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .groupBy(
             F.least("src_a", "src_b").alias("source_lo"),
             F.greatest("src_a", "src_b").alias("source_hi"),
