@@ -137,6 +137,36 @@ def main() -> None:
         "n_failed": sum(1 for t in timings.values() if t < 0),
     }
     (Path(_REPO) / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
+
+    # Per-round tail gate (round-3 VERDICT item 4): the external driver
+    # hash-checks only the ~50 alphabetically-first queries, so bench.py
+    # regenerates the full-registry DuckDB differential verdict at the
+    # correctness SF and writes it to ORACLE_LOCAL.json — every query in
+    # the registry gets a committed per-round pass/fail, not just the
+    # driver's window. Skippable via SPARK_GRAFT_SKIP_ORACLE=1 for pure
+    # timing runs.
+    if os.environ.get("SPARK_GRAFT_SKIP_ORACLE") != "1":
+        try:
+            from bitcoinminingetl_spark.oracle_check import run_oracle_check
+
+            oracle_sf_dir = os.environ.get(
+                "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+            )
+            summary = run_oracle_check(spark, oracle_sf_dir)
+            (Path(_REPO) / "ORACLE_LOCAL.json").write_text(
+                json.dumps(summary, indent=1)
+            )
+            print(
+                f"oracle mirror: {summary['n_match']} match / "
+                f"{summary['n_rows_only']} rows-only / "
+                f"{summary['n_mismatch']} mismatch / "
+                f"{summary['n_spark_error'] + summary['n_oracle_error']} error"
+                f" -> ORACLE_LOCAL.json",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — the bench line must still print
+            print(f"bench: oracle mirror failed: {exc}", file=sys.stderr)
+
     compact = {
         "metric": "headline_queries_total",
         "value": total,

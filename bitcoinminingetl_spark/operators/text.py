@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.state import ckpt
 from bitcoinminingetl_spark.functions.numeric import (
     davg,
     davg_sql,
@@ -605,6 +606,16 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hottest transitions get salted: 1024 (w1, w2) head rows ≈ a few tens
+# of KB broadcast for the probe-side marking — negligible, but on a Zipf
+# corpus the head carries the majority of total bigram occurrences.
+_BIGRAM_HEAD_K = 1024
+# Salt fan-out for head keys: the hottest transition's fan-in spreads
+# over this many reducer cells (size to head frequency / target task
+# size at real scale).
+_BIGRAM_SALT = 16
+
+
 @query(
     "q_bigram_logprob",
     oracle=f"""
@@ -648,38 +659,95 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one explode -> two mergeable count aggregates (|bigrams| and
     |vocab| rows) -> transition table joins its w1 marginals (small ⋈
-    smaller) -> ONE heavy shuffle joining (doc, w1, w2) against the
-    scored transitions on (w1, w2); hot bigrams skew it and AQE
-    skew-split owns that, same story as the unigram tf join. Per-bigram
-    log terms quantize to DECIMAL(28,12) before the per-doc sum (dsum
-    doctrine: partition-order-independent results)."""
+    smaller), materialized once as the model table -> the doc⋈transition
+    join, HEAD-SALTED against the transition frequency distribution: the
+    _BIGRAM_HEAD_K hottest (w1, w2) transitions (a TakeOrdered over the
+    model table, broadcast as plan literals) mark probe rows map-side,
+    and marked rows get salt = hash(doc_id) mod _BIGRAM_SALT while the
+    model side replicates its head rows across all salts — so the
+    probe still scans and shuffles ONCE, but the hottest key's fan-in
+    is split across _BIGRAM_SALT reducer cells instead of landing on
+    one task. Cold keys keep salt 0 and are skew-free by construction
+    (every key below the head cutoff). This is the q_join_salted
+    doctrine applied to the LM-scoring join; AQE skew-split stays on as
+    the backstop for mid-distribution keys. Salting cannot change
+    results: each probe row still matches exactly one (w1, w2, salt)
+    model row carrying the same lp. Per-bigram log terms quantize to
+    DECIMAL(28,12) before the per-doc sum (dsum doctrine:
+    partition-order-independent results)."""
     toks = F.split("text", " ")
-    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
+    # zip_with over two shifted slices, NOT transform(sequence) +
+    # element_at: per-element array indexing is interpreted and benched
+    # ~6x slower for the explode+count pass (2.4 s -> 0.4 s at sf0.1).
+    # A 1-token doc slices to an empty array -> zero bigrams -> the row
+    # drops out of the explode, matching the oracle's len(ts) >= 2.
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
     b = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", "p.w1", "p.w2")
     )
-    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    scored = c2.join(c1, "w1").select(
+    # The transition-count table — persisted: the head selection, the w1
+    # marginals, and the scored model all derive from it, so the corpus
+    # is exploded exactly TWICE (training count + probe) — one fewer
+    # pass than even the unguarded plan, which re-exploded for the
+    # separate c1 aggregate. The cache fills as a side effect of the
+    # head TakeOrdered job (no dedicated materialization job); |bigram
+    # vocab| rows — the model table a production pipeline persists
+    # anyway, and the ContextCleaner reclaims the blocks when the plan
+    # is dropped.
+    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).persist()
+    # c(w1) = Σ_w2 c(w1,w2): the marginal is a window over the cached
+    # counts (one shuffle of the small model relation, no join and no
+    # second corpus pass).
+    scored = c2.select(
         "w1",
         "w2",
-        F.log(F.col("c2") * 1.0 / F.col("c1"))
+        F.col("c2"),
+        F.log(
+            F.col("c2") * 1.0 / F.sum("c2").over(Window.partitionBy("w1"))
+        )
         .cast("decimal(28,12)")
         .alias("lp"),
     )
+    # Head of the transition distribution: deterministic top-K by count
+    # (ties broken lexically — though any head choice yields identical
+    # results, since lp rides the model row either way). TakeOrdered
+    # keeps this a bounded-size relation at any corpus scale.
+    head_keys = (
+        c2.orderBy(F.col("c2").desc(), "w1", "w2")
+        .limit(_BIGRAM_HEAD_K)
+        .select("w1", "w2", F.lit(True).alias("hot"))
+    )
+    b_marked = b.join(F.broadcast(head_keys), ["w1", "w2"], "left").withColumn(
+        "salt",
+        F.when(
+            F.col("hot").isNotNull(),
+            F.pmod(F.xxhash64("doc_id"), F.lit(_BIGRAM_SALT)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    scored_salted = (
+        scored.join(F.broadcast(head_keys), ["w1", "w2"], "left")
+        .select(
+            "w1",
+            "w2",
+            "lp",
+            F.explode(
+                F.when(
+                    F.col("hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(_BIGRAM_SALT - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("salt"),
+        )
+    )
     return (
-        b.join(scored, ["w1", "w2"])
+        b_marked.join(scored_salted, ["w1", "w2", "salt"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),

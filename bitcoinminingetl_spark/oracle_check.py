@@ -1,0 +1,117 @@
+"""Shared DuckDB differential-oracle checker — the one compare
+implementation behind scripts/driver_sim.py (the verify-skill driver
+simulation), tests/test_oracle.py's semantics, and bench.py's per-round
+ORACLE_LOCAL.json artifact.
+
+Why this exists: the external driver hash-checks only the ~50
+alphabetically-first queries per round, so most of the registry would
+otherwise carry no per-round correctness verdict. Running this over the
+FULL registry and committing the summary (ORACLE_LOCAL.json) makes the
+tail's gate visible without a judge-side re-run (round-3 VERDICT item 4).
+
+Comparison per query: column-name set, row count, and order-insensitive
+canonicalized values (floats rounded to 9 dp, Decimal->float, temporal
+->isoformat, arrays recursed) — the driver's contract.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else round(v, 9)
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 9)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def duck_connect(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def check_one(spark, con, spec, sf_dir: str) -> dict:
+    """Run one registered query and its oracle; return a result record:
+    status in {match, mismatch, rows_only, spark_error, oracle_error},
+    row counts, and (on mismatch) small spark-only/oracle-only samples."""
+    try:
+        sdf = spec.fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as exc:  # noqa: BLE001 — the record carries the error
+        return {"status": "spark_error", "err": str(exc)[:500]}
+    if spec.oracle is None:
+        return {"status": "rows_only", "spark_rows": len(srows)}
+    try:
+        res = con.execute(spec.oracle)
+        ocols = [d[0].lower() for d in res.description]
+        orows = res.fetchall()
+    except Exception as exc:  # noqa: BLE001
+        return {
+            "status": "oracle_error",
+            "spark_rows": len(srows),
+            "err": str(exc)[:500],
+        }
+    scols = [c.lower() for c in sdf.columns]
+    sidx = sorted(range(len(scols)), key=lambda i: scols[i])
+    oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    sset = sorted([tuple(canon(r[i]) for i in sidx) for r in srows], key=repr)
+    oset = sorted([tuple(canon(r[i]) for i in oidx) for r in orows], key=repr)
+    ok = sorted(scols) == sorted(ocols) and len(srows) == len(orows) and sset == oset
+    rec = {
+        "status": "match" if ok else "mismatch",
+        "spark_rows": len(srows),
+        "oracle_rows": len(orows),
+    }
+    if not ok:
+        rec["spark_cols"] = sorted(scols)
+        rec["oracle_cols"] = sorted(ocols)
+        rec["spark_only"] = [repr(r) for r in sset if r not in oset][:3]
+        rec["oracle_only"] = [repr(r) for r in oset if r not in sset][:3]
+    return rec
+
+
+def run_oracle_check(spark, sf_dir: str, on_result=None) -> dict:
+    """Run the full-registry differential check; returns the summary dict
+    written to ORACLE_LOCAL.json. ``on_result(name, record)`` is called
+    per query (driver_sim uses it for live per-line output)."""
+    from bitcoinminingetl_spark.registry import load_all
+
+    registry = load_all()
+    con = duck_connect(sf_dir)
+    queries: dict[str, dict] = {}
+    for name in sorted(registry):
+        rec = check_one(spark, con, registry[name], sf_dir)
+        queries[name] = rec
+        if on_result is not None:
+            on_result(name, rec)
+    counts = {
+        s: sum(1 for r in queries.values() if r["status"] == s)
+        for s in ("match", "mismatch", "rows_only", "spark_error", "oracle_error")
+    }
+    return {
+        "sf_dir": sf_dir,
+        "n_queries": len(queries),
+        **{f"n_{k}": v for k, v in counts.items()},
+        "ok": counts["mismatch"] == 0
+        and counts["spark_error"] == 0
+        and counts["oracle_error"] == 0,
+        "queries": queries,
+    }

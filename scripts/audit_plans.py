@@ -1,6 +1,11 @@
 """Whole-registry physical-plan audit: grep every registered query's
 executed plan for scale anti-patterns and fail loudly on new ones.
 
+Each query is EXECUTED (collect) before its plan is read, so under AQE
+the audit sees the FINAL adaptive plan (isFinalPlan=true): runtime
+SMJ->broadcast conversions, broadcast demotions, and skew splits are all
+visible — the plan that actually ran, not the initial static guess.
+
 What counts as an anti-pattern (and the allowed exceptions):
 - CartesianProduct           — never acceptable; none exist today.
 - BatchEvalPython / row UDFs — only the UDTF demo (q_python_udtf) may
@@ -34,8 +39,22 @@ LIFECYCLE = {"q_streaming_window_avg", "q_streaming_sessionize"}
 # The one sanctioned per-row Python eval: the UDTF escape-hatch demo.
 ROW_PYTHON_OK = {"q_python_udtf"}
 
-# SMJ allowed where both join sides are fact-sized by construction.
-SMJ_OK = {"q_window_join", "q_join_full", "q_join_bloom"}
+# SMJ allowed where both join sides are fact-sized by construction —
+# q_funnel_stages joins |users|-cardinality stage aggregates that share
+# one user_id partitioning (SMJ reuses the exchange; broadcasting a
+# per-user relation would not scale, and AQE's runtime demotion of the
+# sparse purchase stage is exactly that call made with real sizes).
+# q_bigram_logprob's doc⋈transition join is fact⋈model on the salted
+# key: at corpus scale the |bigram vocab| model side exceeds any
+# broadcast threshold, so the head-salted shuffle equi-join IS the
+# intended plan; AQE picking it at test scale matches.
+SMJ_OK = {
+    "q_window_join",
+    "q_join_full",
+    "q_join_bloom",
+    "q_funnel_stages",
+    "q_bigram_logprob",
+}
 
 
 def main() -> int:
@@ -52,6 +71,15 @@ def main() -> int:
         if name in LIFECYCLE:
             continue
         df = reg[name].fn(spark, SF_DIR)
+        # Execute the query's own QueryExecution first: AQE finalizes the
+        # adaptive plan only on execution, so reading executedPlan()
+        # un-executed would audit the initial plan (isFinalPlan=false) and
+        # miss runtime join demotions/promotions and skew splits.
+        try:
+            df.collect()
+        except Exception as exc:  # noqa: BLE001 — audit must name the query
+            violations.append(f"{name}: execution failed: {exc}")
+            continue
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             violations.append(f"{name}: CartesianProduct")

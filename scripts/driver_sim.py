@@ -10,41 +10,22 @@ Exit code 0 iff everything matches. Used by .claude/skills/verify.
 
 from __future__ import annotations
 
-import datetime
-import decimal
 import importlib
-import math
 import os
 import sys
 from pathlib import Path
 
-import duckdb
 from pyspark.sql import SparkSession
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
-def canon(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        return None if math.isnan(v) else round(v, 9)
-    if isinstance(v, decimal.Decimal):
-        return round(float(v), 9)
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    return v
 
 
 def main() -> int:
+    from bitcoinminingetl_spark.oracle_check import run_oracle_check
+
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -58,45 +39,30 @@ def main() -> int:
     df = mod.entry(spark)
     rows = df.collect()
     print(f"ENTRY rows: {len(rows)} schema: {df.schema.simpleString()}")
-    failures = 0 if len(rows) > 0 else 1
+    entry_ok = len(rows) > 0
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    def report(name: str, rec: dict) -> None:
+        status = rec["status"]
+        if status == "rows_only":
+            print(f"{name}: rows-only, {rec['spark_rows']} rows")
+        elif status == "match":
+            print(f"{name}: MATCH ({rec['spark_rows']} rows)")
+        elif status == "mismatch":
+            print(f"{name}: MISMATCH ({rec['spark_rows']} rows)")
+            print("  cols", rec["spark_cols"], "vs", rec["oracle_cols"])
+            print("  spark-only", rec["spark_only"])
+            print("  oracle-only", rec["oracle_only"])
+        else:
+            print(f"{name}: {status.upper()} {rec.get('err')}")
 
-    qs, oracles = mod.queries(), mod.oracle_sql()
-    for name, fn in qs.items():
-        try:
-            sdf = fn(spark, SF_DIR)
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as exc:  # noqa: BLE001
-            print(f"{name}: SPARK ERROR {exc}")
-            failures += 1
-            continue
-        if name not in oracles:
-            print(f"{name}: rows-only, {len(srows)} rows")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            ocols = [d[0].lower() for d in res.description]
-            orows = res.fetchall()
-        except Exception as exc:  # noqa: BLE001
-            print(f"{name}: ORACLE ERROR {exc}")
-            failures += 1
-            continue
-        scols = [c.lower() for c in sdf.columns]
-        sidx = sorted(range(len(scols)), key=lambda i: scols[i])
-        oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
-        sset = sorted([tuple(canon(r[i]) for i in sidx) for r in srows], key=repr)
-        oset = sorted([tuple(canon(r[i]) for i in oidx) for r in orows], key=repr)
-        ok = sorted(scols) == sorted(ocols) and len(srows) == len(orows) and sset == oset
-        print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(srows)} rows)")
-        if not ok:
-            failures += 1
-            print("  cols", sorted(scols), "vs", sorted(ocols))
-            print("  spark-only", [r for r in sset if r not in oset][:3])
-            print("  oracle-only", [r for r in oset if r not in sset][:3])
+    summary = run_oracle_check(spark, SF_DIR, on_result=report)
     spark.stop()
+    failures = (
+        (0 if entry_ok else 1)
+        + summary["n_mismatch"]
+        + summary["n_spark_error"]
+        + summary["n_oracle_error"]
+    )
     print("RESULT:", "OK" if failures == 0 else f"{failures} FAILURES")
     return 0 if failures == 0 else 1
 

@@ -371,7 +371,9 @@ def test_embed_cosine_lsh_finds_planted_near_dups(spark, tmp_path):
     """The multi-table sign-LSH sub-buckets must recover planted
     high-cosine pairs (the seeded planes make recall deterministic),
     keep pairs within their label block, and reject sub-threshold and
-    cross-label pairs — every emitted pair is exactly verified."""
+    cross-label pairs — every emitted pair is exactly verified. The LSH
+    pair set must also be a SUBSET of the exact label-block pair set
+    (the recall trade is one-sided: LSH can only miss, never invent)."""
     import numpy as np
 
     rng = np.random.default_rng(3)
@@ -390,12 +392,22 @@ def test_embed_cosine_lsh_finds_planted_near_dups(spark, tmp_path):
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
     pairs = {
         (r.vec_a, r.vec_b): r.cosine
-        for r in REGISTRY["q_dedup_embed_cosine"].fn(spark, str(tmp_path)).collect()
+        for r in REGISTRY["q_dedup_embed_cosine_lsh"]
+        .fn(spark, str(tmp_path))
+        .collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.9
     assert all(a < b for a, b in pairs)
     assert not any({a, b} & {3} for a, b in pairs)  # label block respected
     assert not any({a, b} & {4} for a, b in pairs)  # sub-threshold rejected
+
+    # one-sided error: every LSH pair appears in the exact ground truth
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["q_dedup_embed_cosine"].fn(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in exact
+    assert set(pairs) <= exact
 
 
 def test_dedup_clusters_fast_chain_convergence(spark, tmp_path):
@@ -775,3 +787,46 @@ def test_embed_pca_invariants(spark, sf_dir, tmp_path):
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
     p = parse(REGISTRY["q_embed_pca"].fn(spark, str(tmp_path)))
     assert np.linalg.norm(p[1] - p[2]) < np.linalg.norm(p[1] - p[3])
+
+
+def test_bigram_logprob_skewed_fixture_head_and_tail(spark, tmp_path):
+    """On a corpus with one dominant transition AND >1024 distinct cold
+    transitions (so the head/tail split exercises BOTH join paths), the
+    head-broadcast plan must agree exactly with a directly computed
+    bigram model — the split is a physical optimization, not a semantic
+    one."""
+    import math
+    from collections import Counter
+
+    hot = "x " * 201 + "x"  # 202 tokens -> 201 (x,x) bigrams
+    cold = " ".join(f"t{i}" for i in range(1200))  # 1199 unique bigrams
+    mixed = "x x y"
+    rows = [
+        (1, hot, "en", "web", 1),
+        (2, cold, "en", "web", 1),
+        (3, mixed, "en", "web", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    # reference model computed directly
+    docs = {r[0]: r[1].split(" ") for r in rows}
+    bigrams = {
+        d: list(zip(ts, ts[1:])) for d, ts in docs.items() if len(ts) >= 2
+    }
+    c2 = Counter(bg for bgs in bigrams.values() for bg in bgs)
+    c1 = Counter(bg[0] for bgs in bigrams.values() for bg in bgs)
+    expected = {
+        d: (
+            len(bgs),
+            round(sum(math.log(c2[bg] / c1[bg[0]]) for bg in bgs) / len(bgs), 6),
+        )
+        for d, bgs in bigrams.items()
+    }
+
+    got = {
+        r.doc_id: (r.n_bigrams, round(r.avg_logprob, 6))
+        for r in REGISTRY["q_bigram_logprob"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expected

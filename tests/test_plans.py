@@ -288,3 +288,13 @@ def test_ri_orphans_is_all_broadcast_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_ri_orphans")
     assert plan.count("BroadcastHashJoin") == 5
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_bigram_logprob_head_is_broadcast(spark, sf_dir):
+    """The bigram doc⋈transition join must head/tail-split: the hottest
+    transitions are scored through a broadcast join (map-side, hot keys
+    never shuffled) and the cold-row selection is a broadcast anti-join
+    — at least two broadcast joins in the plan, no Python eval."""
+    plan = _plan(spark, sf_dir, "q_bigram_logprob")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in plan
