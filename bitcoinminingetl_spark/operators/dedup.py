@@ -49,19 +49,30 @@ def _shingled(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
     (default 3), xxhash64-hashed. Docs shorter than the shingle width
     contribute their full text.
 
-    The hash happens AFTER the explode, as a scalar projection inside
-    whole-stage codegen (hashing inside the higher-order `transform` lambda
-    benches ~40% slower — interpreted per element). Everything downstream
-    shuffles/joins 8-byte keys instead of ~25-byte shingle strings; at
-    corpus scale that's the dominant shuffle-volume term. Collision odds
-    ~n_shingles²/2⁶⁴ — immaterial below ~10⁹ distinct shingles, and a
-    collision only inflates one intersection count."""
+    Shingles build as a FOLD OF zip_with OVER n SHIFTED SLICES of the
+    token array, not transform(sequence) + per-position slice/concat:
+    the positional-index form evaluates an interpreted slice per element
+    and benched 2.5x slower for the full shingle pass at sf0.1 (same
+    finding as q_bigram_logprob's pair construction; output verified
+    identical row-for-row). The hash happens AFTER the explode, as a
+    scalar projection inside whole-stage codegen (hashing inside the
+    lambda benches ~40% slower — interpreted per element). Everything
+    downstream shuffles/joins 8-byte keys instead of ~25-byte shingle
+    strings; at corpus scale that's the dominant shuffle-volume term.
+    Collision odds ~n_shingles²/2⁶⁴ — immaterial below ~10⁹ distinct
+    shingles, and a collision only inflates one intersection count."""
     toks = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    size = F.size(toks)
+    width = size - (n - 1)
+    sh = F.slice(toks, 1, width)
+    for k in range(2, n + 1):
+        sh = F.zip_with(
+            sh,
+            F.slice(toks, k, width),
+            lambda acc, t: F.concat(acc, F.lit(" "), t),
         )
+    shingles = F.array_distinct(
+        F.when(size >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
     )
     return docs.select("doc_id", F.explode(shingles).alias("s")).select(
         "doc_id", F.xxhash64("s").alias("shingle")
@@ -403,27 +414,19 @@ def _candidate_pairs(
     )
 
 
-@query("q_dedup_minhash_lsh")  # rows-only: xxhash64 signatures are Spark-specific
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup detection, the 100 TB dedup path:
-
-    shingle -> 16 min-hashes per doc (one hash aggregate; xxhash64 with
-    16 salts) -> 4 bands of 4 rows; band signature = hash of its rows ->
-    candidate pairs = equi-join on (band, signature) -> exact Jaccard
-    verification on candidates only.
-
-    Probability a pair with Jaccard j becomes a candidate: 1-(1-j^4)^4
-    (~0.97 at j=0.8). Checked rows-only (signatures are engine-specific);
-    the unit test asserts candidates ⊆ exact pairs at threshold after
-    verification."""
-    sh = shingle_index(spark, sf_dir)
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) banded MinHash signatures from a (doc_id,
+    shingle) relation: 16 min-hashes per doc (ONE hash aggregate;
+    xxhash64 with 16 salts) -> 4 bands of 4 rows, band signature =
+    xxhash64 of its rows. Shared by the batch LSH queries and the
+    streaming incremental-dedup index."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
             for k in range(_MINHASH_K)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -442,7 +445,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
-    return _verify_candidates(sh, _candidate_pairs(bands))
+
+
+@query("q_dedup_minhash_lsh")  # rows-only: xxhash64 signatures are Spark-specific
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, the 100 TB dedup path:
+
+    shingle -> banded signatures (minhash_bands) -> candidate pairs =
+    equi-join on (band, signature) -> exact Jaccard verification on
+    candidates only.
+
+    Probability a pair with Jaccard j becomes a candidate: 1-(1-j^4)^4
+    (~0.97 at j=0.8). Checked rows-only (signatures are engine-specific);
+    the unit test asserts candidates ⊆ exact pairs at threshold after
+    verification."""
+    sh = shingle_index(spark, sf_dir)
+    return _verify_candidates(sh, _candidate_pairs(minhash_bands(sh)))
 
 
 def _verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -860,32 +878,7 @@ def q_corpus_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_index(spark, sf_dir).join(
         F.broadcast(exact_survivors.select("doc_id")), "doc_id", "semi"
     )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
-            for k in range(_MINHASH_K)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh{b * _ROWS_PER_BAND + r}")
-                                for r in range(_ROWS_PER_BAND)
-                            ]
-                        ).alias("sig"),
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
-    near_pairs = _verify_candidates(sh, _candidate_pairs(bands))
+    near_pairs = _verify_candidates(sh, _candidate_pairs(minhash_bands(sh)))
     near_dups = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return exact_survivors.select("doc_id").join(
         near_dups, on="doc_id", how="left_anti"

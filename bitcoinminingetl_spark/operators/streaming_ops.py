@@ -106,3 +106,65 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "avg_value",
     )
+
+
+@query("q_streaming_incremental_dedup")  # rows-only: stateful streaming lifecycle
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental LSH dedup pipeline (streaming/incremental_dedup)
+    through a full lifecycle: bootstrap the persisted index from the
+    first 80% of documents (q_dedup_incremental's corpus/new split),
+    land the remaining 20% as JSON micro-batches, stream them through
+    exact + LSH near-dup stages against the growing index, drain with
+    AvailableNow, and return the accepted new docs. Output: the ingest
+    gate's accept list — (doc_id, batch_id) per surviving new doc."""
+    import tempfile
+
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.streaming.incremental_dedup import (
+        accepted_docs,
+        build_corpus_index,
+        read_doc_stream,
+        run_incremental_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="bmetl_incdedup_")
+    landing, index_dir, out, ckpt = (
+        f"{work}/landing",
+        f"{work}/index",
+        f"{work}/out",
+        f"{work}/ckpt",
+    )
+    # corpus = first 80% of doc_ids; streamed increment = the top 5%
+    # (a bounded "daily batch" — the lifecycle under test is
+    # volume-independent, same argument as q_streaming_window_avg's
+    # one-week slice, and per-micro-batch overhead dominates at test
+    # scale). Docs in (80%, 95%] are simply not part of this run.
+    docs = table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.floor(F.max("doc_id") * 0.8).cast("long").alias("cut"),
+        F.floor(F.max("doc_id") * 0.95).cast("long").alias("hi"),
+    )
+    with_cut = docs.join(F.broadcast(cut))
+    build_corpus_index(
+        with_cut.filter(F.col("doc_id") <= F.col("cut")).select("doc_id", "text"),
+        index_dir,
+    )
+    (
+        with_cut.filter(F.col("doc_id") > F.col("hi"))
+        .select(
+            "doc_id",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            "text",
+        )
+        .coalesce(1)
+        .write.json(landing)
+    )
+    q = run_incremental_dedup(
+        spark,
+        read_doc_stream(spark, landing),
+        index_dir,
+        out,
+        ckpt,
+    )
+    q.awaitTermination(300)
+    return accepted_docs(spark, out).select("doc_id", "batch_id")

@@ -34,7 +34,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # Queries that execute a real streaming lifecycle when built — auditing
 # them would run the stream; their plans are covered by the streaming
 # tests instead.
-LIFECYCLE = {"q_streaming_window_avg", "q_streaming_sessionize"}
+LIFECYCLE = {
+    "q_streaming_window_avg",
+    "q_streaming_sessionize",
+    "q_streaming_incremental_dedup",
+}
 
 # The one sanctioned per-row Python eval: the UDTF escape-hatch demo.
 ROW_PYTHON_OK = {"q_python_udtf"}

@@ -659,3 +659,86 @@ def test_streaming_sessionize_laws(spark, sf_dir):
             last_event_a = a.session_end.timestamp() - gap_s
             assert b.session_start.timestamp() - last_event_a >= gap_s
     assert multi > 0, "fixture produced no user with 2+ sessions"
+
+
+def test_incremental_dedup_drops_cross_batch_near_dup_across_restart(
+    spark, tmp_path
+):
+    """The streaming LSH dedup pipeline against a persisted corpus index
+    (streaming/incremental_dedup.py): byte dups of indexed docs die in
+    the exact stage, near-dups of indexed docs die in the LSH+verify
+    stage, and — the restart property — a doc accepted in run 1 grows
+    the index, so a near-dup of it landing AFTER a restart is dropped by
+    run 2 (dropped exactly once: it never appears in the output, while
+    its original appears exactly once across both runs). Offsets resume
+    from the checkpoint, not from zero."""
+    import os
+
+    from bitcoinminingetl_spark.streaming.incremental_dedup import (
+        accepted_docs,
+        build_corpus_index,
+        read_doc_stream,
+        run_incremental_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    landing = str(tmp_path / "landing")
+    index_dir = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    build_corpus_index(corpus, index_dir)
+
+    def land(name, rows):
+        with open(f"{landing}/{name}.json", "w") as f:
+            for doc_id, ts, text in rows:
+                f.write(
+                    json.dumps({"doc_id": doc_id, "ts": ts, "text": text}) + "\n"
+                )
+
+    fresh_102 = "fresh unrelated content nothing shared with anything else here"
+    # run 1: near-dup of corpus doc 1, a clean doc, byte-dup of corpus doc 2
+    land(
+        "batch1",
+        [
+            (101, "2024-01-01 00:00:00", base + " extra"),
+            (102, "2024-01-01 00:01:00", fresh_102),
+            (103, "2024-01-01 00:02:00", other),
+        ],
+    )
+    q1 = run_incremental_dedup(
+        spark, read_doc_stream(spark, landing), index_dir, out, ckpt
+    )
+    _drain(q1)
+    run1 = {r.doc_id: r.batch_id for r in accepted_docs(spark, out).collect()}
+    assert set(run1) == {102}, f"run 1 accepted {set(run1)}"
+
+    # restart: near-dup of doc 102 (accepted last run — only the GROWN
+    # index can catch it), a clean doc, and a re-delivery of doc 102's
+    # bytes under a new id (exact stage vs grown index)
+    land(
+        "batch2",
+        [
+            (104, "2024-01-01 01:00:00", fresh_102 + " padding"),
+            (105, "2024-01-01 01:01:00", "совершенно novel words appear in this document"),
+            (106, "2024-01-01 01:02:00", fresh_102),
+        ],
+    )
+    q2 = run_incremental_dedup(
+        spark, read_doc_stream(spark, landing), index_dir, out, ckpt
+    )
+    _drain(q2)
+
+    final = [r for r in accepted_docs(spark, out).collect()]
+    by_id = {}
+    for r in final:
+        by_id.setdefault(r.doc_id, []).append(r.batch_id)
+    assert set(by_id) == {102, 105}, f"final accepted {set(by_id)}"
+    assert len(by_id[102]) == 1  # exactly once across restart
+    assert len(by_id[105]) == 1
+    # run 2 continued batch numbering from the checkpoint
+    assert min(by_id[105]) > max(run1.values())
