@@ -10,6 +10,8 @@ import json
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from bitcoinminingetl_spark.etl import load_avg_info, parse_payloads
 
 TS = 1609459200
@@ -144,3 +146,56 @@ def test_load_empty_windows_yield_null(spark, parsed_window):
     # raises here; hashrate empty-window crash normalized to NULL too)
     row = load_avg_info(parsed, now + 900).collect()[0]
     assert row.usd is None and row.hashrate is None and row.difficulty is None
+
+
+def test_window_fallback_treats_exact_zero_as_empty(spark, tmp_path):
+    """R10's falsy-zero quirk (reference load.py:17 `if not data[0]`): a
+    window whose TRUE average is 0.0 must be treated as empty and fall
+    back to the previous window's average — pinned on a planted fixture
+    (values +5/-5 in hour 2) and cross-checked against the registered
+    DuckDB oracle run on the same fixture, so the Spark plan and the
+    declared oracle agree on the divergence, not just on never-zero
+    data."""
+    import duckdb
+
+    from bitcoinminingetl_spark.registry import load_all
+
+    rows = [
+        # hour 1: avg 10.0
+        (1, "2024-01-01 00:10:00", 1, "purchase", 10.0),
+        # hour 2: avg exactly 0.0 -> falsy, falls back to hour 1
+        (2, "2024-01-01 01:10:00", 1, "purchase", 5.0),
+        (3, "2024-01-01 01:20:00", 1, "purchase", -5.0),
+        # hour 3: avg 7.5
+        (4, "2024-01-01 02:10:00", 1, "purchase", 7.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    spec = load_all()["q_window_fallback"]
+    got = {
+        r.hour_ts.isoformat(): (r.avg_cur, r.avg_filled)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    assert got["2024-01-01T00:00:00"] == (10.0, 10.0)
+    # the zero-average window: avg_cur is 0.0 but avg_filled fell back
+    assert got["2024-01-01T01:00:00"] == (0.0, 10.0)
+    assert got["2024-01-01T02:00:00"] == (7.5, 7.5)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    want = {
+        r[0].isoformat(): (r[1], r[2])
+        for r in con.execute(spec.oracle).fetchall()
+    }
+    assert got == want
