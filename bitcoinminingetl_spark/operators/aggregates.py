@@ -1086,3 +1086,53 @@ def q_leadlag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_hours"),
         )
     )
+
+
+_GAP_THRESHOLD_S = 3600  # an hour of silence on a metric stream
+
+
+@query(
+    "q_gap_detect",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, ts, event_id,
+               lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    )
+    SELECT event_type,
+           prev_ts AS gap_start,
+           ts AS gap_end,
+           {roundn_sql(
+               "date_diff('microsecond', prev_ts, ts) * 1.0 / 1000000", 6
+           )} AS gap_seconds
+    FROM g
+    WHERE date_diff('microsecond', prev_ts, ts) > {_GAP_THRESHOLD_S * 1_000_000}
+    """,
+)
+def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-outage detection: intervals where a metric stream went
+    silent for more than an hour — the operational question behind the
+    reference's fetch cadence and retry config (main.py:19-21,75-76: a
+    poller that swallows errors, extract.py:13-20, shows up ONLY as a
+    gap in the data). One lag window per event_type partition (ordered
+    by ts with event_id tiebreak for determinism under duplicate
+    timestamps) on a single shuffle keyed by event_type; gap arithmetic
+    in exact integer microseconds so both engines derive the identical
+    double. At 100 TB the partition count equals the stream count —
+    parallelism matches the monitored surface, and no global ordering
+    exists anywhere."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(gap_us > _GAP_THRESHOLD_S * 1_000_000)
+        .select(
+            "event_type",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            roundn(gap_us * 1.0 / 1_000_000, 6).alias("gap_seconds"),
+        )
+    )

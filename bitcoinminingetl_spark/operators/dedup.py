@@ -44,24 +44,15 @@ _SHINGLE_SQL = """
 """
 
 
-def _shingled(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
-    """(doc_id, shingle: bigint) with distinct n-word shingles per document
-    (default 3), xxhash64-hashed. Docs shorter than the shingle width
-    contribute their full text.
-
-    Shingles build as a FOLD OF zip_with OVER n SHIFTED SLICES of the
-    token array, not transform(sequence) + per-position slice/concat:
-    the positional-index form evaluates an interpreted slice per element
-    and benched 2.5x slower for the full shingle pass at sf0.1 (same
-    finding as q_bigram_logprob's pair construction; output verified
-    identical row-for-row). The hash happens AFTER the explode, as a
-    scalar projection inside whole-stage codegen (hashing inside the
-    lambda benches ~40% slower — interpreted per element). Everything
-    downstream shuffles/joins 8-byte keys instead of ~25-byte shingle
-    strings; at corpus scale that's the dominant shuffle-volume term.
-    Collision odds ~n_shingles²/2⁶⁴ — immaterial below ~10⁹ distinct
-    shingles, and a collision only inflates one intersection count."""
-    toks = F.split("text", " ")
+def ngram_array(toks: Column, n: int) -> Column:
+    """array<string> of all n-word grams of a token array (positional,
+    NOT deduplicated), built as a FOLD OF zip_with OVER n SHIFTED SLICES
+    — not transform(sequence) + per-position slice/concat: the
+    positional-index form evaluates an interpreted slice per element and
+    benched 2.5x slower for the full shingle pass at sf0.1 (same finding
+    as q_bigram_logprob's pair construction; output verified identical
+    row-for-row). Inputs shorter than n yield one gram: the full text
+    (the whole dedup family's short-doc convention)."""
     size = F.size(toks)
     width = size - (n - 1)
     sh = F.slice(toks, 1, width)
@@ -71,9 +62,23 @@ def _shingled(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
             F.slice(toks, k, width),
             lambda acc, t: F.concat(acc, F.lit(" "), t),
         )
-    shingles = F.array_distinct(
-        F.when(size >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    return F.when(size >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _shingled(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
+    """(doc_id, shingle: bigint) with distinct n-word shingles per document
+    (default 3), xxhash64-hashed. Docs shorter than the shingle width
+    contribute their full text.
+
+    Built on ngram_array (the codegen'd zip_with fold). The hash happens
+    AFTER the explode, as a scalar projection inside whole-stage codegen
+    (hashing inside the lambda benches ~40% slower — interpreted per
+    element). Everything downstream shuffles/joins 8-byte keys instead
+    of ~25-byte shingle strings; at corpus scale that's the dominant
+    shuffle-volume term. Collision odds ~n_shingles²/2⁶⁴ — immaterial
+    below ~10⁹ distinct shingles, and a collision only inflates one
+    intersection count."""
+    shingles = F.array_distinct(ngram_array(F.split("text", " "), n))
     return docs.select("doc_id", F.explode(shingles).alias("s")).select(
         "doc_id", F.xxhash64("s").alias("shingle")
     )

@@ -53,14 +53,11 @@ _MLLIB_SEED = 42
 
 def _shingle_array(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles: array<string>) — same 3-gram definition as
-    dedup._shingled but kept as an array column for HashingTF input."""
-    toks = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (_NGRAM - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, _NGRAM)),
-        )
-    )
+    dedup._shingled but kept as an array column for HashingTF input
+    (shared codegen'd zip_with fold, dedup.ngram_array)."""
+    from bitcoinminingetl_spark.operators.dedup import ngram_array
+
+    shingles = F.array_distinct(ngram_array(F.split("text", " "), _NGRAM))
     return docs.select("doc_id", shingles.alias("shingles"))
 
 

@@ -446,15 +446,13 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupied by a gram already seen in the SAME document — machine-
     generated/template spam scores high, natural prose near zero.
     rep_ratio = 1 - distinct/total over the per-doc gram array, computed
-    entirely inside whole-stage codegen (split -> transform -> size /
-    array_distinct): a pure map-side projection, zero shuffles, same
+    entirely inside whole-stage codegen (split -> zip_with gram fold ->
+    size / array_distinct, dedup.ngram_array): a pure map-side projection, zero shuffles, same
     plan at 100 TB. Complements q_quality_score (char-level ratios) and
     q_dedup_* (cross-doc duplication)."""
-    toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-    )
+    from bitcoinminingetl_spark.operators.dedup import ngram_array
+
+    grams = ngram_array(F.split("text", " "), 3)
     return table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(grams).cast("long").alias("n_grams"),
@@ -755,4 +753,251 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_logprob"
             ),
         )
+    )
+
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP_K = 50
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return f"len(list_filter(string_split(text, ' '), x -> x = '{term}'))"
+
+
+@query(
+    "q_bm25_rank",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               {', '.join(f'CAST({_bm25_tf_sql(t)} AS BIGINT) AS tf{i}'
+                          for i, t in enumerate(_BM25_TERMS))}
+        FROM documents
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS sum_dl,
+               {', '.join(f'CAST(count(*) FILTER (tf{i} > 0) AS BIGINT) AS df{i}'
+                          for i in range(len(_BM25_TERMS)))}
+        FROM t
+    ), scored AS (
+        SELECT doc_id, dl,
+               {' + '.join(
+                   f"(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+                   f" * (tf{i} * ({_BM25_K1} + 1.0))"
+                   f" / (tf{i} + {_BM25_K1} * (1.0 - {_BM25_B}"
+                   f" + {_BM25_B} * dl / (sum_dl * 1.0 / n))))"
+                   for i in range(len(_BM25_TERMS)))} AS score
+        FROM t CROSS JOIN stats
+        WHERE {' + '.join(f'tf{i}' for i in range(len(_BM25_TERMS)))} > 0
+    )
+    SELECT doc_id, dl, {roundn_sql('score', 6)} AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOP_K}
+    """,
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query term set — the retrieval
+    scorer a RAG/data-curation pipeline runs to pull topical documents
+    out of a corpus (Okapi BM25, k1=1.2, b=0.75, Lucene's +1 idf form so
+    scores stay positive).
+
+    Plan: per-doc term frequencies are map-side array ops on the token
+    split (no explode — the query is a handful of terms, so tf is
+    size(filter(toks, = term)) per term); the corpus statistics (N,
+    Σdl, per-term df) reduce to ONE 1-row aggregate broadcast back as a
+    cross join; scoring is a map-only projection and the cut is
+    TakeOrdered (partial top-k per partition, no global sort). avgdl is
+    computed as exact-integer Σdl / N at use — both engines derive every
+    double from the same exact integers, so scores match bit-for-bit
+    before the 6-dp round. At 100 TB: one corpus scan, a 1-row
+    broadcast, and a top-k — nothing shuffles the corpus."""
+    toks = F.split("text", " ")
+
+    def _tf(term: str):
+        # NB: the lambda must be unary — pyspark treats a 2-arg lambda
+        # as the (element, index) filter form.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    tf = [_tf(t) for t in _BM25_TERMS]
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[tf[i].alias(f"tf{i}") for i in range(len(_BM25_TERMS))],
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).cast("long").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
+        )
+        part = idf * (F.col(f"tf{i}") * (_BM25_K1 + 1.0)) / (
+            F.col(f"tf{i}")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+        )
+        score = part if score is None else score + part
+    any_tf = None
+    for i in range(len(_BM25_TERMS)):
+        any_tf = (
+            F.col(f"tf{i}")
+            if any_tf is None
+            else any_tf + F.col(f"tf{i}")
+        )
+    return (
+        t.join(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", "dl", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOP_K)
+        .select("doc_id", "dl", roundn(F.col("score"), 6).alias("bm25"))
+    )
+
+
+# Gopher-style quality rules, tuned to the synthetic corpus so each rule
+# has bite (real pipelines tune them per corpus the same way).
+_GOPHER_MIN_TOK = 25
+_GOPHER_MAX_TOK = 1_000
+_GOPHER_MIN_WORD_LEN = 3.0
+_GOPHER_MAX_WORD_LEN = 10.0
+_GOPHER_MIN_STOP_HITS = 2
+_GOPHER_MAX_REP = 0.2
+
+
+@query(
+    "q_quality_filter_gopher",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+               )) AS gram
+        FROM documents
+    ), rep AS (
+        SELECT doc_id,
+               1.0 - count(DISTINCT gram) * 1.0 / count(*) AS rep_ratio
+        FROM g GROUP BY doc_id
+    ), t AS (
+        SELECT d.doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               (n_chars - (len(string_split(text, ' ')) - 1)) * 1.0
+                   / len(string_split(text, ' ')) AS mwl,
+               len(list_intersect(string_split(text, ' '), {_sql_list(_EN)}))
+                   AS stop_hits,
+               rep.rep_ratio
+        FROM documents d JOIN rep USING (doc_id)
+    )
+    SELECT doc_id,
+           n_tok BETWEEN {_GOPHER_MIN_TOK} AND {_GOPHER_MAX_TOK} AS r_len,
+           mwl BETWEEN {_GOPHER_MIN_WORD_LEN} AND {_GOPHER_MAX_WORD_LEN}
+               AS r_word_len,
+           stop_hits >= {_GOPHER_MIN_STOP_HITS} AS r_stopwords,
+           rep_ratio <= {_GOPHER_MAX_REP} AS r_repetition,
+           (n_tok BETWEEN {_GOPHER_MIN_TOK} AND {_GOPHER_MAX_TOK})
+               AND (mwl BETWEEN {_GOPHER_MIN_WORD_LEN} AND {_GOPHER_MAX_WORD_LEN})
+               AND stop_hits >= {_GOPHER_MIN_STOP_HITS}
+               AND rep_ratio <= {_GOPHER_MAX_REP} AS keep
+    FROM t
+    """,
+)
+def q_quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher-rule composite quality FILTER — the shippable keep/drop
+    verdict that combines the individual signals the other text queries
+    expose (token-count bounds, mean-word-length bounds, stopword
+    presence, intra-doc repetition cap), reported per rule so a pipeline
+    can audit WHY a document was dropped, plus the conjunction. This is
+    the standard pre-dedup gate (Gopher/MassiveText rules, adapted to
+    the synthetic corpus' ranges).
+
+    Plan: pure map-side projection — token split, array ops, and the
+    3-gram repetition ratio (dedup.ngram_array, codegen'd) all evaluate
+    in one scan with zero shuffles; identical plan at 100 TB."""
+    from bitcoinminingetl_spark.operators.dedup import ngram_array
+
+    toks = F.split("text", " ")
+    grams = ngram_array(toks, 3)
+    n_tok = F.size(toks)
+    mwl = (F.col("n_chars") - (n_tok - 1)) * 1.0 / n_tok
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in _EN]))
+    )
+    rep = F.lit(1.0) - F.size(F.array_distinct(grams)) * 1.0 / F.size(grams)
+    r_len = n_tok.between(_GOPHER_MIN_TOK, _GOPHER_MAX_TOK)
+    r_word_len = mwl.between(_GOPHER_MIN_WORD_LEN, _GOPHER_MAX_WORD_LEN)
+    r_stop = stop_hits >= _GOPHER_MIN_STOP_HITS
+    r_rep = rep <= _GOPHER_MAX_REP
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        r_len.alias("r_len"),
+        r_word_len.alias("r_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_rep.alias("r_repetition"),
+        (r_len & r_word_len & r_stop & r_rep).alias("keep"),
+    )
+
+
+_BPE_TOP_K = 50
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS freq
+        FROM tok GROUP BY token HAVING len(token) >= 2
+    ), pairs AS (
+        SELECT substring(token, CAST(i AS INT), 2) AS pair, freq
+        FROM vocab, unnest(generate_series(1, len(token) - 1)) AS u(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {_BPE_TOP_K}
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-frequency-
+    weighted counts of adjacent character pairs, whose argmax is the
+    first merge. The trick that makes this 100 TB-cheap: pair explosion
+    happens on the VOCABULARY (distinct tokens with their corpus
+    frequencies — a |vocab|-row relation), never on the corpus; the
+    corpus contributes exactly one token-count aggregate and each
+    token's pairs are weighted by its frequency. The per-token pair
+    construction may use positional substring because the relation it
+    runs on is tiny by design. Single-char tokens have no pairs and are
+    filtered before explosion (both engines). Output: top-50 pairs by
+    weighted count, lexical tiebreak."""
+    vocab = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.length("token") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("token") - 1),
+                lambda i: F.col("token").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOP_K)
     )
