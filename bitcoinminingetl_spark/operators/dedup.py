@@ -843,10 +843,13 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_dedup_minhash_lsh) with identical keep-policy plumbing; the exact
     variant here is the DuckDB-checkable ground truth."""
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # keep-lowest per content hash as a MIN aggregate, not a row_number
+    # window: the aggregate partial-combines map-side and never sorts,
+    # where the window sorts every hash partition (same survivor set —
+    # min doc_id ≡ rn=1 under ORDER BY doc_id)
     exact_survivors = (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
     pairs = _jaccard_from_overlaps(
@@ -874,11 +877,11 @@ def q_corpus_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the exact pair set, so LSH can only drop fewer docs — the recall
     trade is one-sided and auditable)."""
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # min-aggregate keep-lowest (see q_corpus_dedup): no per-hash sort
     exact_survivors = (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
     sh = shingle_index(spark, sf_dir).join(
         F.broadcast(exact_survivors.select("doc_id")), "doc_id", "semi"
