@@ -1,0 +1,380 @@
+"""ANSI-SQL surface widening: the subquery / lateral / conditional-agg /
+struct / spine shapes a user migrating SQL workloads expects an engine to
+run, each expressed as the DataFrame plan Catalyst actually produces for
+the SQL (semi joins for EXISTS/IN, broadcast 1-row relations for scalar
+subqueries, Generate for LATERAL VIEW).
+
+Scale doctrine shared by all of these: subqueries decorrelate to joins
+whose small side is explicit, exploded relations carry their ordinal so
+no window is needed to recover position, and every 1-row scalar attaches
+by broadcast — never by `Window.partitionBy()` (a global window funnels
+the whole relation through one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.numeric import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    roundn,
+    roundn_sql,
+)
+from bitcoinminingetl_spark.registry import query
+
+
+@query(
+    "q_exists_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_totalprice > 200000
+    )
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers holding at least one urgent order over
+    a price threshold.
+
+    Plan: EXISTS decorrelates to LEFT SEMI — at-most-one output row per
+    customer regardless of how many orders qualify, no DISTINCT needed.
+    The two order predicates are uncorrelated, so they push into the
+    orders SCAN (PushedFilters), shrinking the semi join's probe side
+    before the shuffle; AQE broadcast-demotes the survivor side when the
+    filter is selective enough."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 200000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@query(
+    "q_in_subquery",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p
+    WHERE p.p_partkey IN (
+        SELECT l.l_partkey FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+    )
+    ORDER BY p.p_partkey
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery): parts that shipped at least once in the trailing
+    window of the fixture's timeline.
+
+    Plan: IN over a subquery is the same LEFT SEMI join as EXISTS —
+    Spark never materializes the value list (a literal IN-list would
+    hit the driver; the semi join streams). The date predicate prunes
+    the lineitem scan; the semi join shuffles on partkey, the SMALLER
+    relation (filtered lineitem keys) being build-side under AQE. Sorted
+    output for a deterministic oracle hash."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-06-01 00:00:00").cast("timestamp")
+    ).select("l_partkey")
+    return p.join(
+        l, p.p_partkey == l.l_partkey, "left_semi"
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q_scalar_subquery",
+    oracle=f"""
+    WITH stats AS (SELECT {davg_sql('s_acctbal')} AS avg_bal FROM supplier)
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal,
+           {roundn_sql('s.s_acctbal - stats.avg_bal', 6)} AS above_avg
+    FROM supplier s, stats
+    WHERE s.s_acctbal > stats.avg_bal
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in both WHERE and SELECT: suppliers above the
+    global mean balance, annotated with their distance from it.
+
+    Plan: the 1-row global aggregate attaches by broadcast nested-loop
+    (1-row build side — the one place BNLJ is the right plan), NOT by
+    `Window.partitionBy()` over all suppliers. The aggregate reads only
+    s_acctbal (column pruning); supplier scans once for the aggregate
+    and once for the probe — at 100 TB the second scan is the cheaper
+    trade vs caching a fact-sized relation."""
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    stats = table(spark, sf_dir, "supplier").agg(
+        davg(F.col("s_acctbal")).alias("avg_bal")
+    )
+    return (
+        s.join(F.broadcast(stats))
+        .filter(F.col("s_acctbal") > F.col("avg_bal"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            roundn(F.col("s_acctbal") - F.col("avg_bal"), 6).alias("above_avg"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_lateral_explode",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(len(words))) AS INTEGER) AS pos,
+           unnest(words) AS word
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents WHERE doc_id < 20
+    )
+    """,
+)
+def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode: tokenize documents into (doc_id, pos,
+    word) rows, ordinal carried by the explode itself.
+
+    Plan: `posexplode` compiles to a Generate operator INSIDE the scan
+    stage — no shuffle, no window to recover word order, output rows
+    stay partitioned by their source document's partition. At 100 TB
+    this is the canonical doc→token fan-out: fan-out factor is bounded
+    per row and AQE splits oversized output partitions. (DuckDB twin
+    zips two unnests, its WITH ORDINALITY equivalent.)"""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE value > 400) AS BIGINT) AS n_big,
+           CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null,
+           bool_or(value > 480) AS any_extreme,
+           bool_and(value >= 0) AS all_nonneg,
+           CAST(count(DISTINCT user_id) FILTER (WHERE value > 400) AS BIGINT)
+               AS n_big_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: FILTER-clause counts, bool_or/bool_and
+    quantifiers, and a filtered DISTINCT — the SQL:2003 aggregate
+    modifiers in one grouped pass.
+
+    Plan: every conditional is a rewrite over ONE hash aggregate —
+    `count_if` is sum(if), the quantifiers are max/min of booleans —
+    so the plan is a single partial+final aggregate pair, not one
+    subquery per condition. The filtered DISTINCT adds the standard
+    expand+two-phase agg; everything stays in whole-stage codegen."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 400).alias("n_big"),
+        F.count_if(F.col("value").isNull()).alias("n_null"),
+        F.bool_or(F.col("value") > 480).alias("any_extreme"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.count_distinct(
+            F.when(F.col("value") > 400, F.col("user_id"))
+        ).alias("n_big_users"),
+    )
+
+
+@query(
+    "q_argmax_by",
+    oracle="""
+    SELECT event_type,
+           max_by(user_id, event_id) AS last_user,
+           min_by(user_id, event_id) AS first_user,
+           max(event_id) AS last_event_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_argmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min aggregation: per event type, the user on the
+    highest- and lowest-numbered event — "latest/first row's payload"
+    without a join-back or a window.
+
+    Plan: max_by carries (ordering key, payload) pairs through the
+    partial aggregate, so this is ONE shuffle of pre-combined pairs —
+    vs the rank-window formulation (full shuffle of raw rows + filter
+    rn=1) or the self-join-on-max formulation (two scans). The ordering
+    key is the unique event_id, making the result deterministic — the
+    contract this engine requires of every arg-max call site (max_by on
+    a tied, non-unique key is undefined in both engines)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.max_by("user_id", "event_id").alias("last_user"),
+        F.min_by("user_id", "event_id").alias("first_user"),
+        F.max("event_id").alias("last_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_SPINE_LO = "1995-01-01 00:00:00"
+_SPINE_HI = "2001-08-01 00:00:00"
+
+
+@query(
+    "q_date_spine",
+    oracle=f"""
+    WITH spine AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '{_SPINE_LO}', TIMESTAMP '{_SPINE_HI}',
+            INTERVAL 1 MONTH)) AS month_start
+    ), per_month AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {dsum_sql('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT spine.month_start,
+           COALESCE(per_month.n_orders, 0) AS n_orders,
+           COALESCE(per_month.revenue, 0.0) AS revenue
+    FROM spine LEFT JOIN per_month ON per_month.m = spine.month_start
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification: a generated monthly calendar LEFT JOINed
+    to per-month order totals so empty months surface as explicit zero
+    rows (the gap-free series every reporting layer wants).
+
+    Plan: `sequence()` + explode generates the spine from ONE literal row
+    — ~80 rows at any SF, broadcast side of the join. The fact
+    aggregates down to per-month rows before the spine attaches, so join
+    input is |months|, not |orders|. The spine is plan-side (no driver
+    loop, no collect): the same shape works for a 10-year hourly spine
+    (~90k rows) without touching the driver."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_SPINE_LO).cast("timestamp"),
+                F.lit(_SPINE_HI).cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    per_month = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(per_month, per_month.m == spine.month_start, "left")
+        .select(
+            "month_start",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_struct_roundtrip",
+    oracle="""
+    SELECT e.event_id,
+           e.ue.user_id AS user_id,
+           e.ue.event_type AS event_type,
+           len(e.tags) AS n_tags,
+           e.tags[1] AS first_tag
+    FROM (
+        SELECT event_id,
+               {'user_id': user_id, 'event_type': event_type} AS ue,
+               [event_type, CAST(user_id % 10 AS VARCHAR)] AS tags
+        FROM events WHERE event_id < 500
+    ) e
+    """,
+)
+def q_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round trip: pack columns into a struct and an array,
+    then extract fields/elements back out — the construct/destructure
+    pair every nested-parquet pipeline leans on.
+
+    Plan: pure projection — struct creation and field access are
+    codegen'd expressions that Catalyst COLLAPSES (CollapseProject +
+    SimplifyExtractValueOps rewrite `struct(a,b).a` to `a`), so the
+    packed struct never materializes. Output schema stays primitive on
+    purpose: the differential harness canonicalizes rows as flat tuples
+    (struct-typed output would compare dict-vs-Row)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    packed = e.select(
+        "event_id",
+        F.struct("user_id", "event_type").alias("ue"),
+        F.array(
+            F.col("event_type"), (F.col("user_id") % 10).cast("string")
+        ).alias("tags"),
+    )
+    return packed.select(
+        "event_id",
+        F.col("ue.user_id").alias("user_id"),
+        F.col("ue.event_type").alias("event_type"),
+        F.size("tags").cast("long").alias("n_tags"),
+        F.col("tags")[0].alias("first_tag"),
+    )
+
+
+@query(
+    "q_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(round(CAST(percent_rank() OVER w AS DECIMAL(28,12)), 9)
+                AS DOUBLE) AS pct_rank,
+           CAST(round(CAST(cume_dist() OVER w AS DECIMAL(28,12)), 9)
+                AS DOUBLE) AS cume
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank and cume_dist of each
+    urgent order's price within its priority class.
+
+    Plan: one window over (priority, price) — both functions share the
+    SAME Window operator and sort, so a single shuffle+sort serves both.
+    The o_orderkey tie-break makes percent_rank deterministic under
+    duplicate prices. Partitioned by priority (here filtered to one, in
+    general ~5 classes): at 100 TB a 5-partition window is a skew
+    hazard, so the production variant partitions by (priority,
+    date-bucket) — this query pins the SQL semantics."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            roundn(F.percent_rank().over(w), 9).alias("pct_rank"),
+            roundn(F.cume_dist().over(w), 9).alias("cume"),
+        )
+    )

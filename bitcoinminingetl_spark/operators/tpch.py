@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bitcoinminingetl_spark.catalog import table
-from bitcoinminingetl_spark.functions.numeric import dsum, dsum_sql
+from bitcoinminingetl_spark.functions.numeric import (
+    dsum,
+    dsum_sql,
+    roundn,
+    roundn_sql,
+)
 from bitcoinminingetl_spark.registry import query
 
 _Q3_SEGMENT = "BUILDING"
@@ -271,6 +276,421 @@ def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphans(
                 c, "c_nationkey", table(spark, sf_dir, "nation"), "n_nationkey",
                 "customer->nation",
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: the remaining classic TPC-H shapes the fixture schema can
+# express (no partsupp table, no l_shipmode/l_commitdate/l_receiptdate
+# columns, so Q7/Q10/Q14/Q19 run verbatim while Q4/Q15/Q17 are adapted —
+# each docstring names the adaptation).
+# ---------------------------------------------------------------------------
+
+_Q7_NATION_A = "NATION_1"
+_Q7_NATION_B = "NATION_2"
+_Q7_LO = "1996-01-01 00:00:00"
+_Q7_HI = "1998-01-01 00:00:00"
+
+
+@query(
+    "q_tpch_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = '{_Q7_NATION_A}' AND n2.n_name = '{_Q7_NATION_B}')
+        OR (n1.n_name = '{_Q7_NATION_B}' AND n2.n_name = '{_Q7_NATION_A}'))
+      AND l.l_shipdate >= TIMESTAMP '{_Q7_LO}'
+      AND l.l_shipdate < TIMESTAMP '{_Q7_HI}'
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS BIGINT)
+    """,
+)
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations, both directions, by
+    ship year.
+
+    Plan intent: nation is filtered to the TWO named nations BEFORE it
+    touches anything else, and that 2-row relation broadcasts onto
+    supplier and customer respectively — so the supplier/customer sides
+    shrink to the two nations' rows before the fact joins. The only
+    fact-sized shuffle is lineitem⋈orders on the orderkey; the asymmetric
+    pair predicate (A→B or B→A, never A→A) is applied after both nation
+    names are attached, exactly once. At 100 TB nothing changes: nation
+    is 25 rows at any SF, and the surviving supplier/customer subsets
+    stay broadcast-able."""
+    pair = [_Q7_NATION_A, _Q7_NATION_B]
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q7_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q7_HI).cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q10_LO = "1997-01-01 00:00:00"
+_Q10_HI = "1997-04-01 00:00:00"
+
+
+@query(
+    "q_tpch_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           c.c_acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+      AND o.o_orderdate < TIMESTAMP '{_Q10_HI}'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items in
+    one quarter.
+
+    Plan intent: both selective predicates (quarter on orders, 'R' flag
+    on lineitem) land in PushedFilters on their own scans; the filtered
+    orders broadcast onto lineitem (one quarter of orders is small at any
+    SF relative to lineitem); customer+nation attach by broadcast after
+    the aggregate has collapsed the fact to per-customer rows, so the
+    wide c_name/c_acctbal columns never travel through the fact shuffle.
+    Top-20 compiles to TakeOrderedAndProject; c_custkey tie-break keeps
+    the hash deterministic."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    per_cust = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q14_LO = "1997-03-01 00:00:00"
+_Q14_HI = "1997-04-01 00:00:00"
+
+
+@query(
+    "q_tpch_promo_effect",
+    oracle=f"""
+    SELECT {roundn_sql(
+        "100.0 * "
+        + dsum_sql(
+            "CASE WHEN p.p_type = 'PROMO' "
+            "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END"
+        )
+        + " / " + dsum_sql('l.l_extendedprice * (1 - l.l_discount)'),
+        6,
+    )} AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q14_LO}'
+      AND l.l_shipdate < TIMESTAMP '{_Q14_HI}'
+    """,
+)
+def q_tpch_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: percent of one month's gross revenue that came from
+    PROMO-type parts. (Fixture p_type is a single word, so the predicate
+    is equality, not LIKE 'PROMO%'.)
+
+    Plan intent: the month predicate prunes lineitem at the scan; part —
+    projected to (p_partkey, p_type) — broadcasts; the conditional and
+    total sums run in ONE aggregate pass (no second scan, no self-join).
+    Both sums are decimal-quantized so the ratio is partition-order
+    independent; the 6-dp round makes Spark and DuckDB agree exactly."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q14_HI).cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            roundn(
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / dsum(vol),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q19_CASES = (
+    ("Brand#4", 1, 10, 1.0, 15.0),
+    ("Brand#2", 1, 20, 10.0, 25.0),
+    ("Brand#19", 1, 30, 20.0, 35.0),
+)
+
+
+@query(
+    "q_tpch_discounted_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {' OR '.join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in _Q19_CASES
+    )}
+    """,
+)
+def q_tpch_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three disjunctive brand/size/quantity
+    baskets — the OR-of-ANDs predicate that defeats naive pushdown.
+
+    Plan intent: the part-side half of each disjunct (brand + size)
+    filters part BEFORE the join — the union of the three brand/size
+    windows is still a tiny broadcast relation — while the quantity
+    ranges evaluate post-join. Catalyst keeps the whole disjunction in
+    one codegen stage; no plan branch per disjunct, no union of three
+    scans. One row out; decimal-quantized sum for the oracle hash."""
+    p_pred = None
+    full_pred = None
+    for b, slo, shi, qlo, qhi in _Q19_CASES:
+        pp = (F.col("p_brand") == b) & F.col("p_size").between(slo, shi)
+        fp = pp & F.col("l_quantity").between(qlo, qhi)
+        p_pred = pp if p_pred is None else (p_pred | pp)
+        full_pred = fp if full_pred is None else (full_pred | fp)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(p_pred)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(full_pred)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q4_LO = "1997-01-01 00:00:00"
+_Q4_HI = "1997-07-01 00:00:00"
+_Q4_LATE_DAYS = 60
+
+
+@query(
+    "q_tpch_order_priority",
+    oracle=f"""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO}'
+      AND o.o_orderdate < TIMESTAMP '{_Q4_HI}'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count of orders per priority that had at least one
+    late line. (The fixture has no l_commitdate/l_receiptdate, so "late"
+    is adapted to: shipped more than 60 days after the order date.)
+
+    Plan intent: the correlated EXISTS compiles to a LEFT SEMI join on
+    the orderkey with the lateness comparison as an extra join predicate
+    — semi-join semantics give the at-least-one / no-duplicates behavior
+    for free (no DISTINCT, no pre-aggregation of lineitem). The order
+    date window prunes the orders scan; the semi join shuffles both
+    sides on orderkey once and AQE owns the rest at any SF."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_HI).cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (
+                l.l_shipdate
+                > o.o_orderdate + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q15_LO = "1997-01-01 00:00:00"
+_Q15_HI = "1997-04-01 00:00:00"
+
+
+@query(
+    "q_tpch_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+          AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM rev JOIN supplier s ON s.s_suppkey = rev.supplier_no
+    WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) whose quarter revenue equals the global
+    maximum — the scalar-subquery-against-an-aggregate pattern.
+
+    Plan intent: revenue-per-supplier aggregates once (shuffle on
+    suppkey); the scalar max is computed from that SAME relation as a
+    1-row aggregate and attached by broadcast cross join — NOT by a
+    global window over all suppliers (a Window.partitionBy() would
+    funnel every supplier row through one task at scale). The rev
+    relation is deliberately NOT persisted: it is supplier-cardinality,
+    cheap to recompute, and persisting would pin memory at 100 TB."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp"))
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q17_BRAND = "Brand#4"
+
+
+@query(
+    "q_tpch_small_qty_revenue",
+    oracle=f"""
+    WITH pa AS (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_cut
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {roundn_sql(dsum_sql('l.l_extendedprice') + ' / 7.0', 6)}
+           AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = '{_Q17_BRAND}'
+      AND l.l_quantity < pa.qty_cut
+    """,
+)
+def q_tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below half the part's mean order quantity) for one brand went
+    unfilled. (Classic Q17 uses 0.2×avg and a container filter; the
+    fixture's quantity distribution makes 0.5×avg the non-vacuous cut
+    and it has no p_container.)
+
+    Plan intent: the correlated AVG subquery decorrelates into one
+    per-partkey aggregate; because only one brand's parts survive, the
+    brand filter broadcasts onto BOTH the fact scan and the aggregate
+    input, so the per-part averages are computed only for the ~1/25 of
+    parts that matter... except the oracle's CTE averages over ALL parts
+    — and so does this plan, deliberately: semi-filtering the aggregate
+    by brand first would be the optimization, but the avg must match the
+    oracle bit-for-bit, and avg over a part's lineitems is identical
+    either way (the filter selects partkeys, it does not change any
+    part's rows). The aggregate is partkey-partitioned, fact-sized
+    shuffle #1; the fact⋈avg join reuses that partitioning (shuffle #2
+    on the same key, AQE-coalesced); brand parts broadcast."""
+    l = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _Q17_BRAND)
+        .select("p_partkey")
+    )
+    pa = l.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cut")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pa, F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            roundn(dsum(F.col("l_extendedprice")) / F.lit(7.0), 6).alias(
+                "avg_yearly"
             )
         )
     )

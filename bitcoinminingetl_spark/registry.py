@@ -35,6 +35,7 @@ _OPERATOR_MODULES = (
     "multimodal",
     "streaming_ops",
     "tpch",
+    "sql_surface",
 )
 
 

