@@ -804,3 +804,161 @@ def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.percent_rank().over(w) >= 0.2).alias("keep"),
         )
     )
+
+
+_SPAN_N = 5  # word n-gram width for duplicated-span accounting
+
+
+@query(
+    "q_dup_span_stats",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+               array_to_string(
+                   words[CAST(i AS INTEGER):CAST(i AS INTEGER) + {_SPAN_N - 1}],
+                   ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             unnest(generate_series(1, len(words) - {_SPAN_N - 1})) AS t(i)
+    ), shared AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (WHERE s.gram IS NOT NULL) AS BIGINT)
+               AS n_dup_spans,
+           CAST(round(CAST(count(*) FILTER (WHERE s.gram IS NOT NULL)
+                 AS DECIMAL(28,12)) / count(*), 9) AS DOUBLE) AS dup_rate
+    FROM grams g LEFT JOIN shared s ON s.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span accounting (the per-position dup-rate behind
+    exact-substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): for every document, the fraction of
+    its word 5-gram positions whose 5-gram also occurs in ANOTHER
+    document. High dup_rate docs are span-removal / drop candidates;
+    unlike q_decontaminate (membership against an eval set) or
+    q_fingerprint (sampled winnowing), this is the dense per-position
+    rate over the whole corpus.
+
+    Scale shape: grams explode in-scan (Generate, no shuffle); the
+    shared-gram relation is ONE hash aggregate on the gram (map-side
+    partial collapses hot grams before the exchange) filtered to
+    multi-doc grams; the flag attaches by semi-join-shaped left join on
+    the gram hash and the per-doc rollup reuses the doc_id grouping.
+    Hot (stop-)grams skew the join key — AQE skew-split owns it, and
+    the joined payload is 1 column, so a hot gram costs bytes, not
+    width. dup_rate is decimal-quantized for the oracle hash."""
+    grams = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("words") - _SPAN_N),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("words"), i + 1, _SPAN_N)
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram", F.lit(True).alias("is_dup"))
+    )
+    flagged = grams.join(shared, "gram", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count_if(F.col("is_dup")).alias("n_dup_spans"),
+        roundn(
+            F.count_if(F.col("is_dup"))
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("dup_rate"),
+    )
+
+
+_BPE_MERGES = 5
+
+
+@query("q_bpe_train")  # rows-only: iterative argmax loop, not SQL-expressible
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the iterative step q_bpe_pair_counts only
+    scores once: N rounds of (count adjacent symbol pairs weighted by
+    corpus token frequency) → (merge the argmax pair corpus-wide).
+    Output: the learned merge table (step, left, right, pair_count) —
+    the artifact a tokenizer ships.
+
+    Scale shape: the corpus is touched ONCE (token-frequency aggregate);
+    every round then runs on the VOCABULARY (distinct tokens as symbol
+    arrays × freq — 10^5-ish rows at any corpus size, cached and
+    replaced each round). Pair counting is explode+hash-agg on that
+    small relation; the argmax is an orderBy(1).limit(1) driver pull of
+    ONE row per round (the sanctioned ≤N-rows collect); the merge
+    rewrite is a map-only fold (aggregate HOF) applying left-to-right
+    greedy pairing — no Python UDF anywhere. Round count is the fixed
+    merge budget, so the lineage is bounded; the vocab relation is
+    re-cached per round and the previous round unpersisted."""
+    vocab = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.expr("transform(split(token, ''), c -> c)").alias("syms"),
+            "freq",
+        )
+        .filter(F.size("syms") >= 2)
+        .cache()
+    )
+    merges = []
+    for step in range(1, _BPE_MERGES + 1):
+        # NB: Spark's sequence(1, 0) DESCENDS instead of being empty, so
+        # fully-merged single-symbol tokens must be filtered before the
+        # pair explosion every round, not just at init.
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        merges.append((step, best.l, best.r, best.n))
+        l_lit, r_lit = best.l.replace("'", "\\'"), best.r.replace("'", "\\'")
+        merged = vocab.select(
+            F.expr(
+                "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
+                f"IF(size(acc) > 0 AND element_at(acc, -1) = '{l_lit}' "
+                f"AND s = '{r_lit}', "
+                "concat(slice(acc, 1, size(acc) - 1), "
+                f"array(concat('{l_lit}', '{r_lit}'))), "
+                "concat(acc, array(s))))"
+            ).alias("syms"),
+            "freq",
+        ).cache()
+        merged.count()  # materialize before dropping the parent
+        vocab.unpersist()
+        vocab = merged
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    )

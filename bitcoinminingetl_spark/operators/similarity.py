@@ -355,3 +355,185 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mse"),
         F.when(F.col("scale") > 0, nnz).cast("long").alias("nnz"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN JOIN: corpus-vs-corpus nearest neighbors. Distinct from
+# q_cosine_topk's broadcast-query shape — here BOTH sides are
+# corpus-cardinality, so the scale path must block (LSH buckets on both
+# sides) instead of broadcasting; the exact variant is the guarded
+# ground-truth twin, mirroring the dedup family's exact/LSH pairing.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+_KNN_MOD = 50  # query side: vec_id % 50 == 0 (a 2% sample of the corpus)
+
+
+@query(
+    "q_knn_join",
+    oracle=f"""
+    WITH a AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
+    b AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} <> 0),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {roundn_sql(f'{_DOT_SQL} / ({_norm_sql("a")} * {_norm_sql("b")})', 6)}
+                   AS cosine
+        FROM a JOIN b ON true
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_KNN_K}
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join (ground-truth twin): for every 50th vector, its 3
+    nearest neighbors among the rest of the corpus by cosine.
+
+    GUARDED all-pairs — this is the oracle twin the LSH variant is
+    measured against, like q_dedup_ngram_jaccard vs _minhash_lsh. The
+    query side (2% of the corpus) broadcasts, so the probe side never
+    shuffles, but candidate count is |A|·|B| and the plan is declared
+    unshippable past ~10^4 query rows; q_knn_join_lsh is the scale path.
+    Per-query top-k via window on the broadcast-joined relation: each
+    probe partition ranks locally, k·|A| rows reach the final exchange."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "norm", _norm(F.col("embedding"))
+    )
+    a = emb.filter(F.col("vec_id") % _KNN_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    b = emb.filter(F.col("vec_id") % _KNN_MOD != 0)
+    scored = b.join(F.broadcast(a)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        roundn(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _KNN_K)
+    )
+
+
+_KNN_TABLES = 4  # OR-amplification: 4 independent 6-plane hash tables
+_KNN_PLANES = 6
+
+
+def _knn_plane_matrix() -> "np.ndarray":
+    """(tables*planes, 64) hyperplane matrix, seeded per table so the 4
+    tables are independent. Shipped to executors inside the UDF closure
+    (a few KB — broadcast by construction)."""
+    blocks = []
+    for t in range(_KNN_TABLES):
+        rng = np.random.default_rng(_LSH_SEED + 100 + t)
+        blocks.append(rng.standard_normal((_KNN_PLANES, 64)))
+    return np.concatenate(blocks, axis=0)
+
+
+def _knn_bucket_udf():
+    """Arrow-batched bucket assignment: one numpy matmul per batch
+    computes all 4 tables' sign buckets at once. This replaces a
+    24-dot-product higher-order-function expression whose ~1500-literal
+    tree falls out of whole-stage codegen and evaluates interpreted —
+    the one place in the ANN family where a vectorized pandas UDF beats
+    the built-in expression path by an order of magnitude."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _knn_plane_matrix()  # (T*P, 64)
+    weights = (2 ** np.arange(_KNN_PLANES)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(emb):  # pd.Series of list<float> -> pd.Series of list<long>
+        V = np.array(emb.tolist(), dtype=np.float64)  # (n, 64)
+        bits = (V @ planes.T >= 0).astype(np.int64)  # (n, T*P)
+        per_table = bits.reshape(len(V), _KNN_TABLES, _KNN_PLANES)
+        out = per_table @ weights  # (n, T)
+        return __import__("pandas").Series(list(out))
+
+    return buckets
+
+
+@query("q_knn_join_lsh")  # rows-only: LSH recall is checked vs q_knn_join
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN join — the shippable corpus-vs-corpus shape: both
+    sides hash into 4 independent 6-plane sign-bucket tables (OR
+    amplification); candidates are the equi-join on (table, bucket) over
+    NARROW id rows; exact cosine re-ranks only the survivors after the
+    vectors are re-attached by key.
+
+    Plan doctrine (also why this beats the naive "carry the vectors
+    through the bucket join" shape): the bucket relation is (id, table,
+    bucket) — 12 bytes of payload — so the candidate join shuffles
+    O(n·tables) slim rows and the cross-table duplicate collapse is a
+    distinct on two longs. Vectors rejoin ONCE per side afterwards: the
+    query side (2% sample) by broadcast, the neighbor side by a single
+    corpus-keyed equi-join that AQE sizes. At 100 TB the candidate pair
+    relation is the only growing intermediate, and it is two-long rows.
+
+    Recall math at the design point (semantic corpora, neighbor cosine
+    ≥0.9): per-plane collision 1-θ/π ≈ 0.856, per-table 0.856^6 ≈ 0.394,
+    across 4 OR'd tables 1-(1-0.394)^4 ≈ 0.87 per true pair. On the
+    isotropic fixture (neighbor cosine ≈0.34) the same config gives
+    ≈0.19 — the planted-cluster test pins the former, a recall-floor
+    assertion the latter."""
+    emb = table(spark, sf_dir, "embeddings")
+    bucket_of = _knn_bucket_udf()
+    def bucketed(df, idcol):
+        return df.select(
+            F.col("vec_id").alias(idcol),
+            F.posexplode(bucket_of(F.col("embedding"))).alias(
+                f"{idcol}_t", f"{idcol}_bkt"
+            ),
+        )
+    q_side = emb.filter(F.col("vec_id") % _KNN_MOD == 0)
+    n_side = emb.filter(F.col("vec_id") % _KNN_MOD != 0)
+    cand = (
+        bucketed(q_side, "query_id")
+        .join(
+            bucketed(n_side, "neighbor_id"),
+            (F.col("query_id_t") == F.col("neighbor_id_t"))
+            & (F.col("query_id_bkt") == F.col("neighbor_id_bkt")),
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = q_side.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    nv = n_side.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        _norm(F.col("embedding")).alias("n_norm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), cand.query_id == qv.q_id)
+        .join(nv, cand.neighbor_id == nv.n_id)
+        .select(
+            "query_id",
+            "neighbor_id",
+            roundn(
+                _dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _KNN_K)
+    )

@@ -830,3 +830,79 @@ def test_bigram_logprob_skewed_fixture_head_and_tail(spark, tmp_path):
         for r in REGISTRY["q_bigram_logprob"].fn(spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+def test_knn_join_lsh_planted_clusters_and_recall(spark, sf_dir, tmp_path):
+    """The blocked k-NN join must (a) recover planted tight clusters —
+    the regime it is built for (semantic corpora, neighbor cosine ≥0.9,
+    where the 4×6-plane config gives ~87% per-pair recall and the
+    seeded planes make the outcome deterministic); (b) never invent a
+    neighbor: every (query, neighbor, cosine) row must agree exactly
+    with the exact twin's scoring; (c) keep a non-degenerate recall on
+    the isotropic fixture corpus (whose top-3 neighbors sit near cosine
+    0.34, where sign-LSH theory gives ~0.19 — the documented trade,
+    asserted so a config regression is visible)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # 10 clusters of 4 near-identical vectors; ids chosen so each cluster
+    # contributes exactly one query-side member (vec_id % 50 == 0).
+    for c in range(10):
+        base = rng.standard_normal(64)
+        for j in range(4):
+            vec = base + 0.05 * rng.standard_normal(64)
+            rows.append((c * 50 + j, [float(x) for x in vec], c))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = REGISTRY["q_knn_join_lsh"].fn(spark, str(tmp_path)).collect()
+    exact = REGISTRY["q_knn_join"].fn(spark, str(tmp_path)).collect()
+    # (a) planted recall: each query's exact top-3 are its cluster mates
+    # (cosine ~0.999); the LSH join must find most of them.
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    got_pairs = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"planted-cluster recall {recall}"
+    # (b) scores agree exactly with the exact twin where pairs overlap
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in got:
+        k = (r.query_id, r.neighbor_id)
+        if k in exact_scores:
+            assert abs(r.cosine - exact_scores[k]) < 1e-9
+    # per-query cap respected
+    from collections import Counter
+    per_q = Counter(q for q, _ in got_pairs)
+    assert all(v <= 3 for v in per_q.values())
+
+    # (c) isotropic-fixture floor: weak neighbors, weak recall — but not zero
+    ex = {(r.query_id, r.neighbor_id)
+          for r in REGISTRY["q_knn_join"].fn(spark, sf_dir).collect()}
+    ap = {(r.query_id, r.neighbor_id)
+          for r in REGISTRY["q_knn_join_lsh"].fn(spark, sf_dir).collect()}
+    assert len(ex & ap) / len(ex) >= 0.10
+
+
+def test_bpe_train_hand_computed_merges(spark, tmp_path):
+    """q_bpe_train on a corpus small enough to run BPE by hand:
+    vocab {aaab×2, aab×1}. Round 1: (a,a) weight 5 beats (a,b) weight 3.
+    Round 2: after merging, (aa,a)=2 ties (a,b)=2 — lexical tiebreak on
+    the left symbol picks (a,b). Round 3: (aa,ab)=2. Round 4: (aa,b)=1.
+    Round 5: no pairs remain -> the loop stops early with 4 merges."""
+    rows = [
+        (1, "aaab aaab", "en", "s1", 9),
+        (2, "aab", "en", "s1", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in REGISTRY["q_bpe_train"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, "a", "a", 5),
+        (2, "a", "b", 2),
+        (3, "aa", "ab", 2),
+        (4, "aa", "b", 1),
+    ]
