@@ -962,3 +962,66 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     )
+
+
+_WS_SEED = 23
+_WS_K = 100
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               CAST(round(CAST(
+                   ln((CAST(('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR) || ':{_WS_SEED}'), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0)
+                   / n_chars AS DECIMAL(28,12)), 9) AS DOUBLE) AS es_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT {_WS_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis): keep
+    the k docs with the largest ln(u)/w where u is a deterministic
+    per-doc uniform and w = n_chars — longer docs proportionally more
+    likely, every run and every engine picking the SAME sample. The
+    length-weighted cut is the standard token-budget-aware corpus
+    sample (sampling docs uniformly would under-sample long-doc tokens).
+
+    Determinism doctrine (q_seeded_sample, q_hash_split): u derives from
+    md5(doc_id:seed) — first 8 hex chars as a 32-bit integer, +0.5 to
+    dodge ln(0) — identical in Spark and DuckDB, unlike rand(seed). The
+    E-S identity: taking top-k by u^(1/w) ⇔ by ln(u)/w is exactly a
+    w-weighted draw without replacement. Plan: map-only key computation,
+    TakeOrderedAndProject top-k — per-partition local top-k, k rows to
+    the driver-side merge, no global sort at any SF. The key is
+    decimal-quantized so the order (and hash) agrees across engines."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(f":{_WS_SEED}"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            roundn(F.log(u) / F.col("n_chars"), 9).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(_WS_K)
+    )

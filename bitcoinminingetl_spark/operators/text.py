@@ -1001,3 +1001,104 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(_BPE_TOP_K)
     )
+
+
+_PMI_MIN_COUNT = 25
+_PMI_TOP_K = 40
+
+
+@query(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), uni AS (
+        SELECT unnest(ws) AS w FROM words
+    ), unigrams AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), tot AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n FROM unigrams
+    ), bigrams AS (
+        SELECT ws[CAST(i AS INTEGER)] AS w1,
+               ws[CAST(i AS INTEGER) + 1] AS w2
+        FROM words, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ), bg AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bigrams
+        GROUP BY w1, w2 HAVING count(*) >= {_PMI_MIN_COUNT}
+    ), btot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS b FROM bigrams
+    )
+    SELECT bg.w1, bg.w2, bg.c12,
+           {roundn_sql(
+               'ln((bg.c12 / btot.b) / ((u1.c / tot.n) * (u2.c / tot.n)))', 6
+           )} AS pmi
+    FROM bg
+    JOIN unigrams u1 ON u1.w = bg.w1
+    JOIN unigrams u2 ON u2.w = bg.w2
+    CROSS JOIN tot CROSS JOIN btot
+    ORDER BY pmi DESC, bg.w1, bg.w2
+    LIMIT {_PMI_TOP_K}
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the corpus's most
+    associated adjacent word pairs — the classic phrase-detection pass
+    (word2vec's phrase pre-join, quality-signal n-grams) that complements
+    q_bigram_logprob's per-doc scoring with a corpus-level model readout.
+
+    Scale shape: ONE in-scan Generate produces bigrams, unigram and
+    bigram counts are two hash aggregates on vocab-cardinality keys
+    (map-side partials collapse the corpus before either exchange); the
+    bigram relation min-count-prunes BEFORE joining its two unigram
+    marginals (post-prune it is tiny, so both marginal joins broadcast
+    under AQE); the two grand totals attach as 1-row broadcasts. PMI is
+    computed from exact integer counts so both engines round the same
+    doubles; TakeOrdered keeps only the top-40."""
+    words = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("ws")
+    )
+    unigrams = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = unigrams.agg(F.sum("c").cast("double").alias("n"))
+    bigrams = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("w1"),
+                    F.element_at(F.col("ws"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    btot = bigrams.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    bg = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    u1 = unigrams.select(F.col("w").alias("u1_w"), F.col("c").alias("c1"))
+    u2 = unigrams.select(F.col("w").alias("u2_w"), F.col("c").alias("c2"))
+    return (
+        bg.join(u1, bg.w1 == u1.u1_w)
+        .join(u2, bg.w2 == u2.u2_w)
+        .join(F.broadcast(tot))
+        .join(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            roundn(
+                F.log(
+                    (F.col("c12") / F.col("b"))
+                    / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )

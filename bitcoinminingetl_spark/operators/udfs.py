@@ -182,3 +182,103 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c.* FROM documents_udtf, LATERAL chunk_doc(doc_id, text) c"
     )
+
+
+@query(
+    "q_cogroup_pandas",
+    oracle="""
+    WITH o AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS order_total
+        FROM orders GROUP BY 1
+    ), l AS (
+        SELECT date_trunc('month', l_shipdate) AS m,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS ship_revenue
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COALESCE(o.m, l.m) AS TIMESTAMP) AS month,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(l.n_lines, 0) AS n_lines,
+           COALESCE(o.order_total, 0.0) AS order_total,
+           COALESCE(l.ship_revenue, 0.0) AS ship_revenue,
+           CAST(round(CAST(CASE WHEN COALESCE(o.order_total, 0.0) > 0
+                THEN COALESCE(l.ship_revenue, 0.0) / o.order_total
+                ELSE NULL END AS DECIMAL(28,12)), 9) AS DOUBLE)
+               AS ship_to_order_ratio
+    FROM o FULL OUTER JOIN l ON o.m = l.m
+    """,
+)
+def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the two-sided per-key Python escape
+    hatch (`groupBy().cogroup().applyInPandas`), completing the UDF
+    surface alongside the one-sided applyInPandas, mapInPandas and the
+    UDTF: per calendar month, merge the orders-side and shipping-side
+    aggregates in pandas and derive a ship-to-order revenue ratio.
+
+    100 TB doctrine for cogroup: NEVER feed raw facts to Python. Both
+    sides pre-aggregate JVM-side to month-cardinality relations first
+    (decimal-quantized sums), so the cogroup shuffles ~100 rows per side
+    and each pandas call merges two 1-row frames; the Python stage cost
+    is per-month, not per-fact-row. The same shape handles asymmetric
+    keys (outer cogroup semantics: either side may be empty — exercised
+    here because order months and ship months only partially overlap)."""
+    import numpy as np
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("order_total"),
+        )
+    )
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("ship_revenue"),
+        )
+    )
+
+    def merge(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        n_orders = int(odf["n_orders"].iloc[0]) if len(odf) else 0
+        order_total = float(odf["order_total"].iloc[0]) if len(odf) else 0.0
+        n_lines = int(ldf["n_lines"].iloc[0]) if len(ldf) else 0
+        ship_revenue = float(ldf["ship_revenue"].iloc[0]) if len(ldf) else 0.0
+        ratio = (
+            round(ship_revenue / order_total, 9) if order_total > 0 else np.nan
+        )
+        return pd.DataFrame(
+            {
+                "month": [key[0]],
+                "n_orders": [n_orders],
+                "n_lines": [n_lines],
+                "order_total": [order_total],
+                "ship_revenue": [ship_revenue],
+                "ship_to_order_ratio": [ratio],
+            }
+        )
+
+    return (
+        o.groupBy("month")
+        .cogroup(l.groupBy("month"))
+        .applyInPandas(
+            merge,
+            "month timestamp, n_orders long, n_lines long, "
+            "order_total double, ship_revenue double, "
+            "ship_to_order_ratio double",
+        )
+    )
