@@ -378,3 +378,41 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(F.cume_dist().over(w), 9).alias("cume"),
         )
     )
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    SELECT * FROM (
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL BY NAME
+        SELECT event_id, user_id, event_type,
+               CAST(NULL AS DOUBLE) AS value, props
+        FROM events WHERE event_type = 'error'
+    )
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: merge two feeds whose schemas drifted (the
+    error feed grew a `props` column; the purchase feed has none) by
+    column NAME, missing columns null-filled — `unionByName(...,
+    allowMissingColumns=True)`, the append-compatibility primitive every
+    long-lived ingestion needs (the reference's ONE_SUCCESS merge union
+    is the fixed-schema special case; streaming/pipeline.py handles the
+    streaming side).
+
+    Plan: pure Union of two filtered scans — each branch's predicate
+    pushes to its own scan, the null-fill is a literal projection, no
+    shuffle. Positional UNION would silently mis-bind columns after
+    drift; by-name is the only scalable contract because it is the only
+    one that stays correct when upstream adds fields."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "event_type",
+        F.lit(None).cast("double").alias("value"), "props",
+    )
+    return purchases.unionByName(errors, allowMissingColumns=True)

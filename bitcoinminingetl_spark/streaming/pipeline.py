@@ -197,7 +197,10 @@ def windowed_averages_with_fallback(events: DataFrame) -> DataFrame:
 
 
 def stream_stream_interval_join(
-    clicks: DataFrame, views: DataFrame, tolerance: str = "5 minutes"
+    clicks: DataFrame,
+    views: DataFrame,
+    tolerance: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream time-interval join: each click pairs with the same
     user's views within ±tolerance — the attribution-join shape (R11's
@@ -208,7 +211,18 @@ def stream_stream_interval_join(
 
     Both sides carry watermarks; the time-bound condition lets the state
     store expire rows once the other stream's watermark passes ts +
-    tolerance — without it, stream-stream join state grows forever."""
+    tolerance — without it, stream-stream join state grows forever.
+
+    how="left_outer" adds the attribution-loss rows: clicks with NO view
+    within tolerance emit once — with null view columns — exactly when
+    the view-side watermark passes click.ts + tolerance, i.e. when the
+    engine can PROVE no match can still arrive. That proof is the whole
+    point of the watermark contract: outer results are late by one
+    watermark delay but never retracted, so downstream consumers see an
+    append-only, eventually-complete attribution table. (Clicks newer
+    than the final watermark stay in state, not in output — the drain
+    leaves them pending, matching production semantics where the stream
+    never "ends".)"""
     c = clicks.withWatermark("ts", "10 minutes").alias("c")
     v = views.withWatermark("ts", "10 minutes").alias("v")
     return c.join(
@@ -219,6 +233,7 @@ def stream_stream_interval_join(
             v.ts BETWEEN c.ts - INTERVAL {tolerance} AND c.ts + INTERVAL {tolerance}
             """
         ),
+        how,
     ).select(
         F.col("c.event_id").alias("click_id"),
         F.col("v.event_id").alias("view_id"),

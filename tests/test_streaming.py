@@ -742,3 +742,78 @@ def test_incremental_dedup_drops_cross_batch_near_dup_across_restart(
     assert len(by_id[105]) == 1
     # run 2 continued batch numbering from the checkpoint
     assert min(by_id[105]) > max(run1.values())
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(
+    spark, landed_events, tmp_path
+):
+    """The left-outer stream-stream join must (a) produce the same
+    matched pairs as the inner join, and (b) additionally emit
+    null-view rows for clicks whose attribution window closed with no
+    view — exactly the clicks the batch left join leaves unmatched,
+    restricted to those the final watermark got past (tail clicks stay
+    in state: the stream never 'ends', AvailableNow just stops
+    feeding it)."""
+    from bitcoinminingetl_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_stream_interval_join,
+    )
+
+    stream = read_event_stream(spark, landed_events)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    out = str(tmp_path / "louter_out")
+    q = (
+        stream_stream_interval_join(clicks, views, how="left_outer")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "louter_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    got_pairs = {
+        (r.click_id, r.view_id)
+        for r in got.filter(F.col("view_id").isNotNull()).collect()
+    }
+    got_unmatched = {
+        r.click_id for r in got.filter(F.col("view_id").isNull()).collect()
+    }
+
+    batch = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(landed_events)
+    bc = batch.filter(F.col("event_type") == "click").alias("c")
+    bv = batch.filter(F.col("event_type") == "view").alias("v")
+    joined = bc.join(
+        bv,
+        F.expr(
+            "c.user_id = v.user_id AND "
+            "v.ts BETWEEN c.ts - INTERVAL 5 MINUTES AND c.ts + INTERVAL 5 MINUTES"
+        ),
+        "left_outer",
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.event_id").alias("view_id"),
+    )
+    expected_pairs = {
+        (r.click_id, r.view_id)
+        for r in joined.filter(F.col("view_id").isNotNull()).collect()
+    }
+    expected_unmatched = {
+        r.click_id for r in joined.filter(F.col("view_id").isNull()).collect()
+    }
+
+    # matched pairs identical to batch
+    assert got_pairs == expected_pairs
+    # outer rows: only-and-exactly batch-unmatched clicks, minus any the
+    # final watermark hadn't passed (held in state, never wrongly emitted)
+    assert got_unmatched <= expected_unmatched
+    assert got_unmatched, (
+        "no unmatched clicks emitted — watermark should have closed most "
+        "attribution windows during the drain"
+    )
+    # no click appears both matched and null-view
+    assert not (got_unmatched & {c for c, _ in got_pairs})
