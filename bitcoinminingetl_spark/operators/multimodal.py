@@ -212,3 +212,60 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_ms"),
         )
     )
+
+
+_EMBED_DIM = 16
+
+
+def _feature_batches(batches):
+    """The mapInPandas feature-extraction kernel: (doc_id, payload:
+    binary) batches in, (doc_id, n_bytes, feature: array<float>) out.
+
+    STUB MATH, REAL PLUMBING: the container ships no image/audio libs,
+    so the "model" is a deterministic 16-bin byte histogram (L1
+    normalized) — the Spark-side contract (Arrow batch boundary, binary
+    input column, fixed-dim float vector output schema, per-batch numpy
+    vectorization) is exactly what a real CLIP/ResNet kernel needs;
+    swapping the histogram for torch inference changes only this
+    function's body. Deterministic by construction, so tests can assert
+    byte-for-byte stable features across runs and partitionings."""
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        nb = []
+        for b in pdf["payload"]:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            nb.append(len(arr))
+            hist = np.bincount(arr >> 4, minlength=_EMBED_DIM).astype(
+                np.float64
+            )
+            total = hist.sum()
+            feats.append(
+                (hist / total if total else hist).astype(np.float32).tolist()
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "n_bytes": nb, "feature": feats}
+        )
+
+
+@query("q_multimodal_embed")  # rows-only: binary payloads aren't SQL-expressible
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction (embedding) over binary payloads — the
+    decode→featurize step between q_multimodal_pipeline's header parse
+    and the ANN/dedup family's vector operators: every payload maps to a
+    fixed 16-dim float vector ready for q_dedup_embed_cosine_lsh /
+    q_knn_join_lsh downstream.
+
+    Scale shape: map-only — no shuffle anywhere; Arrow batches bound
+    Python-boundary cost; output vectors are ~64 B/row regardless of
+    payload size, so the stage SHRINKS the data (the reason feature
+    extraction runs before any shuffle-heavy op in a media pipeline).
+    Partitioning is inherited from the scan, so downstream bucketing
+    sees the same layout."""
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(
+        _feature_batches, "doc_id long, n_bytes long, feature array<float>"
+    )

@@ -1102,3 +1102,76 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+
+
+_VOCAB_MIN_FREQ = 2
+
+
+@query(
+    "q_tokenize_to_ids",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(i AS INTEGER) - 1 AS pos,
+               ws[CAST(i AS INTEGER)] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) AS t(i)
+    ), vocab AS (
+        SELECT w,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, w) AS BIGINT)
+                   AS id
+        FROM toks GROUP BY w HAVING count(*) >= {_VOCAB_MIN_FREQ}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.id IS NULL) AS BIGINT) AS n_oov,
+           list(COALESCE(v.id, 0) ORDER BY t.pos) AS token_ids
+    FROM toks t LEFT JOIN vocab v ON v.w = t.w
+    GROUP BY t.doc_id
+    """,
+)
+def q_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization to id sequences: build a frequency-ranked
+    vocabulary (rank 1 = most frequent, min corpus frequency {2}, OOV →
+    id 0), then map every document to its ordered token-id array — the
+    text→tensor step that feeds q_doc_pack / q_token_budget_select.
+
+    Scale shape: tokens explode in-scan with their ordinal (Generate);
+    the vocabulary is a vocab-cardinality aggregate whose id assignment
+    is ONE window over the vocab relation (bounded — a tokenizer's vocab
+    is 10^4..10^6 at any corpus size; for unbounded key spaces the
+    distributed rank is q_surrogate_key_dist's sketch-bucket plan); the
+    token→id join broadcasts the vocab; reassembly is one doc_id shuffle
+    with array_sort(collect_list(struct(pos,id))) recovering order
+    without a second window. OOV handling is explicit (id 0 + per-doc
+    count) because silent OOV drops corrupt token budgets downstream."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+    )
+    w = Window.orderBy(F.col("c").desc(), "w")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _VOCAB_MIN_FREQ)
+        .select("w", F.row_number().over(w).cast("long").alias("id"))
+        .withColumnRenamed("w", "v_w")
+    )
+    return (
+        toks.join(F.broadcast(vocab), toks.w == vocab.v_w, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("id").isNull()).alias("n_oov"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", F.coalesce("id", F.lit(0)).alias("id"))
+                    )
+                ),
+                lambda s: s.id,
+            ).alias("token_ids"),
+        )
+    )

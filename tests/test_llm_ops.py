@@ -906,3 +906,46 @@ def test_bpe_train_hand_computed_merges(spark, tmp_path):
         (3, "aa", "ab", 2),
         (4, "aa", "b", 1),
     ]
+
+
+def test_multimodal_embed_deterministic_and_normalized(spark, sf_dir):
+    """The feature kernel must be deterministic across partitionings
+    (repartition(7) changes batch boundaries, features must not move),
+    emit fixed 16-dim L1-normalized vectors, and compute the documented
+    byte histogram (checked exactly on a crafted payload)."""
+    import numpy as np
+    import pandas as pd
+
+    from bitcoinminingetl_spark.operators.multimodal import (
+        _EMBED_DIM,
+        _feature_batches,
+    )
+
+    df = REGISTRY["q_multimodal_embed"].fn(spark, sf_dir)
+    a = {r.doc_id: r.feature for r in df.collect()}
+    assert all(len(v) == _EMBED_DIM for v in a.values())
+    assert all(abs(sum(v) - 1.0) < 1e-5 for v in a.values() if sum(v))
+
+    from bitcoinminingetl_spark.catalog import table as _table
+    import pyspark.sql.functions as SF
+
+    rep = (
+        _table(spark, sf_dir, "documents")
+        .repartition(7)
+        .select("doc_id", SF.encode(SF.col("text"), "UTF-8").alias("payload"))
+        .mapInPandas(
+            _feature_batches, "doc_id long, n_bytes long, feature array<float>"
+        )
+    )
+    b = {r.doc_id: r.feature for r in rep.collect()}
+    assert a == b
+
+    # crafted payload: bytes 0x00 x3 + 0xF0 x1 -> bins 0 and 15 get 3/4, 1/4
+    [(row)] = list(
+        _feature_batches(
+            iter([pd.DataFrame({"doc_id": [1], "payload": [b"\x00\x00\x00\xf0"]})])
+        )
+    )[0].to_dict("records")
+    feat = row["feature"]
+    assert abs(feat[0] - 0.75) < 1e-6 and abs(feat[15] - 0.25) < 1e-6
+    assert row["n_bytes"] == 4
