@@ -416,3 +416,130 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("value"), "props",
     )
     return purchases.unionByName(errors, allowMissingColumns=True)
+
+
+@query(
+    "q_try_funcs",
+    oracle="""
+    SELECT event_id,
+           1.0 * value / nullif(day(ts) - 15, 0) AS risky_div,
+           TRY_CAST(event_type AS INTEGER) AS bad_int,
+           TRY_CAST(substr(CAST(event_id AS VARCHAR), 1, 4) AS INTEGER)
+               AS good_int,
+           TRY_CAST('2024-' || lpad(CAST(user_id % 15 + 1 AS VARCHAR), 2, '0')
+                    || '-01' AS TIMESTAMP) AS maybe_month,
+           string_split(event_type, '')[8] AS char8
+    FROM events WHERE event_id < 2000
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expression surface: try_divide / try_cast /
+    try_to_timestamp / try_element_at — NULL-on-failure semantics for
+    dirty data, the ANSI-mode-safe alternative to silent coercion or a
+    job-killing exception. Every branch here actually exercises the
+    failure path on fixture data: division hits zero on mid-month
+    days, event_type never parses as int, months 13-15 don't exist,
+    and 5-char event types have no 8th char.
+
+    Plan: pure map-only projection, whole-stage codegen'd; `try_*`
+    compiles to the same expression tree with a catch wrapper, so the
+    tolerance is free at scale (no Python, no row-level branching beyond
+    what the expression already does). At 100 TB this is the contract
+    ingestion uses to quarantine bad values per-COLUMN instead of
+    per-ROW (the reference's transform silently coerces with pandas —
+    utils/transform.py — which at scale hides corruption; explicit
+    NULLs are auditable by q_dq_profile downstream)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.dayofmonth("ts") - 15).alias(
+            "risky_div"
+        ),
+        F.col("event_type").try_cast("int").alias("bad_int"),
+        F.substring(F.col("event_id").cast("string"), 1, 4)
+        .try_cast("int")
+        .alias("good_int"),
+        F.try_to_timestamp(
+            F.concat(
+                F.lit("2024-"),
+                F.lpad((F.col("user_id") % 15 + 1).cast("string"), 2, "0"),
+                F.lit("-01"),
+            )
+        ).alias("maybe_month"),
+        F.try_element_at(F.split("event_type", ""), F.lit(8)).alias("char8"),
+    )
+
+
+_SQL_TEXT = """
+    SELECT n.n_name AS nation,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           CAST(round(CAST(
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(sum(sum(CAST(o.o_totalprice AS DECIMAL(18,4))))
+                      OVER () AS DOUBLE)
+               AS DECIMAL(28,12)), 9) AS DOUBLE) AS revenue_share
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query("q_sql_text_query", oracle=_SQL_TEXT)
+def q_sql_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text entry path: fixture tables registered as temp views,
+    the query submitted as ONE ANSI SQL string (join + distinct agg +
+    window-over-aggregate for the share-of-total) — proving a user can
+    drive this engine with the same SQL they would hand to any
+    warehouse; the string is byte-identical to the DuckDB oracle, which
+    is itself the strongest dialect-compatibility check in the suite.
+
+    Plan: Catalyst compiles the text to the exact plan the DataFrame API
+    would build — customer/nation broadcast onto orders, one fact
+    shuffle for the grouped agg, the share denominator as a 1-partition
+    window over the ~25-row AGGREGATE output (bounded: |nations|, so
+    the empty-frame global window is safe here and only here). Views
+    are session-scoped metadata; no data is copied at registration."""
+    for t in ("orders", "customer", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_TEXT)
+
+
+@query(
+    "q_join_hints",
+    oracle=f"""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {dsum_sql('l.l_extendedprice')} AS volume
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hints — the user-facing override lane when the
+    optimizer's estimate is wrong: the supplier side carries an explicit
+    SHUFFLE_HASH hint, forcing a shuffled hash join where statistics
+    would otherwise pick broadcast (supplier is dim-small here) or
+    sort-merge (at 100 TB with a skew-refreshed supplier dim the hash
+    join skips BOTH the broadcast OOM risk and the sort). The semantics
+    are hint-invariant — the oracle checks that — while the plan test
+    asserts the strategy actually switched (ShuffledHashJoin, no
+    Broadcast/SortMerge on this join).
+
+    When to reach for it in production: dims with wildly wrong stats
+    after a backfill, or forcing SMJ off for keys known to be unsorted;
+    hints are per-join and survive view boundaries."""
+    l = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = table(spark, sf_dir, "supplier").hint("shuffle_hash").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("volume"),
+        )
+    )

@@ -1175,3 +1175,51 @@ def q_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids"),
         )
     )
+
+
+_ANON_SALT = "s3cr3t-rotation-2024Q1"
+
+
+@query(
+    "q_anonymize_keys",
+    oracle=f"""
+    SELECT substr(sha256('{_ANON_SALT}:' || CAST(user_id AS VARCHAR)), 1, 16)
+               AS pseudo_user,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_anonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent key pseudonymization (the GDPR-pipeline primitive
+    q_pii_redact's free-text scrubbing doesn't cover): every user_id maps
+    to the same salted-SHA256 token everywhere, so joins and per-user
+    aggregation still work across tables and runs WITHIN a salt rotation,
+    while the mapping is irreversible without the salt. Grouping by the
+    raw id and projecting only the token proves the aggregation-
+    compatibility claim: per-pseudonym stats equal per-user stats.
+
+    Plan: the hash is a map-side expression, so the groupBy shuffles on
+    the ORIGINAL numeric key (cheaper than hashing first: 8-byte shuffle
+    keys, token computed once per group after partial aggregation...
+    actually per input row — but 16 bytes of it never shuffle: only the
+    group key and partial counts do). Salt lives in the plan as a
+    literal; production rotates it via config, which re-keys every token
+    — the documented forgetting mechanism."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+    ).select(
+        F.substring(
+            F.sha2(
+                F.concat(F.lit(f"{_ANON_SALT}:"), F.col("user_id").cast("string")),
+                256,
+            ),
+            1,
+            16,
+        ).alias("pseudo_user"),
+        "n_events",
+        "n_types",
+    )

@@ -377,3 +377,13 @@ def test_date_spine_broadcasts_calendar(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_date_spine")
     assert "BroadcastHashJoin" in plan
     assert "Generate" in plan  # sequence+explode, plan-side
+
+
+def test_join_hints_force_shuffled_hash(spark, sf_dir):
+    """The SHUFFLE_HASH hint must actually switch the strategy: a
+    ShuffledHashJoin in the plan, no broadcast and no sort-merge on the
+    supplier join."""
+    plan = _plan(spark, sf_dir, "q_join_hints")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
