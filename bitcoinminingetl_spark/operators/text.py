@@ -1200,11 +1200,10 @@ def q_anonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw id and projecting only the token proves the aggregation-
     compatibility claim: per-pseudonym stats equal per-user stats.
 
-    Plan: the hash is a map-side expression, so the groupBy shuffles on
-    the ORIGINAL numeric key (cheaper than hashing first: 8-byte shuffle
-    keys, token computed once per group after partial aggregation...
-    actually per input row — but 16 bytes of it never shuffle: only the
-    group key and partial counts do). Salt lives in the plan as a
+    Plan: the aggregation groups on the ORIGINAL numeric key and the
+    token is projected AFTER the aggregate — so the shuffle carries
+    8-byte keys plus partial counts, never hash strings, and sha2 runs
+    once per GROUP, not once per event. Salt lives in the plan as a
     literal; production rotates it via config, which re-keys every token
     — the documented forgetting mechanism."""
     e = table(spark, sf_dir, "events")

@@ -949,3 +949,64 @@ def test_multimodal_embed_deterministic_and_normalized(spark, sf_dir):
     feat = row["feature"]
     assert abs(feat[0] - 0.75) < 1e-6 and abs(feat[15] - 0.25) < 1e-6
     assert row["n_bytes"] == 4
+
+
+def test_dup_span_stats_planted_and_hot_gram(spark, tmp_path):
+    """Planted-fixture semantics for the duplicated-span accounting:
+    (a) a doc sharing a 5-gram run with another doc counts exactly the
+    overlapping positions; (b) a unique doc reports dup_rate 0;
+    (c) a pathological hot gram (the same 5-gram repeated across MANY
+    docs — the stop-gram skew case the AQE-owned flag join must absorb)
+    still yields exact per-doc counts, because the multi-doc flag is a
+    semi-join property, not a pair count (no fan-out explosion to get
+    wrong)."""
+    shared = "alpha beta gamma delta epsilon"  # one shared 5-gram
+    rows = [
+        (1, shared + " zeta eta theta iota kappa", "en", "s1", 0),
+        (2, shared + " unique2a unique2b unique2c unique2d unique2e", "en", "s1", 0),
+        (3, "lone3a lone3b lone3c lone3d lone3e lone3f", "en", "s1", 0),
+    ]
+    # hot gram: 30 docs all equal to the same 5 words -> 1 position each,
+    # all duplicated
+    hot = "hot1 hot2 hot3 hot4 hot5"
+    rows += [(100 + i, hot, "en", "s2", 0) for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in REGISTRY["q_dup_span_stats"].fn(spark, str(tmp_path)).collect()
+    }
+    # doc1: 10 words -> 6 positions; only position 0 (the shared gram) dups
+    assert got[1] == (6, 1)
+    assert got[2] == (6, 1)
+    assert got[3] == (2, 0)  # 6 words -> 2 positions, none shared
+    for i in range(30):
+        assert got[100 + i] == (1, 1)
+
+
+def test_tokenize_to_ids_reassembly_laws(spark, sf_dir):
+    """Structural laws of the tokenization: per doc, len(token_ids) ==
+    n_tokens == the doc's whitespace token count; OOV ids are exactly
+    the zeros; ids are consistent (same word -> same id) — checked by
+    re-deriving a word's id from two different docs containing it."""
+    rows = REGISTRY["q_tokenize_to_ids"].fn(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in REGISTRY["q_scan_count"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert len(r.token_ids) == r.n_tokens == len(docs[r.doc_id])
+        assert sum(1 for t in r.token_ids if t == 0) == r.n_oov
+    # consistency: map word -> set of ids across all docs; non-OOV words
+    # must map to exactly one id
+    word_ids: dict[str, set] = {}
+    for r in rows:
+        for w, t in zip(docs[r.doc_id], r.token_ids):
+            if t != 0:
+                word_ids.setdefault(w, set()).add(t)
+    assert word_ids and all(len(s) == 1 for s in word_ids.values())
