@@ -865,14 +865,20 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pos", "gram"),
         )
+        # 8-byte-key doctrine (q_decontaminate, _shingled): every shuffle
+        # and join keys on xxhash64(gram), never the ~30-byte gram string
+        # — 4x less shuffle payload; a collision would need two distinct
+        # grams sharing 64 bits within one corpus (negligible below 1e9
+        # distinct grams, same argument as the shingle index).
+        .select("doc_id", "pos", F.xxhash64("gram").alias("gram_h"))
     )
     shared = (
-        grams.groupBy("gram")
+        grams.groupBy("gram_h")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") > 1)
-        .select("gram", F.lit(True).alias("is_dup"))
+        .select("gram_h", F.lit(True).alias("is_dup"))
     )
-    flagged = grams.join(shared, "gram", "left")
+    flagged = grams.join(shared, "gram_h", "left")
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.count_if(F.col("is_dup")).alias("n_dup_spans"),
