@@ -1031,3 +1031,164 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(_WS_K)
     )
+
+
+_FUNNEL_MIN_TOK = 30
+_FUNNEL_MAX_TOK = 500
+_FUNNEL_BUDGET = 2000  # tokens kept per source
+
+
+@query(
+    "q_curation_funnel",
+    oracle=f"""
+    WITH train AS (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               (len(replace(text, ' ', '')) * 1.0
+                / len(string_split(text, ' '))) AS mean_wl
+        FROM documents WHERE doc_id % 10 <> 0
+    ), quality AS (
+        SELECT *,
+               (n_tokens BETWEEN {_FUNNEL_MIN_TOK} AND {_FUNNEL_MAX_TOK}
+                AND mean_wl BETWEEN 2 AND 10) AS q_ok
+        FROM train
+    ), dedup AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id) = 1 AS d_ok
+        FROM quality
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                generate_series(1, greatest(len(string_split(text, ' '))
+                    - {_DECON_N - 1}, 1)),
+                i -> array_to_string(
+                    string_split(text, ' ')[i:i+{_DECON_N - 1}], ' ')
+            ))) AS shingle
+        FROM documents
+    ), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+    contaminated AS (
+        SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id % 10 <> 0
+    ), flagged AS (
+        SELECT d.doc_id, d.source, d.n_tokens, d.q_ok, d.d_ok,
+               (c.doc_id IS NULL) AS c_ok
+        FROM dedup d LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    ), budgeted AS (
+        SELECT *,
+               CASE WHEN q_ok AND d_ok AND c_ok THEN
+                   sum(CASE WHEN q_ok AND d_ok AND c_ok
+                       THEN n_tokens ELSE 0 END) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               END <= {_FUNNEL_BUDGET} AS b_ok_raw
+        FROM flagged
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           q_ok, d_ok, c_ok,
+           COALESCE(b_ok_raw, FALSE) AS b_ok,
+           (q_ok AND d_ok AND c_ok AND COALESCE(b_ok_raw, FALSE)) AS kept
+    FROM budgeted
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation funnel — quality filter → exact
+    dedup → 13-gram decontamination → per-source token budget — as ONE
+    DataFrame plan, emitting the per-document audit table (one boolean
+    per stage + the final keep) a data-governance review wants: every
+    drop is attributable to a stage, and stage rules are the suite's
+    own operators' shapes (Gopher-style bounds, keep-first-by-md5,
+    q_decontaminate's eval split, q_mix_sample's budget prefix-sum).
+
+    The composition is the point: no materialization between stages —
+    Catalyst fuses the quality predicate into the scan, the dedup
+    window and the budget window are the only per-doc shuffles (hash
+    partition by content hash, then by source), and the contamination
+    flag arrives by anti-join-shaped left join from the shingle
+    pipeline. At 100 TB each stage's scale story is unchanged from its
+    standalone query; chaining adds NO new shuffle beyond the two
+    windows because stage flags are plain columns, not filters — docs
+    flow through once, flags accumulate.
+
+    Budget stage note: ordered by md5(doc_id) (deterministic corpus
+    shuffle, q_seeded_sample doctrine) so the budget cut is unbiased;
+    ineligible docs (failed earlier stages) consume no budget and get
+    b_ok=false."""
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", " ", ""))
+            / F.size(F.split("text", " "))
+        ).alias("mean_wl"),
+    )
+    quality = train.withColumn(
+        "q_ok",
+        F.col("n_tokens").between(_FUNNEL_MIN_TOK, _FUNNEL_MAX_TOK)
+        & F.col("mean_wl").between(2, 10),
+    )
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = quality.withColumn(
+        "d_ok", F.row_number().over(w_dup) == 1
+    )
+    # contamination: train docs sharing any 13-gram with the eval split
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.size(F.split("text", " ")) - (_DECON_N - 1),
+                            F.lit(1),
+                        ),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split("text", " "), i, _DECON_N)
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    ev = sh.filter(F.col("doc_id") % 10 == 0).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % 10 != 0)
+        .join(ev, "shingle", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    flagged = dedup.join(contaminated, "doc_id", "left").withColumn(
+        "c_ok", F.col("contaminated").isNull()
+    )
+    eligible = F.col("q_ok") & F.col("d_ok") & F.col("c_ok")
+    w_budget = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    budgeted = flagged.withColumn(
+        "b_ok",
+        F.coalesce(
+            F.when(
+                eligible,
+                F.sum(F.when(eligible, F.col("n_tokens")).otherwise(0)).over(
+                    w_budget
+                )
+                <= _FUNNEL_BUDGET,
+            ),
+            F.lit(False),
+        ),
+    )
+    return budgeted.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "q_ok",
+        "d_ok",
+        "c_ok",
+        "b_ok",
+        (eligible & F.col("b_ok")).alias("kept"),
+    )

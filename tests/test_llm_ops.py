@@ -1010,3 +1010,60 @@ def test_tokenize_to_ids_reassembly_laws(spark, sf_dir):
             if t != 0:
                 word_ids.setdefault(w, set()).add(t)
     assert word_ids and all(len(s) == 1 for s in word_ids.values())
+
+
+def test_curation_funnel_laws(spark, sf_dir, tmp_path):
+    """Laws of the composed curation funnel on the real fixture (kept
+    implies every stage flag; per-source kept tokens respect the
+    budget; eval-split docs never appear) plus a PLANTED corpus where
+    every stage demonstrably bites: a too-short doc (quality), a byte
+    dup (dedup), a doc sharing a 13-gram with an eval doc
+    (decontamination), and a source whose eligible docs exceed the
+    token budget (budget)."""
+    rows = REGISTRY["q_curation_funnel"].fn(spark, sf_dir).collect()
+    assert rows and all(r.doc_id % 10 != 0 for r in rows)
+    for r in rows:
+        if r.kept:
+            assert r.q_ok and r.d_ok and r.c_ok and r.b_ok
+    from collections import defaultdict
+
+    per_source = defaultdict(int)
+    for r in rows:
+        if r.kept:
+            per_source[r.source] += r.n_tokens
+    assert per_source
+    assert all(v <= 2000 for v in per_source.values())
+    assert any(r.kept for r in rows)
+
+    # planted corpus: doc_id % 10 == 0 rows are the eval split
+    long_text = " ".join(f"w{i}" for i in range(40))
+    eval_text = " ".join(f"e{i}" for i in range(20))
+    contaminated = eval_text + " " + " ".join(f"c{i}" for i in range(25))
+    fat = " ".join(f"f{j}" for j in range(450))
+    planted = [
+        (10, eval_text, "en", "sA", 0),          # eval split member
+        (1, long_text, "en", "sA", 0),           # clean keeper
+        (2, long_text, "en", "sA", 0),           # byte dup of 1 -> d_ok False
+        (3, "short doc", "en", "sA", 0),         # 2 tokens -> q_ok False
+        (4, contaminated, "en", "sA", 0),        # shares 13-gram with eval
+        # source sB: five eligible 450-token docs > 2000 budget
+        *[(11 + i, fat + f" tail{i}", "en", "sB", 0) for i in range(5)],
+    ]
+    spark.createDataFrame(
+        planted,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["q_curation_funnel"].fn(spark, str(tmp_path)).collect()
+    }
+    assert 10 not in got                      # eval member excluded
+    assert got[1].kept
+    assert not got[2].d_ok and not got[2].kept  # byte dup dropped
+    assert not got[3].q_ok and not got[3].kept  # quality dropped
+    assert not got[4].c_ok and not got[4].kept  # contamination dropped
+    sB = [got[11 + i] for i in range(5)]
+    assert all(r.q_ok and r.d_ok and r.c_ok for r in sB)
+    kept_b = [r for r in sB if r.kept]
+    assert kept_b and len(kept_b) < 5, "budget must cut some of source sB"
+    assert sum(r.n_tokens for r in kept_b) <= 2000
