@@ -70,3 +70,39 @@ def compact_small_files(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def retention_sweep(path: str, keep_days: int, today: str) -> list[str]:
+    """Partition-level retention: drop `ds=YYYY-MM-DD` partitions older
+    than `keep_days` before `today` from a date-partitioned sink — the
+    TTL every append-forever table needs (the reference's MySQL table
+    grows unbounded; init.sql declares no retention either).
+
+    Deliberately METADATA-ONLY: deletion is directory removal by
+    partition name — no file is opened, no data is scanned, cost is
+    O(partitions dropped) regardless of table size. That only works
+    because append_events_by_day encodes event time in the PARTITION
+    PATH; sweeping by file mtime would conflate processing time with
+    event time and break backfills (a re-landed old day would suddenly
+    look fresh). `today` is an explicit argument, not wall clock:
+    retention must be deterministic and replayable in tests and in
+    incident reconstruction. Returns the dropped partition names."""
+    import datetime
+    import os
+    import shutil
+
+    cutoff = datetime.date.fromisoformat(today) - datetime.timedelta(
+        days=keep_days
+    )
+    dropped = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("ds="):
+            continue
+        try:
+            ds = datetime.date.fromisoformat(entry[3:])
+        except ValueError:
+            continue  # never guess at unparseable partitions — leave them
+        if ds < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(entry)
+    return dropped

@@ -387,3 +387,21 @@ def test_join_hints_force_shuffled_hash(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_union_by_name_no_shuffle(spark, sf_dir):
+    """The schema-evolution union is two filtered scans + projections —
+    no exchange anywhere, both event_type predicates pushed."""
+    plan = _plan(spark, sf_dir, "q_union_by_name")
+    assert "Union" in plan
+    assert "Exchange" not in plan
+    flat = " ".join(p.splitlines()[0] for p in plan.split("PushedFilters:")[1:])
+    assert "purchase" in flat and "error" in flat
+
+
+def test_try_funcs_stay_jvm_side(spark, sf_dir):
+    """try_* expressions compile into the codegen'd projection: no
+    Python eval, no shuffle, single scan."""
+    plan = _plan(spark, sf_dir, "q_try_funcs")
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan

@@ -256,3 +256,38 @@ def test_python_datasource_streams_incrementally(spark, tmp_path):
     # and must append ONLY the newly landed file (list, not set: a replay
     # of files 1-2 would show as duplicates)
     assert run_once() == [1, 2, 3]
+
+
+def test_retention_sweep_drops_only_expired_partitions(spark, sf_dir, tmp_path):
+    """The TTL sweep removes exactly the ds= partitions older than the
+    cutoff, leaves fresh and unparseable entries untouched, and survivors
+    stay readable with partition pruning intact."""
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.sources.sink import (
+        append_events_by_day,
+        retention_sweep,
+    )
+
+    path = str(tmp_path / "events_sink")
+    events = table(spark, sf_dir, "events").limit(2000)
+    append_events_by_day(events, path)
+    import os
+
+    parts = sorted(e for e in os.listdir(path) if e.startswith("ds="))
+    assert len(parts) > 3
+    # keep the newest 2 days relative to the max partition date
+    newest = parts[-1][3:]
+    dropped = retention_sweep(path, keep_days=1, today=newest)
+    remaining = sorted(e for e in os.listdir(path) if e.startswith("ds="))
+    assert dropped == parts[:-2] and remaining == parts[-2:]
+    # survivors still readable; row counts match a filtered re-read
+    kept_days = {e[3:] for e in remaining}
+    got = spark.read.parquet(path).count()
+    expected = (
+        events.withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+        .filter(F.col("ds").isin(*kept_days))
+        .count()
+    )
+    assert got == expected > 0
+    # idempotent: second sweep drops nothing
+    assert retention_sweep(path, keep_days=1, today=newest) == []
