@@ -269,3 +269,66 @@ def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _feature_batches, "doc_id long, n_bytes long, feature array<float>"
     )
+
+
+_RESIZE_W = 32
+_RESIZE_H = 32
+
+
+def _resize_batches(batches):
+    """The mapInPandas resize kernel: (doc_id, payload: binary) in,
+    (doc_id, in_bytes, width, height, thumb: binary) out — binary column
+    BOTH directions, the shape a real thumbnailer needs.
+
+    STUB MATH, REAL PLUMBING: with no codec libs, "resize" is a
+    deterministic byte-domain downsample — the payload is nearest-
+    neighbor index-sampled into a fixed W*H "pixel" buffer (empty
+    payloads produce a zero buffer). A real implementation swaps the
+    index sampling for PIL/ffmpeg decode→resize→encode; the Arrow
+    round trip of variable-size binary in / fixed-size binary out, the
+    per-batch numpy vectorization, and the declared output schema are
+    exactly what that kernel would use."""
+    import numpy as np
+
+    size = _RESIZE_W * _RESIZE_H
+    for pdf in batches:
+        thumbs = []
+        in_bytes = []
+        for b in pdf["payload"]:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            in_bytes.append(len(arr))
+            if len(arr):
+                idx = (np.arange(size) * len(arr)) // size
+                thumbs.append(arr[idx].tobytes())
+            else:
+                thumbs.append(bytes(size))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "in_bytes": in_bytes,
+                "width": _RESIZE_W,
+                "height": _RESIZE_H,
+                "thumb": thumbs,
+            }
+        )
+
+
+@query("q_multimodal_resize")  # rows-only: binary payloads aren't SQL-expressible
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize/thumbnail — completing the decode / feature-extract /
+    resize / frame-sample multimodal quartet: every payload maps to a
+    fixed 32x32 byte buffer plus size metadata.
+
+    Scale shape: map-only, no shuffle; output rows are FIXED-size
+    (1 KiB + metadata) however large the input payload, so the stage
+    bounds downstream memory per row — the property that lets thumbnail
+    tables join and shuffle freely where raw media never could. Input
+    partitioning is inherited; at 100 TB the only knob is
+    maxPartitionBytes on the scan side."""
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(
+        _resize_batches,
+        "doc_id long, in_bytes long, width int, height int, thumb binary",
+    )

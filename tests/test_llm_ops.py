@@ -1067,3 +1067,50 @@ def test_curation_funnel_laws(spark, sf_dir, tmp_path):
     kept_b = [r for r in sB if r.kept]
     assert kept_b and len(kept_b) < 5, "budget must cut some of source sB"
     assert sum(r.n_tokens for r in kept_b) <= 2000
+
+
+def test_multimodal_resize_fixed_size_and_deterministic(spark, sf_dir):
+    """Resize kernel laws: every thumb is exactly W*H bytes regardless of
+    input size; deterministic across partitionings; the index-sampling
+    math is checked exactly on a crafted payload; empty payloads yield a
+    zero buffer."""
+    import pandas as pd
+
+    from bitcoinminingetl_spark.operators.multimodal import (
+        _RESIZE_H,
+        _RESIZE_W,
+        _resize_batches,
+    )
+
+    size = _RESIZE_W * _RESIZE_H
+    df = REGISTRY["q_multimodal_resize"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(len(r.thumb) == size for r in rows)
+    a = {r.doc_id: bytes(r.thumb) for r in rows}
+
+    from bitcoinminingetl_spark.catalog import table as _table
+    import pyspark.sql.functions as SF
+
+    rep = (
+        _table(spark, sf_dir, "documents")
+        .repartition(5)
+        .select("doc_id", SF.encode(SF.col("text"), "UTF-8").alias("payload"))
+        .mapInPandas(
+            _resize_batches,
+            "doc_id long, in_bytes long, width int, height int, thumb binary",
+        )
+    )
+    assert a == {r.doc_id: bytes(r.thumb) for r in rep.collect()}
+
+    # crafted: payload of 2*size bytes 0..2N-1 -> nearest-neighbor picks
+    # every second byte; empty payload -> zeros
+    payload = bytes(range(256)) * ((2 * size) // 256)
+    [out] = list(
+        _resize_batches(
+            iter([pd.DataFrame({"doc_id": [1, 2], "payload": [payload, b""]})])
+        )
+    ).copy()
+    got = out.to_dict("records")
+    assert bytes(got[0]["thumb"]) == payload[::2]
+    assert got[0]["in_bytes"] == 2 * size
+    assert bytes(got[1]["thumb"]) == bytes(size)
