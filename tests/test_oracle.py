@@ -66,3 +66,39 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     sdf = spec.fn(spark, sf_dir)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
+
+
+def test_comparator_catches_induced_wrongness(spark, sf_dir):
+    """Meta-test of the differential gate itself: a deliberately wrong
+    query must come back `mismatch`, never `match` — guarding against a
+    vacuous comparator (e.g. a canonicalization bug that collapses all
+    rows equal, or column sorting that hides a value swap). Three
+    perturbation classes: a value off by one cent, a dropped row, and a
+    renamed column."""
+    from dataclasses import replace
+
+    from bitcoinminingetl_spark.oracle_check import check_one, duck_connect
+
+    spec = REGISTRY["q_avg_grouped"]
+    con = duck_connect(sf_dir)
+    assert check_one(spark, con, spec, sf_dir)["status"] == "match"
+
+    def perturbed(fn):
+        return replace(spec, fn=fn)
+
+    from pyspark.sql import functions as SF
+
+    off_by_cent = perturbed(
+        lambda s, d: spec.fn(s, d).withColumn(
+            "avg_qty", SF.col("avg_qty") + 0.01
+        )
+    )
+    assert check_one(spark, con, off_by_cent, sf_dir)["status"] == "mismatch"
+
+    dropped_row = perturbed(lambda s, d: spec.fn(s, d).limit(3))
+    assert check_one(spark, con, dropped_row, sf_dir)["status"] == "mismatch"
+
+    renamed = perturbed(
+        lambda s, d: spec.fn(s, d).withColumnRenamed("avg_qty", "avg_q2")
+    )
+    assert check_one(spark, con, renamed, sf_dir)["status"] == "mismatch"
