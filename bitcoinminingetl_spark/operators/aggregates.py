@@ -1136,3 +1136,66 @@ def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(gap_us * 1.0 / 1_000_000, 6).alias("gap_seconds"),
         )
     )
+
+
+_INCR_CUT = "2024-01-25 00:00:00"
+
+
+@query(
+    "q_incremental_agg_merge",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {dsum_sql('value')} AS total,
+           {roundn_sql(f"{dsum_sql('value')} / count(value)", 6)} AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the algebraic-merge identity
+    every materialized daily rollup depends on: aggregate the base
+    period and the increment period SEPARATELY, then merge the partials
+    (counts and decimal sums add; avg derives from merged sum/count) —
+    and the result must equal the full recompute bit-for-bit, which is
+    exactly what the oracle checks (its SQL aggregates the WHOLE table;
+    the Spark side never does).
+
+    Why it holds: count and the decimal-quantized sum are commutative
+    monoids, so partial aggregation over any partition of the data
+    merges associatively — the same property Spark's own partial aggs
+    rely on within one query, here lifted across SEPARATE materialized
+    runs. avg is NOT mergeable and must be derived post-merge (merging
+    avgs weights wrongly); storing (sum, count) instead of avg in every
+    rollup table is the design rule this query encodes. At 100 TB the
+    daily increment aggregates touch one day's partitions; the merge
+    touches |keys| rows — full recompute never happens."""
+    e = table(spark, sf_dir, "events")
+    cut = F.lit(_INCR_CUT).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_dec"),
+            F.count("value").alias("n_nonnull"),
+        )
+
+    base = partial(e.filter(F.col("ts") < cut))
+    incr = partial(e.filter(F.col("ts") >= cut))
+    merged = (
+        base.unionByName(incr)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_dec").alias("total_dec"),
+            F.sum("n_nonnull").alias("n_nonnull"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("total_dec").cast("double").alias("total"),
+        roundn(
+            F.col("total_dec").cast("double") / F.col("n_nonnull"), 6
+        ).alias("avg_value"),
+    )

@@ -508,3 +508,78 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "purchase_id", "user_id", "purchase_ts", nearest.alias("nearest_click_ts")
     )
+
+
+_SNAP_CUT = 5000  # snapshot A: event_id < 9000; snapshot B: event_id >= 1000
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT event_id, user_id, event_type, value FROM events
+        WHERE event_id < 9000
+    ), b AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END
+                   AS value
+        FROM events WHERE event_id >= 1000
+    )
+    SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+           CASE WHEN a.event_id IS NULL THEN 'added'
+                WHEN b.event_id IS NULL THEN 'removed'
+                WHEN a.value IS DISTINCT FROM b.value THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           a.value AS old_value, b.value AS new_value
+    FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+    WHERE NOT (a.event_id IS NOT NULL AND b.event_id IS NOT NULL
+               AND NOT (a.value IS DISTINCT FROM b.value))
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the CDC/audit primitive for table formats without
+    change feeds: classify every key across two table versions as
+    added / removed / changed (unchanged rows are FILTERED OUT before
+    the result materializes — at 100 TB the diff output is the small
+    relation, the join input is not). The two "versions" derive from
+    the events fixture (overlapping id windows; version B perturbs
+    every 7th value) so all three classes are non-vacuous.
+
+    Plan: one full-outer join on the key — both sides shuffle once on
+    event_id, AQE sizes the partitions; the change classification and
+    the unchanged-filter are codegen'd expressions ON the join output,
+    so unchanged rows die before any further exchange. Null-safe
+    comparison (IS DISTINCT FROM / eqNullSafe) is the correctness core:
+    a NULL→value transition must classify as changed, not vanish."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    a = e.filter(F.col("event_id") < 9000).alias("a")
+    b = (
+        e.filter(F.col("event_id") >= 1000)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 7 == 0, F.col("value") + 1.0).otherwise(
+                F.col("value")
+            ),
+        )
+        .alias("b")
+    )
+    joined = a.join(b, F.col("a.event_id") == F.col("b.event_id"), "full_outer")
+    change = (
+        F.when(F.col("a.event_id").isNull(), F.lit("added"))
+        .when(F.col("b.event_id").isNull(), F.lit("removed"))
+        .when(~F.col("a.value").eqNullSafe(F.col("b.value")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.event_id"), F.col("b.event_id")).alias(
+                "event_id"
+            ),
+            change.alias("change"),
+            F.col("a.value").alias("old_value"),
+            F.col("b.value").alias("new_value"),
+        )
+        .filter(F.col("change") != "unchanged")
+    )

@@ -52,12 +52,16 @@ ROW_PYTHON_OK = {"q_python_udtf"}
 # key: at corpus scale the |bigram vocab| model side exceeds any
 # broadcast threshold, so the head-salted shuffle equi-join IS the
 # intended plan; AQE picking it at test scale matches.
+# q_snapshot_diff full-outer joins two VERSIONS of the same fact table —
+# both sides are fact-sized by construction and full-outer cannot
+# broadcast; the single SMJ on the key is the intended (and only) plan.
 SMJ_OK = {
     "q_window_join",
     "q_join_full",
     "q_join_bloom",
     "q_funnel_stages",
     "q_bigram_logprob",
+    "q_snapshot_diff",
 }
 
 
