@@ -543,3 +543,82 @@ def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("volume"),
         )
     )
+
+
+@query(
+    "q_grouping_id",
+    oracle="""
+    SELECT event_type, user_id % 3 AS cohort,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(user_id % 3) AS BIGINT) AS g_cohort,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, user_id % 3)
+    """,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags on a rollup — the disambiguation every NULL-able
+    grouping column needs: a NULL in `cohort` could be a data NULL or
+    the subtotal row; GROUPING(col)=1 marks the subtotal authoritatively
+    (q_rollup alone cannot tell them apart). Emitting the flags as
+    columns is what makes rollup output machine-consumable — a
+    dashboard filters g_type=0 AND g_cohort=1 for per-type subtotals
+    instead of pattern-matching NULLs.
+
+    Plan: identical to q_rollup's — one Expand + two-phase hash
+    aggregate; grouping flags are computed from the Expand's grouping-set
+    id bitmask, zero extra cost."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "cohort", F.col("user_id") % 3
+    )
+    return (
+        e.rollup("event_type", "cohort")
+        .agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("cohort").cast("long").alias("g_cohort"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "cohort", "g_type", "g_cohort", "n")
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    SELECT event_id,
+           (value IS DISTINCT FROM NULL) AS has_value,
+           NULLIF(event_type, 'error') AS type_or_null,
+           COALESCE(value, -1.0) AS value_filled,
+           (value IN (0.01, 490.02)) AS in_list,
+           (CASE WHEN value > 250 THEN TRUE
+                 WHEN value <= 250 THEN FALSE END) AS big_3vl
+    FROM events WHERE event_id < 1000
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL NULL-semantics pack — the classic migration trap lane:
+    null-safe comparison (IS DISTINCT FROM), NULLIF sentinel-to-NULL,
+    COALESCE fill, IN-list three-valued logic (NULL input → NULL, not
+    FALSE), and a CASE whose both branches can miss (NULL value → NULL
+    out, making the 3VL explicit). Every expression is exercised against
+    rows where `value` can be NULL, so the oracle hash proves both
+    engines implement the same three-valued logic.
+
+    Plan: map-only codegen'd projection; nothing here shuffles or calls
+    Python. The engine-level rule this pins: filters drop NULL
+    comparisons (WHERE x > 5 drops NULL x), but PROJECTIONS must carry
+    them through — silent NULL→FALSE coercion in a projection corrupts
+    downstream aggregates."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        (~F.col("value").eqNullSafe(F.lit(None).cast("double"))).alias(
+            "has_value"
+        ),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("value_filled"),
+        F.col("value").isin(0.01, 490.02).alias("in_list"),
+        F.when(F.col("value") > 250, F.lit(True))
+        .when(F.col("value") <= 250, F.lit(False))
+        .alias("big_3vl"),
+    )
