@@ -13,6 +13,7 @@ the whole relation through one task).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -621,4 +622,137 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value") > 250, F.lit(True))
         .when(F.col("value") <= 250, F.lit(False))
         .alias("big_3vl"),
+    )
+
+
+@query(
+    "q_collation_ci",
+    oracle="""
+    SELECT lower(mixed) AS event_type_ci, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                    ELSE event_type END AS mixed
+        FROM events
+    )
+    GROUP BY lower(mixed)
+    """,
+)
+def q_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): a mixed-case feed
+    groups case-insensitively via the UTF8_LCASE collation on the GROUP
+    KEY — the engine-level answer to dirty categorical data, replacing
+    the lower()-everywhere idiom with a declared comparison semantics
+    that joins, DISTINCT and ORDER BY then share automatically.
+
+    The mixed-case column is synthesized (every even event upper-cased)
+    so the collation provably collapses distinct byte strings. Output
+    projects lower() of the representative because which CASING survives
+    as the group key is an implementation detail; for ASCII, UTF8_LCASE
+    equivalence classes coincide with lower()-equality, which is what
+    the DuckDB twin models. Plan: same single hash aggregate as any
+    groupBy — collation changes the key comparator, not the shape."""
+    e = table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        ).otherwise(F.col("event_type")).alias("mixed")
+    )
+    return (
+        e.groupBy(F.collate(F.col("mixed"), "UTF8_LCASE").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lower(F.col("k")).cast("string").alias("event_type_ci"), "n"
+        )
+    )
+
+
+@query(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT event_id, value * 2.0 AS doubled,
+           CAST(length(event_type) AS BIGINT) AS type_len
+    FROM events WHERE event_id < 3000
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-pandas Python boundary: the kernel receives
+    raw pyarrow RecordBatches and answers with RecordBatches, skipping
+    the Arrow→pandas→Arrow conversion mapInPandas pays (no index
+    materialization, no dtype coercion, columnar end to end). The right
+    lane when the Python side is itself columnar (pyarrow.compute here;
+    in production: Arrow-native tokenizers, DataFusion kernels, GPU
+    libraries via CUDA Arrow).
+
+    Plan: map-only like every mapInPandas twin; Arrow batch size bounds
+    memory. The kernel must preserve nulls — pa.compute.multiply is
+    null-propagating, which the oracle checks on the nullable value
+    column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("event_id"),
+                    pc.multiply(b.column("value"), pa.scalar(2.0)),
+                    pc.cast(
+                        pc.utf8_length(b.column("event_type")), pa.int64()
+                    ),
+                ],
+                ["event_id", "doubled", "type_len"],
+            )
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 3000).select(
+        "event_id", "value", "event_type"
+    )
+    return e.mapInArrow(
+        kernel, "event_id long, doubled double, type_len long"
+    )
+
+
+@query(
+    "q_sql_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 4))
+                AS BIGINT) AS n_long_tokens
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registration for the SQL-text lane: a vectorized pandas UDF
+    registered under a name (`spark.udf.register`) and invoked from a
+    plain SQL string — the path that lets SQL-only users call Python
+    logic without touching the DataFrame API. (The DataFrame-side UDF
+    surface is udfs.py; this query completes the SQL-side binding.)
+
+    The UDF is Arrow-vectorized (one pandas Series per batch, never
+    per-row Python), and the SQL stays declarative around it — Catalyst
+    still pushes the doc_id filter into the scan below the Python
+    stage. Token counts are computed in Python ON PURPOSE here (the
+    whole point is the binding); q_token_count is the JVM-only twin the
+    engine prefers in hot paths."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def py_tok_count(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").str.len().astype("int64")
+
+    @pandas_udf("long")
+    def py_long_tok_count(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").map(
+            lambda ws: sum(1 for w in ws if len(w) > 4)
+        ).astype("int64")
+
+    spark.udf.register("py_tok_count", py_tok_count)
+    spark.udf.register("py_long_tok_count", py_long_tok_count)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               py_tok_count(text) AS n_tokens,
+               py_long_tok_count(text) AS n_long_tokens
+        FROM documents_v WHERE doc_id < 100
+        """
     )
