@@ -286,3 +286,119 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("components_csv"),
         )
     )
+
+
+_SEMDEDUP_K_MAX = 32
+_SEMDEDUP_COS = 0.9
+_SEMDEDUP_CLUSTER_CAP = 2000  # max within-cluster pair fan-out guard
+
+
+@query("q_semdedup")  # rows-only: KMeans centroid ulps make pairs engine-specific
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings with KMeans, then dropping all but one member
+    of every within-cluster high-cosine group — the learned-cluster
+    counterpart of q_dedup_embed_cosine's label blocking, for corpora
+    with NO given labels (the usual case). Output: surviving vec_ids
+    with their cluster and the count they displaced.
+
+    Scale shape, stage by stage: (1) KMeans fit on a sample — per-fit
+    cost, amortized; (2) map-only cell assignment via model.transform;
+    (3) pairwise cosine ONLY within a cell — candidate count is
+    sum_c |cell_c|^2, which the cluster-size cap bounds: cells larger
+    than the cap are sub-split by a hash of vec_id before pairing (the
+    same skew-guard doctrine as the LSH bucket cap — an intentional
+    recall trade on pathological cells, never an unbounded explosion);
+    (4) keep-min-id per near-dup pair, one distinct + anti join.
+    The keep rule is pair-based (drop the larger id of every pair),
+    matching the paper's keep-one-per-epsilon-group up to chain cases
+    q_dedup_clusters handles when exactness matters."""
+    from pyspark.ml.clustering import KMeans
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias(
+                "vec"
+            ),
+        )
+        .withColumn("norm", _norm(F.col("embedding")))
+    )
+    # k scales with the corpus (the paper uses ~11k clusters for 5B
+    # docs): more cells = quadratically smaller within-cell pair stage.
+    # n/8 keeps expected cell size ~8 at fixture scale while capping k
+    # so tiny planted corpora don't get one cell per point (which would
+    # split genuine near-dup groups across cells).
+    n = emb.count()
+    k = max(2, min(_SEMDEDUP_K_MAX, n // 8))
+    km = KMeans(
+        k=k,
+        seed=_MLLIB_SEED,
+        maxIter=5,
+        featuresCol="vec",
+        predictionCol="cell",
+    ).fit(emb)
+    assigned = km.transform(emb).select("vec_id", "embedding", "norm", "cell")
+    # sub-split oversized cells: block = (cell, hash(vec_id) % splits)
+    cell_sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cn"))
+    assigned = assigned.join(F.broadcast(cell_sizes), "cell").withColumn(
+        "block",
+        F.concat_ws(
+            ":",
+            F.col("cell"),
+            (
+                F.xxhash64("vec_id")
+                % F.greatest(
+                    (F.col("cn") / _SEMDEDUP_CLUSTER_CAP).cast("long") + 1,
+                    F.lit(1).cast("long"),
+                )
+            ),
+        ),
+    )
+    a = assigned.select(
+        F.col("block"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = assigned.select(
+        F.col("block"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b"))
+            >= _SEMDEDUP_COS
+        )
+        .select("id_b")
+        .distinct()
+    )
+    survivors = assigned.join(
+        pairs, assigned.vec_id == pairs.id_b, "left_anti"
+    )
+    dropped_per_cell = (
+        assigned.join(pairs, assigned.vec_id == pairs.id_b, "semi")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        survivors.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("vec_id").alias("min_kept_id"),
+        )
+        .join(F.broadcast(dropped_per_cell), "cell", "left")
+        .select(
+            "cell",
+            "n_kept",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            "min_kept_id",
+        )
+    )

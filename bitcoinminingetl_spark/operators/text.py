@@ -1222,3 +1222,96 @@ def q_anonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_types",
     )
+
+
+_DSIR_TARGET_SOURCES = ("src0", "src1")  # the "high-quality domain" stand-in
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tgt AS (
+        SELECT token, count(*) AS ct FROM tok
+        WHERE source IN {_DSIR_TARGET_SOURCES} GROUP BY token
+    ),
+    raw AS (
+        SELECT token, count(*) AS cr FROM tok
+        WHERE source NOT IN {_DSIR_TARGET_SOURCES} GROUP BY token
+    ),
+    vocab AS (
+        SELECT token, COALESCE(t.ct, 0) AS ct, COALESCE(r.cr, 0) AS cr
+        FROM (SELECT DISTINCT token FROM tok)
+        LEFT JOIN tgt t USING (token) LEFT JOIN raw r USING (token)
+    ),
+    tots AS (
+        SELECT sum(ct) AS nt, sum(cr) AS nr,
+               CAST(count(*) AS BIGINT) AS v
+        FROM vocab
+    )
+    SELECT k.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {roundn_sql(
+               "CAST(sum(CAST("
+               "ln((v.ct + 1.0) / (tots.nt + tots.v))"
+               " - ln((v.cr + 1.0) / (tots.nr + tots.v))"
+               " AS DECIMAL(28,12))) AS DOUBLE) / count(*)",
+               6,
+           )} AS dsir_weight
+    FROM tok k JOIN vocab v USING (token) CROSS JOIN tots
+    WHERE k.source NOT IN {_DSIR_TARGET_SOURCES}
+    GROUP BY k.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection via Importance Resampling): score every RAW-pool
+    document by the mean log-ratio of two add-1-smoothed unigram LMs,
+    one trained on the target domain (here: sources {_DSIR_TARGET_SOURCES}),
+    one on the raw pool. High weight = "looks like the target"; the
+    resampling step is q_weighted_sample with these weights (the two
+    queries compose into the paper's pipeline). The paper hashes n-grams
+    into a fixed-width table; at this vocab size exact unigrams are the
+    stronger check and the hashed variant changes only the token→bucket
+    projection.
+
+    Scale shape: one corpus tokenize feeding BOTH model aggregates and
+    the scoring join (vocab-cardinality relations throughout); totals
+    are a 1-row broadcast; the per-doc sum is DECIMAL-quantized so the
+    shuffle order can't move the hash. Smoothing uses the SHARED vocab
+    (union of both pools) so neither log is ever of zero."""
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    is_tgt = F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    vocab = (
+        tok.groupBy("token")
+        .agg(
+            F.count_if(is_tgt).alias("ct"),
+            F.count_if(~is_tgt).alias("cr"),
+        )
+    )
+    tots = vocab.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    term = (
+        F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v")))
+        - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v")))
+    ).cast("decimal(28,12)")
+    return (
+        tok.filter(~is_tgt)
+        .join(vocab, "token")
+        .join(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            roundn(
+                F.sum(term).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dsir_weight"),
+        )
+    )

@@ -62,6 +62,11 @@ SMJ_OK = {
     "q_funnel_stages",
     "q_bigram_logprob",
     "q_snapshot_diff",
+    # q_semdedup's within-cell pair stage self-joins the corpus on the
+    # (cell, sub-split) block key — both sides fact-sized, broadcast
+    # impossible; the blocked SMJ/shuffle join IS the plan, with the
+    # cluster-size cap bounding per-block fan-out.
+    "q_semdedup",
 }
 
 

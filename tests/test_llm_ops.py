@@ -1114,3 +1114,63 @@ def test_multimodal_resize_fixed_size_and_deterministic(spark, sf_dir):
     assert bytes(got[0]["thumb"]) == payload[::2]
     assert got[0]["in_bytes"] == 2 * size
     assert bytes(got[1]["thumb"]) == bytes(size)
+
+
+def test_semdedup_drops_planted_semantic_dups(spark, sf_dir, tmp_path):
+    """SemDeDup on a planted corpus: three tight semantic clusters of 4
+    near-identical vectors each + isotropic noise — every cluster must
+    collapse to ONE survivor (3 dropped per cluster), noise survives
+    untouched; accounting invariant n_kept + n_dropped == corpus size.
+    On the real (isotropic) fixture nothing crosses cosine 0.9, so
+    n_dropped must be 0 — the non-vacuity lives in the planted half."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = []
+    vid = 0
+    for c in range(3):
+        base = rng.standard_normal(64) * 3
+        for _ in range(4):
+            rows.append(
+                (vid, [float(x) for x in base + 0.02 * rng.standard_normal(64)], c)
+            )
+            vid += 1
+    for _ in range(20):
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)], 9))
+        vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = REGISTRY["q_semdedup"].fn(spark, str(tmp_path)).collect()
+    total_kept = sum(r.n_kept for r in got)
+    total_dropped = sum(r.n_dropped for r in got)
+    assert total_kept + total_dropped == 32
+    assert total_dropped == 9, f"3 clusters x 3 dups -> 9, got {total_dropped}"
+
+    real = REGISTRY["q_semdedup"].fn(spark, sf_dir).collect()
+    assert sum(r.n_dropped for r in real) == 0
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
+    """DSIR law: a raw-pool doc written in the TARGET domain's vocabulary
+    must score a strictly higher importance weight than raw-pool docs in
+    a disjoint vocabulary; target-pool docs themselves are excluded from
+    the output (they are the model, not the candidates)."""
+    tgt_vocab = " ".join(f"t{i % 10}" for i in range(60))
+    raw_vocab = " ".join(f"r{i % 10}" for i in range(60))
+    rows = [
+        (1, tgt_vocab, "en", "src0", 0),          # target pool
+        (2, tgt_vocab, "en", "src1", 0),          # target pool
+        (3, tgt_vocab, "en", "src5", 0),          # raw, target-like -> high
+        (4, raw_vocab, "en", "src6", 0),          # raw, off-domain -> low
+        (5, raw_vocab, "en", "src7", 0),          # raw, off-domain -> low
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.dsir_weight
+        for r in REGISTRY["q_dsir_weights"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {3, 4, 5}
+    assert got[3] > got[4] and got[3] > got[5]
