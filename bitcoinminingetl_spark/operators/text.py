@@ -1315,3 +1315,190 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dsir_weight"),
         )
     )
+
+
+_RRF_K = 60
+_RRF_POOL = 200  # per-system candidate pool; 1/(60+200) is already negligible
+_RRF_TOP = 20
+_RRF_QVEC_ID = 0  # the semantic query: embedding of id 0
+
+
+@query(
+    "q_hybrid_rrf",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               {', '.join(f'CAST({_bm25_tf_sql(t)} AS BIGINT) AS tf{i}'
+                          for i, t in enumerate(_BM25_TERMS))}
+        FROM documents
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS sum_dl,
+               {', '.join(f'CAST(count(*) FILTER (tf{i} > 0) AS BIGINT) AS df{i}'
+                          for i in range(len(_BM25_TERMS)))}
+        FROM t
+    ), lex_pool AS (
+        SELECT doc_id,
+               {' + '.join(
+                   f"(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+                   f" * (tf{i} * ({_BM25_K1} + 1.0))"
+                   f" / (tf{i} + {_BM25_K1} * (1.0 - {_BM25_B}"
+                   f" + {_BM25_B} * dl / (sum_dl * 1.0 / n))))"
+                   for i in range(len(_BM25_TERMS)))} AS score
+        FROM t CROSS JOIN stats
+        WHERE {' + '.join(f'tf{i}' for i in range(len(_BM25_TERMS)))} > 0
+        ORDER BY score DESC, doc_id LIMIT {_RRF_POOL}
+    ), lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                   AS lex_rank
+        FROM lex_pool
+    ), qv AS (
+        SELECT embedding AS q FROM embeddings WHERE vec_id = {_RRF_QVEC_ID}
+    ), sem_pool AS (
+        SELECT b.vec_id AS doc_id,
+               list_reduce(list_transform(generate_series(1, len(qv.q)),
+                   i -> CAST(qv.q[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(CAST(qv.q AS DOUBLE[]),
+                      v -> v * v), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(CAST(b.embedding AS DOUBLE[]),
+                      v -> v * v), (x, y) -> x + y))) AS cosine
+        FROM embeddings b CROSS JOIN qv
+        WHERE b.vec_id <> {_RRF_QVEC_ID}
+        ORDER BY cosine DESC, b.vec_id LIMIT {_RRF_POOL}
+    ), sem AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+                   AS sem_rank
+        FROM sem_pool
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           lex.lex_rank, sem.sem_rank,
+           CAST(round(CAST(
+               COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0)
+               + COALESCE(1.0 / ({_RRF_K} + sem.sem_rank), 0)
+               AS DECIMAL(28,12)), 9) AS DOUBLE) AS rrf
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09): fuse the lexical BM25 ranking (q_bm25_rank's formula and
+    constants) with a semantic cosine ranking against a query embedding,
+    score = Σ 1/(k + rank_system), k=60 — the standard
+    keyword+vector-search combiner (Elasticsearch/Vespa's default
+    hybrid mode).
+
+    Scale doctrine — rank the POOL, not the corpus: each system first
+    takes its top-{_RRF_POOL} by TakeOrderedAndProject (per-partition
+    local top-k, no global sort, no corpus-sized window), and
+    row_number runs on that ≤{_RRF_POOL}-row relation; beyond the pool
+    1/(k+rank) is negligible by construction. The fusion join is two
+    tiny relations (broadcast). The semantic side broadcasts the 1-row
+    query vector; the corpus never shuffles in either system."""
+    toks = F.split("text", " ")
+
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(tm).alias(f"tf{i}") for i, tm in enumerate(_BM25_TERMS)],
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).cast("long").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
+        )
+        term = idf * (
+            F.col(f"tf{i}")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+            )
+        )
+        score = term if score is None else score + term
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0
+    lex_pool = (
+        t.join(F.broadcast(stats))
+        .filter(any_tf)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = lex_pool.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
+    )
+
+    from bitcoinminingetl_spark.operators.dedup import _dot, _norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _RRF_QVEC_ID).select(
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    sem_pool = (
+        emb.filter(F.col("vec_id") != _RRF_QVEC_ID)
+        .join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * F.col("q_norm"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    w_sem = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    sem = sem_pool.select(
+        "doc_id", F.row_number().over(w_sem).cast("long").alias("sem_rank")
+    )
+    # Fusion WITHOUT a join: each system contributes (doc_id, its rank,
+    # its 1/(k+rank)) rows; one tiny groupBy sums contributions and
+    # carries each system's rank through max(). Generalizes to S systems
+    # as S unions — no full-outer join (which Spark cannot broadcast and
+    # would plan as a sort-merge even on two 200-row inputs).
+    contrib = (
+        lex.select(
+            "doc_id",
+            F.col("lex_rank").alias("lr"),
+            F.lit(None).cast("long").alias("sr"),
+            (1.0 / (_RRF_K + F.col("lex_rank"))).alias("c"),
+        )
+        .unionByName(
+            sem.select(
+                "doc_id",
+                F.lit(None).cast("long").alias("lr"),
+                F.col("sem_rank").alias("sr"),
+                (1.0 / (_RRF_K + F.col("sem_rank"))).alias("c"),
+            )
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.max("lr").alias("lex_rank"),
+            F.max("sr").alias("sem_rank"),
+            F.round(F.sum(F.col("c").cast("decimal(28,12)")), 9)
+            .cast("double")
+            .alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )
