@@ -431,3 +431,42 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("live").cast("long").alias("peak_concurrent"))
     )
+
+
+@query(
+    "q_window_locf",
+    oracle="""
+    SELECT event_id, user_id, value,
+           last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+           (value IS NULL) AS was_filled
+    FROM events WHERE user_id < 30
+    """,
+)
+def q_window_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward via IGNORE NULLS — the window-
+    frame gap-fill idiom (sensor feeds, sparse metrics): each NULL
+    reading takes the user's most recent non-NULL value; leading NULLs
+    stay NULL (nothing to carry). Complements q_resample_interpolate:
+    LOCF fills WITHIN the observed rows, interpolation fills a
+    regularized grid.
+
+    Plan: ONE keyed window (partition by user, order by time,
+    running frame) — `last_value(..., ignorenulls=true)` evaluates
+    inside the frame scan, no self-join, no second pass; the event_id
+    tie-break makes same-timestamp fills deterministic. Per-user
+    partitioning scales with user count; there is no global window."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.last("value", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("value").isNull().alias("was_filled"),
+    )

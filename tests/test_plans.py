@@ -405,3 +405,20 @@ def test_try_funcs_stay_jvm_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_try_funcs")
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_hybrid_rrf_pools_are_take_ordered(spark, sf_dir):
+    """RRF must rank pools, not the corpus: both per-system top-200 cuts
+    compile to TakeOrderedAndProject and no corpus-sized global Window
+    precedes them (the row_number windows run on the 200-row pools)."""
+    plan = _plan(spark, sf_dir, "q_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 3  # 2 pools + final top
+    assert "CartesianProduct" not in plan
+
+
+def test_window_locf_single_keyed_window(spark, sf_dir):
+    """LOCF is one keyed window — a single exchange on user_id, no join,
+    no second window pass."""
+    plan = _plan(spark, sf_dir, "q_window_locf")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
