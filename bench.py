@@ -38,6 +38,11 @@ HEADLINE = (
     "q_dedup_exact",
     "q_text_stats",
     "q_cosine_topk",
+    # LLM-pipeline flagships (the north-star surface)
+    "q_corpus_dedup_lsh",
+    "q_curation_funnel",
+    "q_knn_join_lsh",
+    "q_hybrid_rrf",
 )
 
 

@@ -148,3 +148,46 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dsum(F.col("value")).alias("sum_value"),
     )
+
+
+@query("q_skew_metrics")  # rows-only: partition layout is engine-side state
+def q_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostic: per-partition row counts of the
+    post-shuffle layout for a grouped aggregation keyed on event_type —
+    the readout an operator checks BEFORE deciding to salt a key
+    (q_join_salted / q_agg_salted_distinct are the remedies; this is the
+    instrument). Output: one row per non-empty shuffle partition with
+    its row count, plus max/mean ratio columns repeated for easy
+    thresholding; a healthy layout has ratio near 1, a hot key shows a
+    single dominant partition.
+
+    Plan: spark_partition_id() is evaluated AFTER the exchange (the
+    repartition by key is explicit, so the measured layout is the
+    grouped agg's real layout); the per-partition count is a 2-column
+    aggregate; the global stats attach as a 1-row broadcast. Cost: one
+    extra count over data already shuffled — cheap enough to run inline
+    in any pipeline as a guardrail."""
+    e = table(spark, sf_dir, "events").repartition(8, "event_type")
+    per_part = (
+        e.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    stats = per_part.agg(
+        F.max("n_rows").alias("max_rows"),
+        F.avg("n_rows").alias("mean_rows"),
+    )
+    return (
+        per_part.join(F.broadcast(stats))
+        .select(
+            "pid",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("mean_rows"), 4).alias(
+                "vs_mean"
+            ),
+            F.round(F.col("max_rows") / F.col("mean_rows"), 4).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), "pid")
+    )

@@ -1174,3 +1174,28 @@ def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
     }
     assert set(got) == {3, 4, 5}
     assert got[3] > got[4] and got[3] > got[5]
+
+
+def test_skew_metrics_detects_planted_hot_key(spark, sf_dir, tmp_path):
+    """The skew instrument must read near-uniform on the balanced fixture
+    and light up on a planted 90%-one-key distribution."""
+    rows = REGISTRY["q_skew_metrics"].fn(spark, sf_dir).collect()
+    from bitcoinminingetl_spark.catalog import table as _table
+
+    n_events = _table(spark, sf_dir, "events").count()
+    assert rows and sum(r.n_rows for r in rows) == n_events
+    assert rows[0].skew_ratio < 3.0  # 5 event types over 8 partitions
+
+    import datetime
+
+    hot = [(i, datetime.datetime(2024, 1, 1), i, "hot", 1.0, "{}")
+           for i in range(900)]
+    cold = [(1000 + i, datetime.datetime(2024, 1, 1), i, f"k{i % 20}", 1.0, "{}")
+            for i in range(100)]
+    spark.createDataFrame(
+        hot + cold,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    planted = REGISTRY["q_skew_metrics"].fn(spark, str(tmp_path)).collect()
+    assert planted[0].skew_ratio > 4.0  # hot partition dominates the mean
