@@ -402,3 +402,77 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_kept_id",
         )
     )
+
+
+_CKW_TOP = 5
+_CKW_MIN_COUNT = 5
+
+
+@query("q_cluster_keywords")  # rows-only: KMeans cell assignment is engine-side
+def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling: for each embedding cluster (KMeans cells, the
+    q_semdedup quantizer), the most DISTINCTIVE tokens of its documents —
+    lift = p(token | cluster) / p(token | corpus), min count, top-5 per
+    cell. The corpus-exploration readout that turns an opaque clustering
+    into something a curator can review ("cluster 3 is the code-heavy
+    slice"), and the label source for cluster-level mix decisions.
+
+    Scale shape: KMeans fit is sampled/amortized (semdedup doctrine);
+    cell assignment is map-only; the docs⋈cells join is an equi-join on
+    the id; token counting is one hash aggregate per level (cell-token
+    and corpus-token, the latter derived from the former by re-aggregating
+    the cell-token relation — the corpus is NOT re-tokenized); lift joins
+    are vocab-cardinality; top-5 per cell is a bounded rank window over
+    |cells|×|vocab-survivors|. Doc/vec ids share the fixture id space
+    (vec_id == doc_id), the join every embedding-plus-text operator here
+    relies on."""
+    from pyspark.ml.clustering import KMeans
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+    )
+    n = emb.count()
+    k = max(2, min(8, n // 16))
+    km = KMeans(
+        k=k, seed=_MLLIB_SEED, maxIter=5, featuresCol="vec",
+        predictionCol="cell",
+    ).fit(emb)
+    cells = km.transform(emb).select("vec_id", "cell")
+    toks = (
+        table(spark, sf_dir, "documents")
+        .join(cells, F.col("doc_id") == F.col("vec_id"))
+        .select("cell", F.explode(F.split("text", " ")).alias("token"))
+    )
+    ct = toks.groupBy("cell", "token").agg(
+        F.count(F.lit(1)).alias("n_ct")
+    )
+    # corpus-level token counts derived by re-aggregating ct — one pass
+    # over the vocab-cardinality relation, not a second corpus tokenize
+    tok_tot = ct.groupBy("token").agg(F.sum("n_ct").alias("n_t"))
+    cell_tot = ct.groupBy("cell").agg(F.sum("n_ct").alias("n_c"))
+    grand = tok_tot.agg(F.sum("n_t").alias("n_all"))
+    lift = (
+        ct.filter(F.col("n_ct") >= _CKW_MIN_COUNT)
+        .join(tok_tot, "token")
+        .join(F.broadcast(cell_tot), "cell")
+        .join(F.broadcast(grand))
+        .withColumn(
+            "lift",
+            F.round(
+                (
+                    (F.col("n_ct") / F.col("n_c"))
+                    / (F.col("n_t") / F.col("n_all"))
+                ).cast("decimal(28,12)"),
+                6,
+            ).cast("double"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("lift").desc(), "token"
+    )
+    return (
+        lift.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _CKW_TOP)
+        .select("cell", "token", "n_ct", "lift", "rn")
+    )

@@ -67,6 +67,11 @@ SMJ_OK = {
     # impossible; the blocked SMJ/shuffle join IS the plan, with the
     # cluster-size cap bounding per-block fan-out.
     "q_semdedup",
+    # q_cluster_keywords joins docs⋈cell-assignments (both corpus-sized
+    # id relations) and cell-token⋈token-total (both vocab-sized):
+    # neither side is a broadcastable dim at corpus scale, so the keyed
+    # SMJ/shuffle joins are the intended plans.
+    "q_cluster_keywords",
 }
 
 

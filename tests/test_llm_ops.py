@@ -1199,3 +1199,42 @@ def test_skew_metrics_detects_planted_hot_key(spark, sf_dir, tmp_path):
     ).write.parquet(str(tmp_path / "events.parquet"))
     planted = REGISTRY["q_skew_metrics"].fn(spark, str(tmp_path)).collect()
     assert planted[0].skew_ratio > 4.0  # hot partition dominates the mean
+
+
+def test_cluster_keywords_separate_planted_vocabularies(spark, tmp_path):
+    """Two planted embedding clusters whose documents use DISJOINT
+    vocabularies: every cluster's keywords must come from its own
+    vocabulary, with lift > 1 (distinctive by construction), and no
+    keyword may appear under both cells."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    base_a = rng.standard_normal(64) * 3
+    base_b = -base_a
+    doc_rows, emb_rows = [], []
+    for i in range(16):
+        in_a = i < 8
+        base = base_a if in_a else base_b
+        emb_rows.append(
+            (i, [float(x) for x in base + 0.05 * rng.standard_normal(64)], 0)
+        )
+        words = [f"{'alpha' if in_a else 'beta'}{j % 6}" for j in range(40)]
+        doc_rows.append((i, " ".join(words), "en", "s", 0))
+    spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    spark.createDataFrame(
+        doc_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = REGISTRY["q_cluster_keywords"].fn(spark, str(tmp_path)).collect()
+    assert got
+    by_cell: dict[int, set] = {}
+    for r in got:
+        by_cell.setdefault(r.cell, set()).add(r.token)
+        assert r.lift > 1.0
+    assert len(by_cell) == 2
+    cells = list(by_cell.values())
+    assert not (cells[0] & cells[1])
+    for toks in cells:
+        prefixes = {t[:4] for t in toks}
+        assert prefixes in ({"alph"}, {"beta"})
