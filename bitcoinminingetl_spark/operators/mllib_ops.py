@@ -51,6 +51,39 @@ _MLLIB_ROWS = _MLLIB_MINHASH_K // _MLLIB_BANDS
 _MLLIB_SEED = 42
 
 
+def _fit_kmeans(emb: DataFrame, k: int, *, max_iter: int = 5,
+                fit_sample_fraction: float = 1.0):
+    """Fit the shared coarse quantizer (q_ann_ivf_kmeans / q_semdedup /
+    q_cluster_keywords), optionally on a Bernoulli sample of the vectors.
+
+    `fit_sample_fraction` IS the 100 TB knob the docstrings promise: the
+    KMeans fit is the only super-linear stage (k×iters passes over its
+    input), so at scale you fit on a small deterministic sample — cells
+    only need to partition space, not converge on every point — and the
+    map-only `model.transform` assignment still runs over the FULL
+    corpus. Default 1.0 at fixture scale: sampling a 60-row fixture
+    would make planted-cluster tests flaky for no speed gain. The sample
+    is seeded (deterministic per fraction) and falls back to the full
+    relation if it comes back smaller than k (a tiny-fixture guard —
+    KMeans needs >= k distinct points)."""
+    from pyspark.ml.clustering import KMeans
+
+    fit_input = emb
+    if fit_sample_fraction < 1.0:
+        sampled = emb.sample(
+            fraction=fit_sample_fraction, seed=_MLLIB_SEED
+        )
+        if sampled.count() >= k:
+            fit_input = sampled
+    return KMeans(
+        k=k,
+        seed=_MLLIB_SEED,
+        maxIter=max_iter,
+        featuresCol="vec",
+        predictionCol="cell",
+    ).fit(fit_input)
+
+
 def _shingle_array(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles: array<string>) — same 3-gram definition as
     dedup._shingled but kept as an array column for HashingTF input
@@ -164,7 +197,9 @@ _IVF_KM_ITERS = 5
 
 
 @query("q_ann_ivf_kmeans")  # rows-only: fitted centroids are seed/partition-specific
-def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf_kmeans(
+    spark: SparkSession, sf_dir: str, *, fit_sample_fraction: float = 1.0
+) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer — the production version of
     q_ann_ivf's bootstrap (whose docstring already points here: "at 100 TB
     this is a sampled kmeans fit"). MLlib KMeans (k=16, fixed seed, 5
@@ -174,13 +209,13 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids and probe the best 4; candidates re-rank by exact cosine,
     top-10 per query.
 
-    At 100 TB: fit on a sample (KMeans cost is per-fit, amortized across
-    every query), persist the model, `transform` is a map-only pass, and
+    At 100 TB: fit on a sample — `fit_sample_fraction` (see _fit_kmeans)
+    bounds the only super-linear stage; default 1.0 at fixture scale for
+    test determinism (KMeans cost is per-fit, amortized across every
+    query), persist the model, `transform` is a map-only pass, and
     the probe join stays broadcast (queries × nprobe rows). Rows-only
     check — float-sum order inside the fit can move centroids by ulps —
     with a recall-floor unit test against the exact ranking."""
-    from pyspark.ml.clustering import KMeans
-
     emb = (
         table(spark, sf_dir, "embeddings")
         .select(
@@ -190,13 +225,12 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("norm", _norm(F.col("embedding")))
     )
-    km = KMeans(
-        k=_IVF_KM_CELLS,
-        seed=_MLLIB_SEED,
-        maxIter=_IVF_KM_ITERS,
-        featuresCol="vec",
-        predictionCol="cell",
-    ).fit(emb)
+    km = _fit_kmeans(
+        emb,
+        _IVF_KM_CELLS,
+        max_iter=_IVF_KM_ITERS,
+        fit_sample_fraction=fit_sample_fraction,
+    )
     corpus = km.transform(emb).select("vec_id", "embedding", "norm", "cell")
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
@@ -294,7 +328,9 @@ _SEMDEDUP_CLUSTER_CAP = 2000  # max within-cluster pair fan-out guard
 
 
 @query("q_semdedup")  # rows-only: KMeans centroid ulps make pairs engine-specific
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semdedup(
+    spark: SparkSession, sf_dir: str, *, fit_sample_fraction: float = 1.0
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     clustering embeddings with KMeans, then dropping all but one member
     of every within-cluster high-cosine group — the learned-cluster
@@ -302,8 +338,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with NO given labels (the usual case). Output: surviving vec_ids
     with their cluster and the count they displaced.
 
-    Scale shape, stage by stage: (1) KMeans fit on a sample — per-fit
-    cost, amortized; (2) map-only cell assignment via model.transform;
+    Scale shape, stage by stage: (1) KMeans fit on a sample —
+    `fit_sample_fraction` (see _fit_kmeans) bounds the per-fit cost,
+    amortized; default 1.0 at fixture scale for test determinism;
+    (2) map-only cell assignment via model.transform;
     (3) pairwise cosine ONLY within a cell — candidate count is
     sum_c |cell_c|^2, which the cluster-size cap bounds: cells larger
     than the cap are sub-split by a hash of vec_id before pairing (the
@@ -313,8 +351,6 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The keep rule is pair-based (drop the larger id of every pair),
     matching the paper's keep-one-per-epsilon-group up to chain cases
     q_dedup_clusters handles when exactness matters."""
-    from pyspark.ml.clustering import KMeans
-
     emb = (
         table(spark, sf_dir, "embeddings")
         .select(
@@ -333,13 +369,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split genuine near-dup groups across cells).
     n = emb.count()
     k = max(2, min(_SEMDEDUP_K_MAX, n // 8))
-    km = KMeans(
-        k=k,
-        seed=_MLLIB_SEED,
-        maxIter=5,
-        featuresCol="vec",
-        predictionCol="cell",
-    ).fit(emb)
+    km = _fit_kmeans(emb, k, fit_sample_fraction=fit_sample_fraction)
     assigned = km.transform(emb).select("vec_id", "embedding", "norm", "cell")
     # sub-split oversized cells: block = (cell, hash(vec_id) % splits)
     cell_sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cn"))
@@ -409,7 +439,9 @@ _CKW_MIN_COUNT = 5
 
 
 @query("q_cluster_keywords")  # rows-only: KMeans cell assignment is engine-side
-def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cluster_keywords(
+    spark: SparkSession, sf_dir: str, *, fit_sample_fraction: float = 1.0
+) -> DataFrame:
     """Cluster labeling: for each embedding cluster (KMeans cells, the
     q_semdedup quantizer), the most DISTINCTIVE tokens of its documents —
     lift = p(token | cluster) / p(token | corpus), min count, top-5 per
@@ -417,7 +449,9 @@ def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     into something a curator can review ("cluster 3 is the code-heavy
     slice"), and the label source for cluster-level mix decisions.
 
-    Scale shape: KMeans fit is sampled/amortized (semdedup doctrine);
+    Scale shape: KMeans fit is sampled/amortized via
+    `fit_sample_fraction` (see _fit_kmeans; default 1.0 at fixture
+    scale, the semdedup doctrine);
     cell assignment is map-only; the docs⋈cells join is an equi-join on
     the id; token counting is one hash aggregate per level (cell-token
     and corpus-token, the latter derived from the former by re-aggregating
@@ -426,18 +460,13 @@ def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     |cells|×|vocab-survivors|. Doc/vec ids share the fixture id space
     (vec_id == doc_id), the join every embedding-plus-text operator here
     relies on."""
-    from pyspark.ml.clustering import KMeans
-
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
     )
     n = emb.count()
     k = max(2, min(8, n // 16))
-    km = KMeans(
-        k=k, seed=_MLLIB_SEED, maxIter=5, featuresCol="vec",
-        predictionCol="cell",
-    ).fit(emb)
+    km = _fit_kmeans(emb, k, fit_sample_fraction=fit_sample_fraction)
     cells = km.transform(emb).select("vec_id", "cell")
     toks = (
         table(spark, sf_dir, "documents")

@@ -650,7 +650,15 @@ def q_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the group key is an implementation detail; for ASCII, UTF8_LCASE
     equivalence classes coincide with lower()-equality, which is what
     the DuckDB twin models. Plan: same single hash aggregate as any
-    groupBy — collation changes the key comparator, not the shape."""
+    groupBy — collation changes the key comparator, not the shape.
+
+    Cost (r4 VERDICT item 7, measured sf0.1/local[16], 5 warm reps):
+    0.45/0.60 s (min/med) vs 0.28/0.34 s for the lower()-equality twin —
+    the ~1.8x is the collation-aware comparator folding case INSIDE the
+    aggregate's hash/equality per row, where the twin pays one up-front
+    lower() projection and then binary-compares. The 2.0 s BENCH_r04
+    reading was this plus one-time collation codepath spin-up (first
+    collated expression in the JVM), not steady-state plan cost."""
     e = table(spark, sf_dir, "events").select(
         F.when(
             F.col("event_id") % 2 == 0, F.upper("event_type")

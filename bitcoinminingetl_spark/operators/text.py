@@ -1063,7 +1063,9 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     tot = unigrams.agg(F.sum("c").cast("double").alias("n"))
-    bigrams = words.select(
+    # Single-word (and empty-split) docs contribute no bigrams; without
+    # the filter sequence(1, 0) descends and element_at(ws, 0) throws.
+    bigrams = words.filter(F.size("ws") >= 2).select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("ws") - 1),

@@ -410,11 +410,11 @@ def test_embed_cosine_lsh_finds_planted_near_dups(spark, tmp_path):
     assert set(pairs) <= exact
 
 
-def test_dedup_clusters_fast_chain_convergence(spark, tmp_path):
+def test_dedup_clusters_chain_convergence(spark, tmp_path):
     """On a 16-doc near-dup CHAIN (each doc overlaps only its neighbors
     — worst case for plain propagation, which needs ~16 rounds), the
-    pointer-jumping variant must still reach the full fixpoint within
-    the round cap and agree exactly with the propagation-only twin:
+    pointer-jumping PRIMARY must reach the full fixpoint within the
+    round cap and agree exactly with the propagation-only parity twin:
     every doc labeled with the chain minimum."""
     toks = [f"t{i}" for i in range(120)]
     rows = [
@@ -426,11 +426,13 @@ def test_dedup_clusters_fast_chain_convergence(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     slow = sorted(
         (r.doc_id, r.cluster_id)
-        for r in REGISTRY["q_dedup_clusters"].fn(spark, str(tmp_path)).collect()
+        for r in REGISTRY["q_dedup_clusters_minlabel"]
+        .fn(spark, str(tmp_path))
+        .collect()
     )
     fast = sorted(
         (r.doc_id, r.cluster_id)
-        for r in REGISTRY["q_dedup_clusters_fast"].fn(spark, str(tmp_path)).collect()
+        for r in REGISTRY["q_dedup_clusters"].fn(spark, str(tmp_path)).collect()
     )
     assert fast == slow
     assert {c for _, c in fast} == {1}  # one chain, labeled by its minimum
@@ -1238,3 +1240,108 @@ def test_cluster_keywords_separate_planted_vocabularies(spark, tmp_path):
     for toks in cells:
         prefixes = {t[:4] for t in toks}
         assert prefixes in ({"alph"}, {"beta"})
+
+
+def test_short_doc_guards_dup_span_and_pmi(spark, tmp_path):
+    """Latent-crash regression (r4 ADVICE): docs shorter than the gram/
+    bigram width must yield zero grams, not a descending sequence()
+    whose slice/element_at bounds blow up. Mixes 1-word, 4-word, and
+    empty docs in with normal ones; both queries must run clean, short
+    docs must be absent from dup-span output, and PMI counts must come
+    only from the multi-word docs."""
+    rows = [
+        (1, "one", "en", "s1", 3),                     # 1 word: no bigram, no 5-gram
+        (2, "just four words here", "en", "s1", 20),   # 4 words: bigrams, no 5-gram
+        (3, "", "en", "s1", 0),                        # empty text -> split = [""]
+        (4, "alpha beta gamma delta epsilon zeta", "en", "s1", 0),
+        (5, "alpha beta gamma delta epsilon zeta", "en", "s1", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    spans = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in REGISTRY["q_dup_span_stats"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(spans) == {4, 5}          # short docs emit no gram rows
+    assert spans[4] == (2, 2) and spans[5] == (2, 2)
+
+    # PMI: min-count filter empties the top-k at this scale; the point is
+    # that the bigram explode over doc 1/3 no longer throws.
+    pmi = REGISTRY["q_pmi_collocations"].fn(spark, str(tmp_path)).collect()
+    assert isinstance(pmi, list)
+
+
+def test_bpe_train_escapes_backslash_tokens(spark, tmp_path):
+    """Regression (r4 ADVICE): a corpus token containing a backslash (or
+    quote) must not corrupt the spliced merge-rewrite SQL. Corpus is one
+    token 'a\\b' x2: round 1 merges ('\\','b') (lexical tiebreak, '\\' <
+    'a'), round 2 merges ('a','\\b'), then the single-symbol token drops
+    out and training stops."""
+    rows = [(1, "a\\b a\\b", "en", "s1", 0)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in REGISTRY["q_bpe_train"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, "\\", "b", 2), (2, "a", "\\b", 2)]
+
+
+def test_kmeans_sampled_fit_keeps_planted_properties(spark, tmp_path):
+    """The fit_sample_fraction knob (the 100 TB scale path the quantizer
+    docstrings promise): fitting the SemDeDup quantizer on a 50% sample
+    must still collapse every planted tight cluster to one survivor —
+    cells only need to partition space, and a planted cluster's members
+    land in the same cell regardless of which half trained the fit. Same
+    accounting invariants as the full-fit test."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = []
+    vid = 0
+    for c in range(3):
+        base = rng.standard_normal(64) * 3
+        for _ in range(4):
+            rows.append(
+                (vid, [float(x) for x in base + 0.02 * rng.standard_normal(64)], c)
+            )
+            vid += 1
+    for _ in range(20):
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)], 9))
+        vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = REGISTRY["q_semdedup"].fn(
+        spark, str(tmp_path), fit_sample_fraction=0.5
+    ).collect()
+    total_kept = sum(r.n_kept for r in got)
+    total_dropped = sum(r.n_dropped for r in got)
+    assert total_kept + total_dropped == 32
+    assert total_dropped == 9, f"3 clusters x 3 dups -> 9, got {total_dropped}"
+
+
+def test_dedup_clusters_deep_chain_beyond_round_cap(spark, tmp_path):
+    """The reason pointer jumping is the PRIMARY (r5 role swap): the
+    round cap is fixed (_CC_MAX_ITERS=20), so propagation-only walks at
+    most 20 hops and silently under-merges anything deeper, while
+    pointer jumping compresses paths and is exact up to diameter 2^20.
+    A 30-doc chain (diameter 29 > cap) must still collapse to one
+    cluster under the primary."""
+    toks = [f"t{i}" for i in range(200)]
+    rows = [
+        (i + 1, " ".join(toks[5 * i : 5 * i + 20]), "en", "web", 1)
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["q_dedup_clusters"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got.values()) == {1}, f"chain split: {sorted(set(got.values()))}"
+    assert len(got) == 30

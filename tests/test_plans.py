@@ -333,7 +333,7 @@ def test_tpch_q19_single_join_no_union(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_tpch_discounted_revenue")
     assert "Union" not in plan
     assert plan.count("BroadcastHashJoin") == 1
-    assert plan.count("lineitem.parquet") <= 1 or plan.count("lineitem") >= 1
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_exists_compiles_to_semi_join(spark, sf_dir):
