@@ -454,11 +454,11 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed O(n) before the join. The eval side is a small fraction of
     the corpus by construction, so at scale it BROADCASTS and the check
     is a map-side pass over the training scan."""
-    from bitcoinminingetl_spark.operators.dedup import _dot, _norm
+    from bitcoinminingetl_spark.operators.dedup import _dot, normed_embeddings
 
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "norm", _norm(F.col("embedding"))
-    )
+    # normed load: zero-norm vectors are excluded (cosine undefined;
+    # ANSI division would kill the job) — see dedup.normed_embeddings
+    emb = normed_embeddings(spark, sf_dir)
     train = emb.filter(F.col("vec_id") % 10 != 0).alias("a")
     ev = emb.filter(F.col("vec_id") % 10 == 0).alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (

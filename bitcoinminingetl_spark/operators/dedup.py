@@ -628,6 +628,26 @@ def _norm(x: Column) -> Column:
     )
 
 
+def normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with its L2 norm attached, EXCLUDING
+    zero-norm vectors — the shared load path of the cosine family
+    (dedup / ANN / kNN / semantic decontamination / hybrid retrieval).
+
+    Doctrine: a zero vector has no direction, so cosine against it is
+    undefined — and under ANSI mode (Spark 4 default) the norm_a*norm_b
+    division doesn't return NULL, it KILLS THE JOB. Real corpora contain
+    zero embeddings (failed encoder calls, padded rows), so every
+    cosine-dividing operator loads through this filter. The test
+    fixtures contain no zero vectors, so oracle rows are unchanged;
+    the adversarial-corpus sweep (tests/test_adversarial.py) plants one
+    and asserts the family survives."""
+    return (
+        table(spark, sf_dir, "embeddings")
+        .withColumn("norm", _norm(F.col("embedding")))
+        .filter(F.col("norm") > 0)
+    )
+
+
 _EMB_LSH_TABLES = 6
 _EMB_LSH_BITS = 4
 _EMB_LSH_SEED = 11
@@ -673,9 +693,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     row would be vacuously green on an empty set (round-3 VERDICT
     finding); at 0.35 the driver hashes a real pair set (26 pairs at
     sf0.01)."""
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "norm", _norm(F.col("embedding"))
-    )
+    emb = normed_embeddings(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         "label",
@@ -725,9 +743,7 @@ def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided error direction."""
     from pyspark.sql.functions import pandas_udf
 
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "norm", _norm(F.col("embedding"))
-    )
+    emb = normed_embeddings(spark, sf_dir)
 
     @pandas_udf("array<long>")
     def lsh_buckets(embedding: pd.Series) -> pd.Series:

@@ -39,6 +39,7 @@ from bitcoinminingetl_spark.operators.dedup import (
     _dot,
     _norm,
     _verify_candidates,
+    normed_embeddings,
     shingle_index,
 )
 from bitcoinminingetl_spark.operators.similarity import _N_QUERIES, _TOP_K
@@ -216,14 +217,11 @@ def q_ann_ivf_kmeans(
     the probe join stays broadcast (queries × nprobe rows). Rows-only
     check — float-sum order inside the fit can move centroids by ulps —
     with a recall-floor unit test against the exact ranking."""
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            "embedding",
-            array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
-        )
-        .withColumn("norm", _norm(F.col("embedding")))
+    emb = normed_embeddings(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
     )
     km = _fit_kmeans(
         emb,
@@ -351,16 +349,11 @@ def q_semdedup(
     The keep rule is pair-based (drop the larger id of every pair),
     matching the paper's keep-one-per-epsilon-group up to chain cases
     q_dedup_clusters handles when exactness matters."""
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            "embedding",
-            array_to_vector(F.col("embedding").cast("array<double>")).alias(
-                "vec"
-            ),
-        )
-        .withColumn("norm", _norm(F.col("embedding")))
+    emb = normed_embeddings(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
     )
     # k scales with the corpus (the paper uses ~11k clusters for 5B
     # docs): more cells = quadratically smaller within-cell pair stage.

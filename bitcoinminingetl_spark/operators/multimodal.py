@@ -85,6 +85,8 @@ def _decode_image(payload: bytes) -> tuple[int | None, int | None, str]:
     container header — pure Python, no codec dependency. Unrecognized
     payloads return (None, None, 'unknown') rather than raising: a
     corrupt blob must not kill a 100 TB decode pass."""
+    if payload is None:
+        return None, None, "unknown"
     b = payload
     try:
         if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
@@ -235,7 +237,9 @@ def _feature_batches(batches):
         feats = []
         nb = []
         for b in pdf["payload"]:
-            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            # NULL payload (e.g. encode(NULL text)) = empty asset: 0 bytes,
+            # all-zero histogram — never a worker crash.
+            arr = np.frombuffer(b"" if b is None else bytes(b), dtype=np.uint8)
             nb.append(len(arr))
             hist = np.bincount(arr >> 4, minlength=_EMBED_DIM).astype(
                 np.float64
@@ -295,7 +299,9 @@ def _resize_batches(batches):
         thumbs = []
         in_bytes = []
         for b in pdf["payload"]:
-            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            # NULL payload (e.g. encode(NULL text)) = empty asset: 0 bytes,
+            # all-zero histogram — never a worker crash.
+            arr = np.frombuffer(b"" if b is None else bytes(b), dtype=np.uint8)
             in_bytes.append(len(arr))
             if len(arr):
                 idx = (np.arange(size) * len(arr)) // size

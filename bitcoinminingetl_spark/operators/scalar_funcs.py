@@ -27,7 +27,7 @@ from bitcoinminingetl_spark.registry import query
            upper(lang) AS lang_up,
            concat_ws('-', lang, source) AS lang_src,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS src_num,
+           TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS src_num,
            lpad(lang, 5, '_') AS lang_pad,
            CAST(length(text) AS BIGINT) AS text_len,
            CAST(strpos(text, 'spark') AS BIGINT) AS spark_pos
@@ -43,7 +43,9 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("lang").alias("lang_up"),
         F.concat_ws("-", "lang", "source").alias("lang_src"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        F.regexp_extract("source", r"(\d+)", 1).cast("int").alias("src_num"),
+        # try_cast: a source with no digits extracts '' which ANSI cast
+        # refuses; NULL is the SQL answer (oracle uses TRY_CAST identically)
+        F.regexp_extract("source", r"(\d+)", 1).try_cast("int").alias("src_num"),
         F.lpad("lang", 5, "_").alias("lang_pad"),
         F.length("text").cast("long").alias("text_len"),
         F.instr("text", "spark").cast("long").alias("spark_pos"),

@@ -22,7 +22,13 @@ from bitcoinminingetl_spark.functions.numeric import (
     roundn,
     roundn_sql,
 )
-from bitcoinminingetl_spark.operators.dedup import _DOT_SQL, _dot, _norm, _norm_sql
+from bitcoinminingetl_spark.operators.dedup import (
+    _DOT_SQL,
+    _dot,
+    _norm,
+    _norm_sql,
+    normed_embeddings,
+)
 from bitcoinminingetl_spark.registry import query
 
 _N_QUERIES = 5  # query set: vec_id < 5
@@ -52,7 +58,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query on the 6-dp-rounded score (+ id tiebreak). The plan shape
     at 100 TB: corpus-side narrow scan, per-partition top-k via the
     window, k·|queries| rows into the final exchange."""
-    emb = table(spark, sf_dir, "embeddings").withColumn("norm", _norm(F.col("embedding")))
+    emb = normed_embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -112,10 +118,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned neighbor also appears in the exact q_cosine_topk ranking
     prefix for its query."""
     planes = _hyperplanes()
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .withColumn("norm", _norm(F.col("embedding")))
-        .withColumn("bucket", _bucket(F.col("embedding"), planes))
+    emb = normed_embeddings(spark, sf_dir).withColumn(
+        "bucket", _bucket(F.col("embedding"), planes)
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -172,7 +176,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Recall < 1 by construction; the unit test cross-checks scores against
     the exact ranking and requires recall@10 above a floor."""
-    emb = table(spark, sf_dir, "embeddings").withColumn("norm", _norm(F.col("embedding")))
+    emb = normed_embeddings(spark, sf_dir)
     cent_rows = emb.orderBy("vec_id").limit(_N_CELLS).select("embedding").collect()
     data = []
     for i, r in enumerate(cent_rows):
@@ -398,9 +402,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     unshippable past ~10^4 query rows; q_knn_join_lsh is the scale path.
     Per-query top-k via window on the broadcast-joined relation: each
     probe partition ranks locally, k·|A| rows reach the final exchange."""
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "norm", _norm(F.col("embedding"))
-    )
+    emb = normed_embeddings(spark, sf_dir)
     a = emb.filter(F.col("vec_id") % _KNN_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -486,7 +488,9 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     isotropic fixture (neighbor cosine ≈0.34) the same config gives
     ≈0.19 — the planted-cluster test pins the former, a recall-floor
     assertion the latter."""
-    emb = table(spark, sf_dir, "embeddings")
+    # normed load: drops zero-norm vectors before bucketing so neither
+    # the candidate join nor the cosine re-rank ever divides by zero
+    emb = normed_embeddings(spark, sf_dir)
     bucket_of = _knn_bucket_udf()
     def bucketed(df, idcol):
         return df.select(

@@ -743,15 +743,19 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine prefers in hot paths."""
     from pyspark.sql.functions import pandas_udf
 
+    # Nullable Int64 + list-guard: NULL text yields NULL counts (SQL
+    # semantics) rather than crashing the Arrow worker on NaN->int.
     @pandas_udf("long")
     def py_tok_count(texts: pd.Series) -> pd.Series:
-        return texts.str.split(" ").str.len().astype("int64")
+        return texts.str.split(" ").str.len().astype("Int64")
 
     @pandas_udf("long")
     def py_long_tok_count(texts: pd.Series) -> pd.Series:
         return texts.str.split(" ").map(
             lambda ws: sum(1 for w in ws if len(w) > 4)
-        ).astype("int64")
+            if isinstance(ws, list)
+            else None
+        ).astype("Int64")
 
     spark.udf.register("py_tok_count", py_tok_count)
     spark.udf.register("py_long_tok_count", py_long_tok_count)

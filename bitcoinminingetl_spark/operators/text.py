@@ -1447,9 +1447,15 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
     )
 
-    from bitcoinminingetl_spark.operators.dedup import _dot, _norm
+    from bitcoinminingetl_spark.operators.dedup import (
+        _dot,
+        _norm,
+        normed_embeddings,
+    )
 
-    emb = table(spark, sf_dir, "embeddings")
+    # normed load: zero-norm corpus vectors can't join the semantic pool
+    # (cosine undefined; ANSI division would kill the job)
+    emb = normed_embeddings(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == _RRF_QVEC_ID).select(
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),

@@ -70,11 +70,14 @@ def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def tokenize(batches):
         for pdf in batches:
+            # nullable Int64, not int64: NULL text must yield NULL counts
+            # (SQL split/length semantics) instead of an IntCastingNaNError
+            # killing the worker — real corpora contain null documents.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_tokens": pdf["text"].str.split(" ").str.len().astype("int64"),
-                    "n_chars_obs": pdf["text"].str.len().astype("int64"),
+                    "n_tokens": pdf["text"].str.split(" ").str.len().astype("Int64"),
+                    "n_chars_obs": pdf["text"].str.len().astype("Int64"),
                 }
             )
 
@@ -172,6 +175,10 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     class ChunkDoc:
         def eval(self, doc_id, text):  # noqa: ANN001 — signature fixed by Spark
+            if text is None:
+                # NULL text chunks to nothing — matches the oracle, where
+                # unnest(generate_series over NULL) emits no rows.
+                return
             toks = text.split(" ")
             for i in range(0, len(toks), _CHUNK):
                 chunk = toks[i : i + _CHUNK]

@@ -1,0 +1,122 @@
+"""Adversarial-corpus sweep: every registered query must SURVIVE the
+document/embedding shapes a real 100 TB corpus contains but the clean
+synthetic fixtures do not — empty text, single-word and whitespace-only
+docs, NULL text, backslash/quote tokens, unicode, a 2000-word doc, a
+zero-norm embedding, exact-duplicate vectors.
+
+This is a crash gate, not a value oracle: the DuckDB differential check
+(test_oracle.py) owns correctness on the clean fixtures; this suite owns
+"no pathological row kills the job" — the class of bug behind the round-4
+ADVICE findings (sequence() descending on short docs) and the ANSI-mode
+divide-by-zero/IntCastingNaN crashes fixed in round 5. Spark 4 runs ANSI
+mode by default, so a single bad row throws instead of yielding NULL;
+at scale that is a dead 1000-executor job.
+
+Non-documents/embeddings tables come straight from sf0.001, so queries
+over events/lineitem/etc. run unchanged (cheap, and keeps the sweep a
+single registry loop). Streaming lifecycle queries are excluded — their
+robustness is exercised by tests/test_streaming.py with its own landed
+fixtures.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from bitcoinminingetl_spark.registry import load_all
+
+REGISTRY = load_all()
+
+_SWEEP = [n for n in sorted(REGISTRY) if not n.startswith("q_streaming_")]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(spark, tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("advdata")
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet"
+        )
+
+    docs = [
+        (0, "", "en", "web", 0),                # empty text, eval-split id
+        (1, "one", "en", "web", 3),             # single word
+        (2, "   ", "en", "web", 3),             # whitespace -> ["","","",""]
+        (3, "a", "en", "web", 1),               # single char
+        (4, 'a\\b it\'s "quoted" end', "en", "web", 0),  # backslash+quotes
+        (5, "héllo wörld 日本語 \U0001f600 ok", "xx", "web", 0),  # unicode
+        (6, "just four words here", "en", "s2", 20),
+        (7, " ".join(f"tok{i % 37}" for i in range(2000)), "en", "s2", 0),
+        (8, " ".join(["x"] * 50), "en", "s2", 0),  # one token repeated
+        (9, "the quick brown fox jumps over the lazy dog near the old"
+            " mill stream", "en", "s1", 0),
+        (10, "", "en", "s1", 0),                 # second eval-split empty
+        (11, None, "en", "s1", 0),               # NULL text
+    ] + [
+        (
+            100 + i,
+            f"filler doc number {i} with some shared words alpha beta gamma",
+            "en",
+            f"s{i % 3}",
+            0,
+        )
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    import random
+
+    rng = random.Random(7)
+    embs = [(0, [0.0] * 64, 0)]                  # zero-norm vector
+    embs += [
+        (1, [1.0] + [0.0] * 63, 0),
+        (2, [1.0] + [0.0] * 63, 0),              # exact duplicate pair
+    ]
+    embs += [
+        (i, [rng.gauss(0, 1) for _ in range(64)], i % 4) for i in range(3, 32)
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_query_survives_adversarial_corpus(spark, adv_dir, name):
+    REGISTRY[name].fn(spark, adv_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def test_zero_norm_vectors_are_excluded_not_fatal(spark, adv_dir):
+    """The doctrine behind dedup.normed_embeddings: the planted zero
+    vector (vec_id 0) silently leaves the cosine family, it does not
+    surface as a neighbor or kill the job; the planted exact-duplicate
+    pair (1, 2) is still found at cosine 1."""
+    rows = REGISTRY["q_dedup_embed_cosine"].fn(spark, adv_dir).collect()
+    ids = {r.vec_a for r in rows} | {r.vec_b for r in rows}
+    assert 0 not in ids
+    assert any(
+        {r.vec_a, r.vec_b} == {1, 2} and abs(r.cosine - 1.0) < 1e-6
+        for r in rows
+    )
+
+
+def test_null_text_yields_null_counts_not_crash(spark, adv_dir):
+    """Python-boundary null doctrine: NULL text flows through the pandas
+    kernels as NULL counts (SQL split/length semantics), and the UDTF
+    chunker emits no rows for it."""
+    mp = {
+        r.doc_id: (r.n_tokens, r.n_chars_obs)
+        for r in REGISTRY["q_map_in_pandas"].fn(spark, adv_dir).collect()
+    }
+    assert mp[11] == (None, None)
+    assert mp[1] == (1, 3)
+    chunks = REGISTRY["q_python_udtf"].fn(spark, adv_dir).collect()
+    assert all(r.doc_id != 11 for r in chunks)
