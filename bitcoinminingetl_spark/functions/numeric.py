@@ -15,23 +15,44 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# Overflow fallback (both rounders): a magnitude past the decimal's
+# integer digits can't be quantized — under ANSI mode the cast RAISES
+# rather than NULLing, so one 1e24-scale variance would kill the job.
+# try_cast + coalesce falls back to a plain double round there, which
+# is exact anyway: beyond ~1e16 the double ulp exceeds 1, so round(x, n)
+# IS x in every engine and the decimal canonicalization buys nothing.
+# In-range values (every fixture value) take the decimal path unchanged.
+
+
 def round2(col: Column) -> Column:
     """2-dp engine-stable rounding of a double expression (Spark side)."""
-    return F.round(col.cast("decimal(18,6)"), 2).cast("double")
+    return F.coalesce(
+        F.round(col.try_cast("decimal(18,6)"), 2).cast("double"),
+        F.round(col, 2),
+    )
 
 
 def round2_sql(expr: str) -> str:
     """The DuckDB-side twin of :func:`round2`."""
-    return f"CAST(round(CAST(({expr}) AS DECIMAL(18,6)), 2) AS DOUBLE)"
+    return (
+        f"CAST(COALESCE(round(TRY_CAST(({expr}) AS DECIMAL(18,6)), 2), "
+        f"round(({expr}), 2)) AS DOUBLE)"
+    )
 
 
 def roundn(col: Column, n: int) -> Column:
     """n-dp engine-stable rounding (similarity scores etc.)."""
-    return F.round(col.cast("decimal(28,12)"), n).cast("double")
+    return F.coalesce(
+        F.round(col.try_cast("decimal(28,12)"), n).cast("double"),
+        F.round(col, n),
+    )
 
 
 def roundn_sql(expr: str, n: int) -> str:
-    return f"CAST(round(CAST(({expr}) AS DECIMAL(28,12)), {n}) AS DOUBLE)"
+    return (
+        f"CAST(COALESCE(round(TRY_CAST(({expr}) AS DECIMAL(28,12)), {n}), "
+        f"round(({expr}), {n})) AS DOUBLE)"
+    )
 
 
 def dsum(col: Column) -> Column:

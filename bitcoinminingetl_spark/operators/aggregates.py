@@ -268,16 +268,26 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment statistics per key: sample stddev/variance and a
     Pearson correlation. All three are algebraic aggregates (sum, sum of
     squares, cross-moments) — partial-aggregated map-side, merged at the
-    reducer: one shuffle of O(keys) rows regardless of input size."""
+    reducer: one shuffle of O(keys) rows regardless of input size.
+
+    Correlation is assembled from covar_samp/stddev_samp moments behind
+    a zero-variance guard instead of F.corr: Spark's corr aggregate
+    divides internally, so a constant-valued stream (variance 0 — every
+    heartbeat metric looks like this) raises DIVIDE_BY_ZERO under ANSI
+    mode and kills the job. NULL is the SQL answer (and what DuckDB's
+    corr returns); the composition is algebraically identical where
+    defined (the n-1 factors cancel)."""
+    u = F.col("user_id").cast("double")
+    sd_v = F.stddev_samp("value")
+    sd_u = F.stddev_samp(u)
+    corr = F.when((sd_v > 0) & (sd_u > 0), F.covar_samp("value", u) / (sd_v * sd_u))
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             roundn(F.stddev_samp("value"), 6).alias("sd_value"),
             roundn(F.var_samp("value"), 4).alias("var_value"),
-            roundn(F.corr("value", F.col("user_id").cast("double")), 6).alias(
-                "corr_value_user"
-            ),
+            roundn(corr, 6).alias("corr_value_user"),
         )
     )
 
@@ -491,7 +501,8 @@ _Z_THRESHOLD = 2.5
     SELECT event_id, e.event_type, value,
            {roundn_sql('(value - mu) / sigma', 4)} AS z
     FROM events e JOIN s USING (event_type)
-    WHERE abs({roundn_sql('(value - mu) / sigma', 4)}) >= {_Z_THRESHOLD}
+    WHERE sigma <> 0
+      AND abs({roundn_sql('(value - mu) / sigma', 4)}) >= {_Z_THRESHOLD}
     """,
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,7 +514,11 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass is shuffle-free — at 100 TB this is two scans, or one scan if
     the stats come from a maintained profile table (q_dq_profile). The
     filter applies to the 4-dp rounded z so the survivor set is
-    engine-exact."""
+    engine-exact. Zero-variance streams (sigma 0 — constant heartbeat
+    metrics) are filtered BEFORE z is projected: they have no outliers
+    by definition, and under ANSI mode the division would otherwise
+    raise DIVIDE_BY_ZERO instead of returning NULL. The sigma <> 0
+    predicate also drops single-row streams (stddev_samp NULL)."""
     ev = table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
@@ -511,6 +526,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = roundn((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
     return (
         ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") != 0)
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) >= _Z_THRESHOLD)
     )

@@ -116,7 +116,7 @@ def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(event_id AS VARCHAR) AS id_str,
            CAST(user_id AS VARCHAR) AS uid_str,
            CAST(floor(value) AS BIGINT) AS value_floor,
-           CAST(CAST(value AS DECIMAL(12, 2)) AS DOUBLE) AS value_dec,
+           CAST(TRY_CAST(value AS DECIMAL(12, 2)) AS DOUBLE) AS value_dec,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
            CAST(to_timestamp(event_id * 60 + 1609459200) AS TIMESTAMP) AS synth_ts
     FROM events
@@ -135,7 +135,9 @@ def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The DECIMAL(12,2) cast is the R4 parity point; the final cast to
         # double is hash-canonical (Decimal('18.20') vs float 18.2 hash
         # differently in the driver's canonicalizer even when cell-identical).
-        F.col("value").cast("decimal(12,2)").cast("double").alias("value_dec"),
+        # try_cast: a value beyond 10 digits overflows DECIMAL(12,2) and ANSI
+        # mode raises instead of NULLing; the oracle TRY_CASTs identically.
+        F.col("value").try_cast("decimal(12,2)").cast("double").alias("value_dec"),
         F.unix_timestamp("ts").alias("epoch_s"),
         F.timestamp_seconds(F.col("event_id") * 60 + 1609459200).alias("synth_ts"),
     )

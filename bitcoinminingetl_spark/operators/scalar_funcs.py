@@ -237,10 +237,11 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer for payloads whose schema drifts (the reference's R1 API
     ticks): the parse cost is paid once per row and every downstream
     path access is a cheap binary probe instead of a re-parse; shredded
-    parquet storage keeps pushdown on the hot paths. try_variant_get on
-    an absent path returns NULL rather than failing — the corrupt-tick
-    tolerance R5 requires."""
-    var = F.parse_json("props")
+    parquet storage keeps pushdown on the hot paths. try_parse_json +
+    try_variant_get: malformed payloads and absent paths both return
+    NULL rather than failing — the corrupt-tick tolerance R5 requires
+    (parse_json would abort the whole ingest on one bad payload)."""
+    var = F.try_parse_json("props")
     return table(spark, sf_dir, "events").select(
         "event_id",
         F.try_variant_get(var, "$.k", "long").alias("k"),

@@ -318,8 +318,11 @@ def ewma_smooth(ev: DataFrame) -> DataFrame:
         F.lit(0).cast("decimal(28,12)"),
         lambda acc, x: (acc + x.cast("decimal(28,12)")).cast("decimal(28,12)"),
     )
+    # n == 0 happens when every value in the frame is NULL (collect_list
+    # skips nulls): the weight sum 2*(1-0.5^0) is zero and ANSI mode
+    # would raise DIVIDE_BY_ZERO — an all-NULL stream smooths to NULL.
     ewma = roundn(
-        s.cast("double") / (2 * (1 - F.pow(F.lit(0.5), n))),
+        F.when(n > 0, s.cast("double") / (2 * (1 - F.pow(F.lit(0.5), n)))),
         6,
     )
     return ev.select("event_id", "event_type", ewma.alias("ewma"))

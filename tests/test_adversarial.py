@@ -1,8 +1,10 @@
 """Adversarial-corpus sweep: every registered query must SURVIVE the
-document/embedding shapes a real 100 TB corpus contains but the clean
-synthetic fixtures do not — empty text, single-word and whitespace-only
-docs, NULL text, backslash/quote tokens, unicode, a 2000-word doc, a
-zero-norm embedding, exact-duplicate vectors.
+document/embedding/event shapes a real 100 TB corpus contains but the
+clean synthetic fixtures do not — empty text, single-word and
+whitespace-only docs, NULL text, backslash/quote tokens, unicode, a
+2000-word doc, a zero-norm embedding, exact-duplicate vectors,
+constant-value event streams (stddev 0), single-row and all-NULL-value
+streams, +/-1e12 magnitudes, duplicate timestamps, malformed JSON props.
 
 This is a crash gate, not a value oracle: the DuckDB differential check
 (test_oracle.py) owns correctness on the clean fixtures; this suite owns
@@ -12,15 +14,15 @@ divide-by-zero/IntCastingNaN crashes fixed in round 5. Spark 4 runs ANSI
 mode by default, so a single bad row throws instead of yielding NULL;
 at scale that is a dead 1000-executor job.
 
-Non-documents/embeddings tables come straight from sf0.001, so queries
-over events/lineitem/etc. run unchanged (cheap, and keeps the sweep a
-single registry loop). Streaming lifecycle queries are excluded — their
-robustness is exercised by tests/test_streaming.py with its own landed
-fixtures.
+The TPC-H warehouse tables come straight from sf0.001 (warehouse data
+is schema-disciplined by construction; telemetry and scraped corpora
+are not). Streaming lifecycle queries are excluded — their robustness
+is exercised by tests/test_streaming.py with its own landed fixtures.
 """
 
 from __future__ import annotations
 
+import datetime
 import shutil
 
 import pytest
@@ -31,16 +33,41 @@ REGISTRY = load_all()
 
 _SWEEP = [n for n in sorted(REGISTRY) if not n.startswith("q_streaming_")]
 
+_T0 = datetime.datetime(2024, 1, 1)
+
 
 @pytest.fixture(scope="module")
 def adv_dir(spark, tmp_path_factory) -> str:
     d = tmp_path_factory.mktemp("advdata")
     for t in (
-        "region nation customer supplier part orders lineitem events"
+        "region nation customer supplier part orders lineitem"
     ).split():
         shutil.copy(
             f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet"
         )
+
+    ev = []
+    # constant-value stream: stddev 0 (z-score / corr divide-by-zero bait)
+    for i in range(20):
+        ev.append((i, _T0 + datetime.timedelta(minutes=i), 1, "const", 5.0, '{"k": 1}'))
+    ev.append((100, _T0, 2, "lonely", 7.7, '{"k": 2}'))  # single-row stream
+    for i in range(5):  # all-NULL-value stream
+        ev.append((200 + i, _T0 + datetime.timedelta(hours=i), 3, "nullv", None, None))
+    # simultaneous timestamps + decimal-overflow magnitudes
+    for i in range(10):
+        ev.append((300 + i, _T0, 4, "burst", -1e12 if i % 2 else 1e12, '{"k": 3}'))
+    # malformed / empty / NULL props JSON
+    ev.append((400, _T0, 5, "badjson", 1.0, "not json"))
+    ev.append((401, _T0, 5, "badjson", 2.0, ""))
+    ev.append((402, _T0, 5, "badjson", 3.0, None))
+    for i in range(50):  # one ordinary stream so aggregates have real work
+        ev.append((500 + i, _T0 + datetime.timedelta(minutes=7 * i),
+                   6 + i % 3, "normal", float(i), f'{{"k": {i}}}'))
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
 
     docs = [
         (0, "", "en", "web", 0),                # empty text, eval-split id
@@ -120,3 +147,47 @@ def test_null_text_yields_null_counts_not_crash(spark, adv_dir):
     assert mp[1] == (1, 3)
     chunks = REGISTRY["q_python_udtf"].fn(spark, adv_dir).collect()
     assert all(r.doc_id != 11 for r in chunks)
+
+
+def test_zero_variance_streams_yield_null_not_crash(spark, adv_dir):
+    """Statistical doctrine on degenerate streams: a constant stream has
+    NULL correlation (both engines' SQL answer) and no z-score outliers;
+    a single-row stream (stddev_samp NULL) is likewise excluded; the
+    all-NULL-value stream smooths to NULL EWMA rows."""
+    corr = {
+        r.event_type: r.corr_value_user
+        for r in REGISTRY["q_corr_stats"].fn(spark, adv_dir).collect()
+    }
+    assert corr["const"] is None          # zero variance -> NULL, not a crash
+    assert corr["lonely"] is None         # n=1 -> NULL moments
+
+    z = REGISTRY["q_anomaly_zscore"].fn(spark, adv_dir).collect()
+    assert all(r.event_type not in ("const", "lonely") for r in z)
+
+    ewma = {
+        r.event_id: r.ewma
+        for r in REGISTRY["q_ewma_smooth"].fn(spark, adv_dir).collect()
+    }
+    assert all(ewma[200 + i] is None for i in range(5))  # null stream
+    assert ewma[100] == 7.7               # single real value = its own EWMA
+
+
+def test_overflow_and_bad_json_yield_null_not_crash(spark, adv_dir):
+    """ANSI-tolerance doctrine: a value too large for DECIMAL(12,2)
+    TRY_CASTs to NULL in q_casts; malformed props JSON parses to a NULL
+    variant (NULL k) instead of aborting the scan."""
+    casts = {
+        int(r.id_str): r.value_dec
+        for r in REGISTRY["q_casts"].fn(spark, adv_dir).collect()
+    }
+    assert casts[300] is None             # 1e12 overflows DECIMAL(12,2)
+    assert casts[0] == 5.0                # in-range values quantize as before
+
+    vj = {
+        r.event_id: (r.k, r.no_such_path)
+        for r in REGISTRY["q_variant_json"].fn(spark, adv_dir).collect()
+    }
+    assert vj[400] == (None, True)        # "not json"
+    assert vj[401] == (None, True)        # empty string
+    assert vj[402] == (None, True)        # NULL props
+    assert vj[0] == (1, True)             # well-formed still extracts
