@@ -22,33 +22,53 @@ from pyspark.sql import functions as F
 # is exact anyway: beyond ~1e16 the double ulp exceeds 1, so round(x, n)
 # IS x in every engine and the decimal canonicalization buys nothing.
 # In-range values (every fixture value) take the decimal path unchanged.
+#
+# COST CAVEAT: the guarded form references `col` in BOTH coalesce
+# branches, and Spark does not common-subexpression-eliminate across
+# conditional branches — the argument is evaluated twice. Free for
+# column refs and plain arithmetic; measurably NOT free when the
+# argument is a window expression (the Window operator computes every
+# extracted expression, duplicates included) or a higher-order-function
+# lambda (a 64-dim dot product costs ~65% more when doubled — measured
+# at sf0.1). Callers with expensive arguments either pre-project the
+# raw value and round the plain column, or — when the value is provably
+# within the decimal's range, e.g. a cosine in [-1, 1] from zero-norm-
+# filtered inputs — pass guard=False for the single-eval plain cast.
 
 
-def round2(col: Column) -> Column:
+def round2(col: Column, *, guard: bool = True) -> Column:
     """2-dp engine-stable rounding of a double expression (Spark side)."""
+    if not guard:
+        return F.round(col.cast("decimal(18,6)"), 2).cast("double")
     return F.coalesce(
         F.round(col.try_cast("decimal(18,6)"), 2).cast("double"),
         F.round(col, 2),
     )
 
 
-def round2_sql(expr: str) -> str:
+def round2_sql(expr: str, *, guard: bool = True) -> str:
     """The DuckDB-side twin of :func:`round2`."""
+    if not guard:
+        return f"CAST(round(CAST(({expr}) AS DECIMAL(18,6)), 2) AS DOUBLE)"
     return (
         f"CAST(COALESCE(round(TRY_CAST(({expr}) AS DECIMAL(18,6)), 2), "
         f"round(({expr}), 2)) AS DOUBLE)"
     )
 
 
-def roundn(col: Column, n: int) -> Column:
+def roundn(col: Column, n: int, *, guard: bool = True) -> Column:
     """n-dp engine-stable rounding (similarity scores etc.)."""
+    if not guard:
+        return F.round(col.cast("decimal(28,12)"), n).cast("double")
     return F.coalesce(
         F.round(col.try_cast("decimal(28,12)"), n).cast("double"),
         F.round(col, n),
     )
 
 
-def roundn_sql(expr: str, n: int) -> str:
+def roundn_sql(expr: str, n: int, *, guard: bool = True) -> str:
+    if not guard:
+        return f"CAST(round(CAST(({expr}) AS DECIMAL(28,12)), {n}) AS DOUBLE)"
     return (
         f"CAST(COALESCE(round(TRY_CAST(({expr}) AS DECIMAL(28,12)), {n}), "
         f"round(({expr}), {n})) AS DOUBLE)"

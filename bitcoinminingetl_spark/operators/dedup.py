@@ -710,7 +710,14 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, on="label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "label", roundn(cos, 6).alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            # guard=False: zero norms filtered upstream so cosine is a
+            # finite [-1,1] — keeps the HOF dot product single-eval
+            roundn(cos, 6, guard=False).alias("cosine"),
+        )
         .filter(F.col("cosine") >= _COSINE_THRESHOLD)
     )
 
@@ -789,7 +796,14 @@ def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a, on="vec_a")
         .join(b, on="vec_b")
-        .select("vec_a", "vec_b", "label", roundn(cos, 6).alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            # guard=False: zero norms filtered upstream so cosine is a
+            # finite [-1,1] — keeps the HOF dot product single-eval
+            roundn(cos, 6, guard=False).alias("cosine"),
+        )
         .filter(F.col("cosine") >= _COSINE_LSH_THRESHOLD)
     )
 

@@ -73,6 +73,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dot(F.col("q_emb"), F.col("embedding"))
                 / (F.col("q_norm") * F.col("norm")),
                 6,
+                # zero-norm-filtered inputs: cosine finite in [-1,1] -> single-eval
+                guard=False,
             ).alias("cosine"),
         )
     )
@@ -138,6 +140,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("q_emb"), F.col("embedding"))
             / (F.col("q_norm") * F.col("norm")),
             6,
+            # zero-norm-filtered inputs: cosine finite in [-1,1] -> single-eval
+            guard=False,
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -222,6 +226,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("q_emb"), F.col("embedding"))
             / (F.col("q_norm") * F.col("norm")),
             6,
+            # zero-norm-filtered inputs: cosine finite in [-1,1] -> single-eval
+            guard=False,
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -416,6 +422,8 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("q_emb"), F.col("embedding"))
             / (F.col("q_norm") * F.col("norm")),
             6,
+            # zero-norm-filtered inputs: cosine finite in [-1,1] -> single-eval
+            guard=False,
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -531,6 +539,8 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dot(F.col("q_emb"), F.col("n_emb"))
                 / (F.col("q_norm") * F.col("n_norm")),
                 6,
+                # zero-norm-filtered inputs: cosine finite in [-1,1] -> single-eval
+                guard=False,
             ).alias("cosine"),
         )
     )

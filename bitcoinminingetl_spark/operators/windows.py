@@ -318,11 +318,19 @@ def ewma_smooth(ev: DataFrame) -> DataFrame:
         F.lit(0).cast("decimal(28,12)"),
         lambda acc, x: (acc + x.cast("decimal(28,12)")).cast("decimal(28,12)"),
     )
+    # The HOF sum materializes as a column before roundn so its overflow
+    # guard (which references its argument twice, see functions/numeric)
+    # duplicates a column read, not the array reduction.
+    ev = ev.select("event_id", "event_type", n.alias("n"), s.alias("s"))
     # n == 0 happens when every value in the frame is NULL (collect_list
     # skips nulls): the weight sum 2*(1-0.5^0) is zero and ANSI mode
     # would raise DIVIDE_BY_ZERO — an all-NULL stream smooths to NULL.
     ewma = roundn(
-        F.when(n > 0, s.cast("double") / (2 * (1 - F.pow(F.lit(0.5), n)))),
+        F.when(
+            F.col("n") > 0,
+            F.col("s").cast("double")
+            / (2 * (1 - F.pow(F.lit(0.5), F.col("n")))),
+        ),
         6,
     )
     return ev.select("event_id", "event_type", ewma.alias("ewma"))
