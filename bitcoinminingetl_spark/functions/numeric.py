@@ -75,17 +75,34 @@ def roundn_sql(expr: str, n: int, *, guard: bool = True) -> str:
     )
 
 
+# DECIMAL(18,4) holds |x| < 1e14; one decade of headroom below that.
+# Past the bound the sum can't be exact, and exactness is dsum's entire
+# contract — so the answer is NULL ("exact sum not representable"), not
+# a crash (ANSI cast) and not a silently-wrong partial sum (per-element
+# try_cast alone would drop the huge elements from the total). NaN and
+# +/-Inf compare greater than the bound in both engines and poison the
+# same way.
+_DSUM_BOUND = 1e13
+
+
 def dsum(col: Column) -> Column:
     """Order-independent SUM of a double column: quantize each element to
     DECIMAL(18,4) (exact for money/quantity-style data), sum exactly in
     decimal, cast back to double. Immune to float addition order, so Spark
     (partial aggs over shuffled partitions) and any oracle agree bit-for-bit.
-    """
-    return F.sum(col.cast("decimal(18,4)")).cast("double")
+    Groups containing any |x| >= 1e13 yield NULL (see _DSUM_BOUND); the
+    inner try_cast keeps the partial aggregates from raising before the
+    poison check applies."""
+    return F.when(
+        F.max(F.abs(col)) >= _DSUM_BOUND, F.lit(None).cast("double")
+    ).otherwise(F.sum(col.try_cast("decimal(18,4)")).cast("double"))
 
 
 def dsum_sql(expr: str) -> str:
-    return f"CAST(sum(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
+    return (
+        f"CASE WHEN max(abs({expr})) >= 1e13 THEN NULL "
+        f"ELSE CAST(sum(TRY_CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE) END"
+    )
 
 
 def davg(col: Column) -> Column:

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
 from bitcoinminingetl_spark.functions.numeric import (
+    _DSUM_BOUND,
     davg,
     davg_sql,
     dsum,
@@ -1234,11 +1235,18 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     cut = F.lit(_INCR_CUT).cast("timestamp")
 
+    # The partials carry max(abs(value)) alongside (count, decimal sum):
+    # max is a monoid too, so the dsum poison bound (exact-sum-or-NULL,
+    # see functions/numeric._DSUM_BOUND) survives the merge — a rollup
+    # table that stores only (sum, count) could never tell that one of
+    # its increments contained an unquantizable magnitude. try_cast in
+    # the partial keeps the aggregation itself from raising on that row.
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_dec"),
+            F.sum(F.col("value").try_cast("decimal(18,4)")).alias("total_dec"),
             F.count("value").alias("n_nonnull"),
+            F.max(F.abs("value")).alias("max_abs"),
         )
 
     base = partial(e.filter(F.col("ts") < cut))
@@ -1250,13 +1258,15 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n"),
             F.sum("total_dec").alias("total_dec"),
             F.sum("n_nonnull").alias("n_nonnull"),
+            F.max("max_abs").alias("max_abs"),
         )
     )
+    total = F.when(
+        F.col("max_abs") >= _DSUM_BOUND, F.lit(None).cast("double")
+    ).otherwise(F.col("total_dec").cast("double"))
     return merged.select(
         "event_type",
         "n",
-        F.col("total_dec").cast("double").alias("total"),
-        roundn(
-            F.col("total_dec").cast("double") / F.col("n_nonnull"), 6
-        ).alias("avg_value"),
+        total.alias("total"),
+        roundn(total / F.col("n_nonnull"), 6).alias("avg_value"),
     )

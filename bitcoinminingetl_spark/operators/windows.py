@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
-from bitcoinminingetl_spark.functions.numeric import roundn, roundn_sql
+from bitcoinminingetl_spark.functions.numeric import (
+    _DSUM_BOUND,
+    roundn,
+    roundn_sql,
+)
 from bitcoinminingetl_spark.registry import query
 
 
@@ -80,9 +84,14 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
            {roundn_sql(
                "avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 6)} AS run_avg3,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+           CASE WHEN max(abs(value)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) >= 1e13
+           THEN NULL
+           ELSE CAST(sum(TRY_CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           END AS run_sum
     FROM events
     """,
 )
@@ -90,17 +99,26 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-frame analytics (R11 spirit): 3-row moving average and a
     running total per user stream. The running sum accumulates in DECIMAL —
     engines may evaluate frames in different orders (segment trees vs
-    naive), decimal addition is order-independent."""
+    naive), decimal addition is order-independent. The dsum poison bound
+    applies per-frame: once a stream has seen a magnitude past the
+    DECIMAL(18,4) quantization range, its running total (and every later
+    one in that stream) is NULL rather than an ANSI crash or a silently
+    short sum — a running max(abs) over the same growing frame carries
+    the bound, still O(n) incremental."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    run_sum = F.when(
+        F.max(F.abs("value")).over(run) >= _DSUM_BOUND,
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.sum(F.col("value").try_cast("decimal(18,4)")).over(run).cast("double")
+    )
     return table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "ts",
         roundn(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("run_avg3"),
-        F.sum(F.col("value").cast("decimal(18,4)"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("double")
-        .alias("run_sum"),
+        run_sum.alias("run_sum"),
     )
 
 

@@ -60,6 +60,9 @@ def adv_dir(spark, tmp_path_factory) -> str:
     ev.append((400, _T0, 5, "badjson", 1.0, "not json"))
     ev.append((401, _T0, 5, "badjson", 2.0, ""))
     ev.append((402, _T0, 5, "badjson", 3.0, None))
+    for i in range(8):  # magnitudes past the dsum quantization bound (1e13)
+        ev.append((600 + i, _T0 + datetime.timedelta(minutes=3 * i), 7, "huge",
+                   -1e15 if i % 2 else 1e15, None))
     for i in range(50):  # one ordinary stream so aggregates have real work
         ev.append((500 + i, _T0 + datetime.timedelta(minutes=7 * i),
                    6 + i % 3, "normal", float(i), f'{{"k": {i}}}'))
@@ -191,3 +194,20 @@ def test_overflow_and_bad_json_yield_null_not_crash(spark, adv_dir):
     assert vj[401] == (None, True)        # empty string
     assert vj[402] == (None, True)        # NULL props
     assert vj[0] == (1, True)             # well-formed still extracts
+
+
+def test_unrepresentable_sums_poison_to_null(spark, adv_dir):
+    """dsum doctrine: a stream whose magnitudes exceed the DECIMAL(18,4)
+    quantization bound yields NULL sums/averages — exactness is dsum's
+    contract, and a silently-truncated partial sum would be worse than
+    no answer. In-range streams keep their exact values; a global
+    control total covering the offending rows goes NULL too."""
+    ohlc = REGISTRY["q_ohlc_bars"].fn(spark, adv_dir).collect()
+    huge = [r for r in ohlc if r.event_type == "huge"]
+    assert huge and all(r.avg_value is None for r in huge)
+    const = [r for r in ohlc if r.event_type == "const"]
+    assert const and all(r.avg_value == 5.0 for r in const)
+
+    prof = REGISTRY["q_dq_profile"].fn(spark, adv_dir).collect()[0]
+    assert prof.sum_value is None         # control total unrepresentable
+    assert prof.n_rows > 0                # ...but the profile itself ran
