@@ -637,14 +637,19 @@ def normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     undefined — and under ANSI mode (Spark 4 default) the norm_a*norm_b
     division doesn't return NULL, it KILLS THE JOB. Real corpora contain
     zero embeddings (failed encoder calls, padded rows), so every
-    cosine-dividing operator loads through this filter. The test
-    fixtures contain no zero vectors, so oracle rows are unchanged;
-    the adversarial-corpus sweep (tests/test_adversarial.py) plants one
-    and asserts the family survives."""
+    cosine-dividing operator loads through this filter. The same goes
+    for NON-FINITE vectors (a NaN or overflowing component — failed
+    encoder output): their norm is NaN/Inf, and because Spark orders NaN
+    GREATER than every value, `norm > 0` alone would wave them through
+    into NaN cosines and ANSI-fatal decimal casts — hence the explicit
+    finiteness bound. The test fixtures contain no corrupt vectors, so
+    oracle rows are unchanged; the adversarial-corpus sweep
+    (tests/test_adversarial.py) plants zero, NaN and 1e200-component
+    vectors and asserts the family excludes them and survives."""
     return (
         table(spark, sf_dir, "embeddings")
         .withColumn("norm", _norm(F.col("embedding")))
-        .filter(F.col("norm") > 0)
+        .filter((F.col("norm") > 0) & (F.col("norm") < F.lit(float("inf"))))
     )
 
 

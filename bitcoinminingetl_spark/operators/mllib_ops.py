@@ -164,7 +164,10 @@ def q_ann_brp_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d² = 2-2cos), so the unit test checks recall against the exact
     q_cosine_topk ranking. Query side is 5 rows -> broadcast; the corpus
     never self-joins."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    # normed load: zero-norm AND non-finite (NaN/Inf-component) vectors
+    # are excluded before any MLlib fit — NaN compares greater than
+    # everything in Spark, so a positivity check alone would admit it
+    emb = normed_embeddings(spark, sf_dir).select(
         "vec_id",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
     )
@@ -297,7 +300,9 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the model invariants instead: unit-norm projections of the
     explained-variance ordering, and pairwise reconstruction distances
     preserved for the planted near-identical pair."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    # normed load: corrupt (zero/NaN/Inf-norm) vectors are excluded from
+    # the decomposition rather than poisoning the covariance accumulator
+    emb = normed_embeddings(spark, sf_dir).select(
         "vec_id", array_to_vector(F.col("embedding")).alias("features")
     )
     from pyspark.ml.feature import PCA
@@ -453,7 +458,10 @@ def q_cluster_keywords(
     |cells|×|vocab-survivors|. Doc/vec ids share the fixture id space
     (vec_id == doc_id), the join every embedding-plus-text operator here
     relies on."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    # normed load: zero-norm AND non-finite (NaN/Inf-component) vectors
+    # are excluded before any MLlib fit — NaN compares greater than
+    # everything in Spark, so a positivity check alone would admit it
+    emb = normed_embeddings(spark, sf_dir).select(
         "vec_id",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
     )

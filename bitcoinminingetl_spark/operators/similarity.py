@@ -300,6 +300,12 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Residuals are bounded by scale/2, so (scale/2)^2 must fit
+# DECIMAL(28,12)'s 16 integer digits: scale < 1e8 keeps every term
+# (2.5e15 max) and the 64-term DECIMAL(38,12) accumulator in range.
+_QUANT_SCALE_MAX = 1e8
+
+
 @query(
     "q_embed_quantize",
     oracle=f"""
@@ -316,11 +322,12 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            {roundn_sql('scale', 8)} AS scale,
            {roundn_sql(
-               "CASE WHEN scale > 0 THEN CAST(list_sum(list_transform(dv, "
+               "CASE WHEN scale > 0 AND scale < 1e8 "
+               "THEN CAST(list_sum(list_transform(dv, "
                "x -> CAST((x - round(x / scale) * scale) "
                "* (x - round(x / scale) * scale) AS DECIMAL(28,12)))) "
                "AS DOUBLE) / len(dv) END", 10)} AS mse,
-           CAST(CASE WHEN scale > 0
+           CAST(CASE WHEN scale > 0 AND scale < 1e8
                 THEN len(list_filter(dv, x -> round(x / scale) != 0))
                 END AS BIGINT) AS nnz
     FROM s
@@ -357,13 +364,18 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS DECIMAL(38,12))) AS DOUBLE)"
     )
     nnz = F.expr("size(filter(dv, x -> round(x / scale) <> 0))")
+    # Quantizability window: scale <= 0 (zero vector) has nothing to
+    # quantize, and scale >= 1e8 means per-element residuals (up to
+    # scale/2) square past DECIMAL(28,12)'s integer digits — and NaN/Inf
+    # scales (corrupt components; NaN orders GREATER than everything in
+    # Spark, so "> 0" alone admits it) fall outside the window too.
+    # Outside it mse/nnz are NULL: exact-or-NULL, never an ANSI crash.
+    ok = (F.col("scale") > 0) & (F.col("scale") < _QUANT_SCALE_MAX)
     return base.select(
         "vec_id",
         roundn(F.col("scale"), 8).alias("scale"),
-        roundn(
-            F.when(F.col("scale") > 0, sqerr / F.size("dv")), 10
-        ).alias("mse"),
-        F.when(F.col("scale") > 0, nnz).cast("long").alias("nnz"),
+        roundn(F.when(ok, sqerr / F.size("dv")), 10).alias("mse"),
+        F.when(ok, nnz).cast("long").alias("nnz"),
     )
 
 

@@ -331,10 +331,15 @@ def ewma_smooth(ev: DataFrame) -> DataFrame:
         "vals",
         lambda x, i: x * F.pow(F.lit(0.5), (F.size("vals") - 1 - i)),
     )
+    # try_cast: a term past DECIMAL(28,12) (|x| >= ~1e16) becomes NULL and
+    # poisons the whole frame sum (acc + NULL stays NULL) — the same
+    # exact-or-NULL doctrine as dsum, per-frame, instead of an ANSI crash.
     s = F.aggregate(
         terms,
         F.lit(0).cast("decimal(28,12)"),
-        lambda acc, x: (acc + x.cast("decimal(28,12)")).cast("decimal(28,12)"),
+        lambda acc, x: (acc + x.try_cast("decimal(28,12)")).try_cast(
+            "decimal(28,12)"
+        ),
     )
     # The HOF sum materializes as a column before roundn so its overflow
     # guard (which references its argument twice, see functions/numeric)

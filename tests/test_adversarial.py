@@ -111,6 +111,13 @@ def adv_dir(spark, tmp_path_factory) -> str:
     embs += [
         (i, [rng.gauss(0, 1) for _ in range(64)], i % 4) for i in range(3, 32)
     ]
+    embs += [
+        # corrupt encoder outputs: NaN component (norm NaN — which Spark
+        # orders GREATER than 0, so a naive positivity filter admits it)
+        # and an Inf component (norm +Inf)
+        (32, [float("nan")] + [1.0] * 63, 0),
+        (33, [float("inf")] + [1.0] * 63, 1),
+    ]
     spark.createDataFrame(
         embs, "vec_id long, embedding array<float>, label int"
     ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
@@ -124,18 +131,30 @@ def test_query_survives_adversarial_corpus(spark, adv_dir, name):
     ).save()
 
 
-def test_zero_norm_vectors_are_excluded_not_fatal(spark, adv_dir):
+def test_corrupt_vectors_are_excluded_not_fatal(spark, adv_dir):
     """The doctrine behind dedup.normed_embeddings: the planted zero
-    vector (vec_id 0) silently leaves the cosine family, it does not
-    surface as a neighbor or kill the job; the planted exact-duplicate
-    pair (1, 2) is still found at cosine 1."""
+    vector (vec_id 0) and the corrupt NaN/Inf-component vectors (32, 33
+    — non-finite norms, which Spark orders GREATER than zero, so they'd
+    pass a bare positivity filter) silently leave the cosine family;
+    none surfaces as a neighbor or kills the job. The planted
+    exact-duplicate pair (1, 2) is still found at cosine 1."""
     rows = REGISTRY["q_dedup_embed_cosine"].fn(spark, adv_dir).collect()
     ids = {r.vec_a for r in rows} | {r.vec_b for r in rows}
-    assert 0 not in ids
+    assert not ids & {0, 32, 33}
     assert any(
         {r.vec_a, r.vec_b} == {1, 2} and abs(r.cosine - 1.0) < 1e-6
         for r in rows
     )
+
+    # quantizability window: non-finite scales read NULL mse/nnz, the
+    # in-range corpus still quantizes
+    quant = {
+        r.vec_id: (r.mse, r.nnz)
+        for r in REGISTRY["q_embed_quantize"].fn(spark, adv_dir).collect()
+    }
+    assert quant[32] == (None, None)
+    assert quant[33] == (None, None)
+    assert quant[3][0] is not None and quant[3][1] > 0
 
 
 def test_null_text_yields_null_counts_not_crash(spark, adv_dir):
