@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from bitcoinminingetl_spark.catalog import table
 from bitcoinminingetl_spark.functions.numeric import dsum, dsum_sql
+from bitcoinminingetl_spark.functions.state import workdir
 from bitcoinminingetl_spark.registry import query
 
 
@@ -70,9 +71,7 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     per day — the sink layout policy from sources/sink.py). Cached per
     process so the query itself only measures the pruned read."""
     if sf_dir not in _PARTITIONED_LAYOUTS:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="bmetl_part_") + "/events_by_day"
+        path = workdir("bmetl_part_") + "/events_by_day"
         (
             table(spark, sf_dir, "events")
             .withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))

@@ -10,13 +10,13 @@ batch DataFrame is what a downstream consumer of avg_info would read."""
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import events_in_range
+from bitcoinminingetl_spark.functions.state import workdir
 from bitcoinminingetl_spark.registry import query
 from bitcoinminingetl_spark.streaming.pipeline import (
     read_event_stream,
@@ -32,7 +32,7 @@ def q_streaming_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained with AvailableNow; see module docstring. Output: one row per
     (window, event_type) with its final average — the streaming twin of
     q_window_join's batch result."""
-    work = tempfile.mkdtemp(prefix="bmetl_stream_")
+    work = workdir("bmetl_stream_")
     landing, out, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
     (
         # one week of events: the lifecycle under test (multi-batch drain,
@@ -81,7 +81,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     final watermark — and therefore WHICH sessions are finalized — is
     the same every run; sessions within the lateness horizon of the last
     event stay open and unemitted by design."""
-    work = tempfile.mkdtemp(prefix="bmetl_sess_")
+    work = workdir("bmetl_sess_")
     landing, out, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
     (
         events_in_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-12 00:00:00")
@@ -117,8 +117,6 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     exact + LSH near-dup stages against the growing index, drain with
     AvailableNow, and return the accepted new docs. Output: the ingest
     gate's accept list — (doc_id, batch_id) per surviving new doc."""
-    import tempfile
-
     from bitcoinminingetl_spark.catalog import table
     from bitcoinminingetl_spark.streaming.incremental_dedup import (
         accepted_docs,
@@ -127,7 +125,7 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         run_incremental_dedup,
     )
 
-    work = tempfile.mkdtemp(prefix="bmetl_incdedup_")
+    work = workdir("bmetl_incdedup_")
     landing, index_dir, out, ckpt = (
         f"{work}/landing",
         f"{work}/index",

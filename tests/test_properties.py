@@ -317,3 +317,47 @@ def test_mix_sample_budget_property(spark, sf_dir):
         assert {r.doc_id for r in prefix} == chosen, src  # exact prefix
         total = sum(r.n_tokens for r in prefix)
         assert total - prefix[-1].n_tokens < _MIX_TOKENS_PER_SOURCE, src
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-9e15, max_value=9e15,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_roundn_guard_modes_agree_in_range(spark, xs):
+    """The overflow-guarded rounder and the single-eval plain-cast form
+    (guard=False — used where callers prove boundedness, e.g. cosines)
+    must be bit-identical wherever the plain form is defined at all:
+    guard only changes behavior PAST the decimal range, never inside it.
+    Ranges: DECIMAL(28,12) holds |x| < 1e16, so any in-range double
+    takes the same decimal path in both forms."""
+    from bitcoinminingetl_spark.functions.numeric import roundn
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    rows = df.select(
+        roundn(F.col("x"), 6).alias("guarded"),
+        roundn(F.col("x"), 6, guard=False).alias("plain"),
+    ).collect()
+    for r in rows:
+        assert r.guarded == r.plain
+
+
+def test_dsum_poison_is_partitioning_invariant(spark):
+    """The exact-or-NULL poison bound must not depend on which partition
+    the offending row lands in: max(abs) is an order-independent monoid,
+    so a poisoned group reads NULL at any split of the input."""
+    from bitcoinminingetl_spark.functions.numeric import dsum
+
+    data = [("a", 1.5), ("a", 1e15), ("a", 2.5), ("b", 3.0), ("b", 4.5)]
+    for parts in (1, 5):
+        df = spark.createDataFrame(data, "k string, v double").repartition(parts)
+        got = {
+            r.k: r.s
+            for r in df.groupBy("k").agg(dsum(F.col("v")).alias("s")).collect()
+        }
+        assert got == {"a": None, "b": 7.5}, parts
