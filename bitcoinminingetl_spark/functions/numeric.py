@@ -3,7 +3,7 @@
 The reference formats averages with f"{avg:.2f}" (load.py:52-53). Rounding
 a raw double to 2 dp is engine-dependent exactly at representation
 boundaries (x.xx4999... vs x.xx5), so Spark's HALF_UP and DuckDB's round
-can disagree by one ulp-driven cent. Routing through DECIMAL(18,6) first
+can disagree by one ulp-driven cent. Routing through DECIMAL(24,6) first
 pins the value to a canonical 6-dp decimal before the 2-dp round — both
 engines then agree. Output is cast back to double so result schemas stay
 decimal-free (stable across engines).
@@ -19,8 +19,13 @@ from pyspark.sql import functions as F
 # integer digits can't be quantized — under ANSI mode the cast RAISES
 # rather than NULLing, so one 1e24-scale variance would kill the job.
 # try_cast + coalesce falls back to a plain double round there, which
-# is exact anyway: beyond ~1e16 the double ulp exceeds 1, so round(x, n)
+# is exact anyway: past ~1e16 the double ulp exceeds 1, so round(x, n)
 # IS x in every engine and the decimal canonicalization buys nothing.
+# That argument requires each decimal to COVER [0, 1e16): DECIMAL(28,12)
+# does (16 integer digits); round2 therefore uses DECIMAL(24,6) (18
+# integer digits), NOT the (18,6) its 6-dp quantization would minimally
+# need — (18,6) tops out at 1e12, leaving a [1e12, 1e16) band where the
+# fallback would re-expose cross-engine double-rounding divergence.
 # In-range values (every fixture value) take the decimal path unchanged.
 #
 # COST CAVEAT: the guarded form references `col` in BOTH coalesce
@@ -39,9 +44,9 @@ from pyspark.sql import functions as F
 def round2(col: Column, *, guard: bool = True) -> Column:
     """2-dp engine-stable rounding of a double expression (Spark side)."""
     if not guard:
-        return F.round(col.cast("decimal(18,6)"), 2).cast("double")
+        return F.round(col.cast("decimal(24,6)"), 2).cast("double")
     return F.coalesce(
-        F.round(col.try_cast("decimal(18,6)"), 2).cast("double"),
+        F.round(col.try_cast("decimal(24,6)"), 2).cast("double"),
         F.round(col, 2),
     )
 
@@ -49,9 +54,9 @@ def round2(col: Column, *, guard: bool = True) -> Column:
 def round2_sql(expr: str, *, guard: bool = True) -> str:
     """The DuckDB-side twin of :func:`round2`."""
     if not guard:
-        return f"CAST(round(CAST(({expr}) AS DECIMAL(18,6)), 2) AS DOUBLE)"
+        return f"CAST(round(CAST(({expr}) AS DECIMAL(24,6)), 2) AS DOUBLE)"
     return (
-        f"CAST(COALESCE(round(TRY_CAST(({expr}) AS DECIMAL(18,6)), 2), "
+        f"CAST(COALESCE(round(TRY_CAST(({expr}) AS DECIMAL(24,6)), 2), "
         f"round(({expr}), 2)) AS DOUBLE)"
     )
 
@@ -100,7 +105,7 @@ def dsum(col: Column) -> Column:
 
 def dsum_sql(expr: str) -> str:
     return (
-        f"CASE WHEN max(abs({expr})) >= 1e13 THEN NULL "
+        f"CASE WHEN max(abs({expr})) >= {_DSUM_BOUND:g} THEN NULL "
         f"ELSE CAST(sum(TRY_CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE) END"
     )
 

