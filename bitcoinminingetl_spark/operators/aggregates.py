@@ -1168,7 +1168,21 @@ def q_leadlag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("lag_h").cast("long").alias("lag_h"))
         .agg(
-            roundn(F.corr("n_view", "n_purchase"), 6).alias("lag_corr"),
+            # moment-composed correlation behind a zero-variance guard
+            # (the q_corr_stats doctrine): a metronome stream — exactly
+            # N events every hour — has constant counts, and F.corr's
+            # internal division would raise DIVIDE_BY_ZERO under ANSI.
+            # NULL is both engines' SQL answer. Counts are never NULL
+            # post-join, so the pairwise-complete subtlety doesn't arise.
+            roundn(
+                F.when(
+                    (F.stddev_samp("n_view") > 0)
+                    & (F.stddev_samp("n_purchase") > 0),
+                    F.covar_samp("n_view", "n_purchase")
+                    / (F.stddev_samp("n_view") * F.stddev_samp("n_purchase")),
+                ),
+                6,
+            ).alias("lag_corr"),
             F.count(F.lit(1)).cast("long").alias("n_hours"),
         )
     )

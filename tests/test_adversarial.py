@@ -69,6 +69,12 @@ def adv_dir(spark, tmp_path_factory) -> str:
     ev.append((700, _T0, 1, "partial", 1.0, None))
     ev.append((701, _T0 + datetime.timedelta(minutes=1), 2, "partial", 2.0, None))
     ev.append((702, _T0 + datetime.timedelta(minutes=2), 100, "partial", None, None))
+    # metronome view/purchase pair: exactly one of each per hour — the
+    # hourly counts have ZERO variance (lead-lag correlation bait; also
+    # the only view/purchase rows, so q_leadlag_corr isn't vacuous here)
+    for h in range(4):
+        ev.append((800 + h, _T0 + datetime.timedelta(hours=h), 9, "view", 1.0, None))
+        ev.append((820 + h, _T0 + datetime.timedelta(hours=h), 9, "purchase", 1.0, None))
     for i in range(50):  # one ordinary stream so aggregates have real work
         ev.append((500 + i, _T0 + datetime.timedelta(minutes=7 * i),
                    6 + i % 3, "normal", float(i), f'{{"k": {i}}}'))
@@ -192,6 +198,14 @@ def test_zero_variance_streams_yield_null_not_crash(spark, adv_dir):
     # pair, so the two complete pairs (1,1),(2,2) correlate perfectly —
     # a per-column stddev would have read ~0.012 instead
     assert corr["partial"] == 1.0
+
+    # metronome streams: constant hourly counts -> zero variance ->
+    # NULL lead-lag correlation (F.corr would have raised under ANSI)
+    lag = {
+        r.lag_h: r.lag_corr
+        for r in REGISTRY["q_leadlag_corr"].fn(spark, adv_dir).collect()
+    }
+    assert lag and lag[0] is None
 
     z = REGISTRY["q_anomaly_zscore"].fn(spark, adv_dir).collect()
     assert all(r.event_type not in ("const", "lonely") for r in z)
