@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
-from bitcoinminingetl_spark.functions.numeric import roundn
+from bitcoinminingetl_spark.functions.numeric import roundn, roundn_sql
 from bitcoinminingetl_spark.functions.state import ckpt
 from bitcoinminingetl_spark.operators.dedup import (
     _JACCARD_THRESHOLD,
@@ -726,7 +726,7 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_quality_calibrate",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
         SELECT doc_id, source,
                len(regexp_extract_all(text, '[a-z0-9]+'))
@@ -734,9 +734,8 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, source,
-           round(percent_rank() OVER (
-               PARTITION BY source ORDER BY score
-           ), 6) AS pct_rank,
+           {roundn_sql('percent_rank() OVER (PARTITION BY source ORDER BY score)', 6)}
+               AS pct_rank,
            percent_rank() OVER (PARTITION BY source ORDER BY score) >= 0.2
                AS keep
     FROM scored
@@ -842,7 +841,9 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # — 4x less shuffle payload; a collision would need two distinct
         # grams sharing 64 bits within one corpus (negligible below 1e9
         # distinct grams, same argument as the shingle index).
-        .select("doc_id", "pos", F.xxhash64("gram").alias("gram_h"))
+        # pos is not read downstream (span stats are plain counts) — drop
+        # it so the gram shuffle carries only (doc_id, 8-byte key)
+        .select("doc_id", F.xxhash64("gram").alias("gram_h"))
     )
     shared = (
         grams.groupBy("gram_h")
@@ -1111,26 +1112,12 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = quality.withColumn(
         "d_ok", F.row_number().over(w_dup) == 1
     )
-    # contamination: train docs sharing any 13-gram with the eval split
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(
-                            F.size(F.split("text", " ")) - (_DECON_N - 1),
-                            F.lit(1),
-                        ),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.split("text", " "), i, _DECON_N)
-                    ),
-                )
-            )
-        ).alias("shingle"),
-    )
+    # contamination: train docs sharing any 13-gram with the eval split —
+    # via the SHARED persisted shingle index (8-byte hashed keys), the
+    # same relation q_decontaminate joins; an inline string-shingle
+    # rebuild would re-run the scan+tokenize+explode and shuffle ~30-byte
+    # strings where the family's doctrine shuffles longs
+    sh = shingle_index(spark, sf_dir, n=_DECON_N)
     ev = sh.filter(F.col("doc_id") % 10 == 0).select("shingle").distinct()
     contaminated = (
         sh.filter(F.col("doc_id") % 10 != 0)

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
-from bitcoinminingetl_spark.functions.state import ckpt
 from bitcoinminingetl_spark.functions.numeric import (
     davg,
     davg_sql,
@@ -350,29 +349,39 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Explicit whitespace class shared by the Spark and oracle patterns: the
+# one place Java regex and RE2 disagree inside ASCII is \s itself (Java
+# includes \x0B, RE2 does not), so both sides spell the class out.
+_WS_CLASS = r" \t\n\x0B\f\r"
+
+
 @query(
     "q_text_normalize",
-    oracle=r"""
+    oracle=f"""
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                '\s+', ' ', 'g')) AS norm_text,
-           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                '\s+', ' ', 'g'))) AS norm_fingerprint
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9{_WS_CLASS}]', '', 'g'),
+                '[{_WS_CLASS}]+', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9{_WS_CLASS}]', '', 'g'),
+                '[{_WS_CLASS}]+', ' ', 'g'))) AS norm_fingerprint
     FROM documents
     """,
 )
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical text normalization — the pass every corpus pipeline runs
+    r"""Canonical text normalization — the pass every corpus pipeline runs
     before exact dedup so trivial variants (case, punctuation, whitespace)
     collapse to one key: lowercase -> strip non-alphanumerics -> collapse
     whitespace -> trim, plus the md5 of the normalized form as the dedup
     key. Pure scalar projection (regexp_replace chains inside whole-stage
-    codegen): zero shuffles at any scale. Patterns stay in the portable
-    regex subset Java and RE2 agree on."""
+    codegen): zero shuffles at any scale. Whitespace is an EXPLICIT class
+    (_WS_CLASS), not \s — Java's \s includes vertical tab \x0B while
+    RE2's (DuckDB's) does not, so \s silently diverges cross-engine on
+    a corpus row containing one."""
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
-            r"\s+",
+            F.regexp_replace(F.lower(F.col("text")), f"[^a-z0-9{_WS_CLASS}]", ""),
+            f"[{_WS_CLASS}]+",
             " ",
         )
     )
@@ -766,6 +775,65 @@ def _bm25_tf_sql(term: str) -> str:
     return f"len(list_filter(string_split(text, ' '), x -> x = '{term}'))"
 
 
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, score) for the fixed _BM25_TERMS query — the ONE
+    implementation of the Okapi BM25 score expression, shared by
+    q_bm25_rank and q_hybrid_rrf. Shared on purpose: the score must
+    match the DuckDB oracles bit-for-bit before rounding, and floating-
+    point association is part of the contract — (idf * num) / denom and
+    idf * (num / denom) can differ by an ulp and flip ranks at a pool
+    boundary, which is exactly the drift two hand-maintained copies
+    developed.
+
+    Plan (the 100 TB story both callers inherit): per-doc term
+    frequencies are map-side array ops on the token split; the corpus
+    statistics reduce to ONE 1-row aggregate broadcast back; scoring is
+    a map-only projection. Nothing shuffles the corpus."""
+    toks = F.split("text", " ")
+
+    def _tf(term: str):
+        # NB: the lambda must be unary — pyspark treats a 2-arg lambda
+        # as the (element, index) filter form.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(tm).alias(f"tf{i}") for i, tm in enumerate(_BM25_TERMS)],
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).cast("long").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
+        )
+        part = idf * (F.col(f"tf{i}") * (_BM25_K1 + 1.0)) / (
+            F.col(f"tf{i}")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+        )
+        score = part if score is None else score + part
+    any_tf = None
+    for i in range(len(_BM25_TERMS)):
+        any_tf = (
+            F.col(f"tf{i}")
+            if any_tf is None
+            else any_tf + F.col(f"tf{i}")
+        )
+    return (
+        t.join(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", "dl", score.alias("score"))
+    )
+
+
 @query(
     "q_bm25_rank",
     oracle=f"""
@@ -814,49 +882,8 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     double from the same exact integers, so scores match bit-for-bit
     before the 6-dp round. At 100 TB: one corpus scan, a 1-row
     broadcast, and a top-k — nothing shuffles the corpus."""
-    toks = F.split("text", " ")
-
-    def _tf(term: str):
-        # NB: the lambda must be unary — pyspark treats a 2-arg lambda
-        # as the (element, index) filter form.
-        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
-
-    tf = [_tf(t) for t in _BM25_TERMS]
-    t = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(toks).cast("long").alias("dl"),
-        *[tf[i].alias(f"tf{i}") for i in range(len(_BM25_TERMS))],
-    )
-    stats = t.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-        *[
-            F.count(F.when(F.col(f"tf{i}") > 0, 1)).cast("long").alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    avgdl = F.col("sum_dl") * 1.0 / F.col("n")
-    score = None
-    for i in range(len(_BM25_TERMS)):
-        idf = F.log(
-            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
-        )
-        part = idf * (F.col(f"tf{i}") * (_BM25_K1 + 1.0)) / (
-            F.col(f"tf{i}")
-            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
-        )
-        score = part if score is None else score + part
-    any_tf = None
-    for i in range(len(_BM25_TERMS)):
-        any_tf = (
-            F.col(f"tf{i}")
-            if any_tf is None
-            else any_tf + F.col(f"tf{i}")
-        )
     return (
-        t.join(F.broadcast(stats))
-        .filter(any_tf > 0)
-        .select("doc_id", "dl", score.alias("score"))
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOP_K)
         .select("doc_id", "dl", roundn(F.col("score"), 6).alias("bm25"))
@@ -1401,44 +1428,9 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/(k+rank) is negligible by construction. The fusion join is two
     tiny relations (broadcast). The semantic side broadcasts the 1-row
     query vector; the corpus never shuffles in either system."""
-    toks = F.split("text", " ")
-
-    def _tf(term: str):
-        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
-
-    t = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(toks).cast("long").alias("dl"),
-        *[_tf(tm).alias(f"tf{i}") for i, tm in enumerate(_BM25_TERMS)],
-    )
-    stats = t.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-        *[
-            F.count(F.when(F.col(f"tf{i}") > 0, 1)).cast("long").alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    avgdl = F.col("sum_dl") * 1.0 / F.col("n")
-    score = None
-    for i in range(len(_BM25_TERMS)):
-        idf = F.log(
-            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
-        )
-        term = idf * (
-            F.col(f"tf{i}")
-            * (_BM25_K1 + 1.0)
-            / (
-                F.col(f"tf{i}")
-                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
-            )
-        )
-        score = term if score is None else score + term
-    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0
     lex_pool = (
-        t.join(F.broadcast(stats))
-        .filter(any_tf)
-        .select("doc_id", score.alias("score"))
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", "score")
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_RRF_POOL)
     )
@@ -1447,18 +1439,16 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
     )
 
-    from bitcoinminingetl_spark.operators.dedup import (
-        _dot,
-        _norm,
-        normed_embeddings,
-    )
+    from bitcoinminingetl_spark.operators.dedup import _dot, normed_embeddings
 
     # normed load: zero-norm corpus vectors can't join the semantic pool
     # (cosine undefined; ANSI division would kill the job)
     emb = normed_embeddings(spark, sf_dir)
+    # reuse the norm column the normed load already attaches — an inline
+    # _norm() would re-run the 64-dim HOF fold per row (numeric.py caveat)
     qv = emb.filter(F.col("vec_id") == _RRF_QVEC_ID).select(
         F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("q_norm"),
+        F.col("norm").alias("q_norm"),
     )
     sem_pool = (
         emb.filter(F.col("vec_id") != _RRF_QVEC_ID)
@@ -1467,7 +1457,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             (
                 _dot(F.col("embedding"), F.col("q_emb"))
-                / (_norm(F.col("embedding")) * F.col("q_norm"))
+                / (F.col("norm") * F.col("q_norm"))
             ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), "doc_id")
@@ -1503,7 +1493,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("lr").alias("lex_rank"),
             F.max("sr").alias("sem_rank"),
-            F.round(F.sum(F.col("c").cast("decimal(28,12)")), 9)
+            # quantize the TOTAL, as the oracle does (sum of <= one
+            # contribution per system; FP addition of two doubles is
+            # commutative, so the double sum is order-independent here)
+            F.round(F.sum("c").cast("decimal(28,12)"), 9)
             .cast("double")
             .alias("rrf"),
         )

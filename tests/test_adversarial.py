@@ -98,6 +98,8 @@ def adv_dir(spark, tmp_path_factory) -> str:
             " mill stream", "en", "s1", 0),
         (10, "", "en", "s1", 0),                 # second eval-split empty
         (11, None, "en", "s1", 0),               # NULL text
+        (12, "foo\x0bbar baz", "en", "s1", 11),  # vertical tab: Java \s
+                                                 # has it, RE2 \s doesn't
     ] + [
         (
             100 + i,
