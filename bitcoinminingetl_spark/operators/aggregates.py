@@ -675,7 +675,10 @@ def q_resample_interpolate(
         if cached is None:
             if len(_RESAMPLE_AGG_CACHE) >= 4:
                 for old in _RESAMPLE_AGG_CACHE.values():
-                    old.unpersist()
+                    try:
+                        old.unpersist()
+                    except Exception:  # noqa: BLE001 — stopped session
+                        pass
                 _RESAMPLE_AGG_CACHE.clear()
             cached = agg.persist()
             _RESAMPLE_AGG_CACHE[key] = cached

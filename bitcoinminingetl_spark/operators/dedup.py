@@ -21,7 +21,6 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
 from bitcoinminingetl_spark.functions.numeric import roundn, roundn_sql
@@ -79,8 +78,17 @@ def _shingled(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
     below ~10⁹ distinct shingles, and a collision only inflates one
     intersection count."""
     shingles = F.array_distinct(ngram_array(F.split("text", " "), n))
-    return docs.select("doc_id", F.explode(shingles).alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("shingle")
+    return (
+        # NULL text contributes NO shingles (the doc has no content to
+        # match on) — matching the oracle, where the NULL gram vanishes
+        # under list_distinct. Without the filter, split(NULL) flows to
+        # ngram_array's short-doc branch as concat_ws('')='', silently
+        # aliasing NULL-text docs with empty-text docs in every
+        # shingle-joining query. Empty text ('') keeps its one ''
+        # shingle on BOTH sides.
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
     )
 
 
@@ -106,7 +114,10 @@ def shingle_index(spark: SparkSession, sf_dir: str, n: int = _NGRAM) -> DataFram
     if df is None:
         if len(_SHINGLE_INDEX_CACHE) >= 4:
             for old in _SHINGLE_INDEX_CACHE.values():
-                old.unpersist()
+                try:
+                    old.unpersist()
+                except Exception:  # noqa: BLE001 — owned by a stopped session
+                    pass
             _SHINGLE_INDEX_CACHE.clear()
         df = _shingled(table(spark, sf_dir, "documents"), n=n).persist()
         _SHINGLE_INDEX_CACHE[key] = df
@@ -234,7 +245,10 @@ def pair_overlaps(
     if df is None:
         if len(_PAIR_OVERLAPS_CACHE) >= 4:
             for old in _PAIR_OVERLAPS_CACHE.values():
-                old.unpersist()
+                try:
+                    old.unpersist()
+                except Exception:  # noqa: BLE001 — owned by a stopped session
+                    pass
             _PAIR_OVERLAPS_CACHE.clear()
         df = _pair_overlaps(shingle_index(spark, sf_dir, n), df_cap).persist()
         _PAIR_OVERLAPS_CACHE[key] = df
@@ -918,8 +932,12 @@ def q_corpus_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # NO broadcast hint: exact_survivors is corpus-cardinality (one row
+    # per distinct text) — forcing it to every executor OOMs at the
+    # 100 TB design point this operator exists for. AQE picks the build
+    # side; at fixture scale it still broadcasts on its own.
     sh = shingle_index(spark, sf_dir).join(
-        F.broadcast(exact_survivors.select("doc_id")), "doc_id", "semi"
+        exact_survivors.select("doc_id"), "doc_id", "semi"
     )
     near_pairs = _verify_candidates(sh, _candidate_pairs(minhash_bands(sh)))
     near_dups = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()

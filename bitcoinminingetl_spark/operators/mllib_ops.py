@@ -268,6 +268,8 @@ def q_ann_ivf_kmeans(
             _dot(F.col("q_emb"), F.col("embedding"))
             / (F.col("q_norm") * F.col("norm")),
             6,
+            # zero-norm-filtered inputs: cosine finite in [-1,1] -> single-eval
+            guard=False,
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -376,12 +378,17 @@ def q_semdedup(
         F.concat_ws(
             ":",
             F.col("cell"),
-            (
-                F.xxhash64("vec_id")
-                % F.greatest(
-                    (F.col("cn") / _SEMDEDUP_CLUSTER_CAP).cast("long") + 1,
+            # pmod, not %: Spark's % keeps the dividend's sign, so a
+            # signed xxhash64 yields remainders in (-k, k) — up to 2k-1
+            # sub-blocks instead of k, doubling the intended recall
+            # loss. ceil((cn)/cap) via (cn-1)/cap+1 also stops splitting
+            # a cell that sits exactly at the cap.
+            F.pmod(
+                F.xxhash64("vec_id"),
+                F.greatest(
+                    ((F.col("cn") - 1) / _SEMDEDUP_CLUSTER_CAP).cast("long") + 1,
                     F.lit(1).cast("long"),
-                )
+                ),
             ),
         ),
     )

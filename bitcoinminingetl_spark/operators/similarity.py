@@ -25,7 +25,6 @@ from bitcoinminingetl_spark.functions.numeric import (
 from bitcoinminingetl_spark.operators.dedup import (
     _DOT_SQL,
     _dot,
-    _norm,
     _norm_sql,
     normed_embeddings,
 )
@@ -195,13 +194,25 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (
         scored_cells.groupBy("vec_id")
         .agg(
-            F.max(F.struct(F.col("sim"), F.col("cell"))).alias("best"),
+            # negated cell id: max(struct) prefers the HIGHEST second
+            # field on sim ties, but the probe ranking below orders
+            # (sim DESC, cell ASC) — without the negation, duplicate
+            # centroids send all vectors to the high cell while queries
+            # probe the low one first, silently zeroing recall there
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cell")).alias("negcell"))
+            ).alias("best"),
             # embedding/norm are functionally dependent on vec_id: every
             # row in the group carries the same value, so first() is safe
             F.first("embedding").alias("embedding"),
             F.first("norm").alias("norm"),
         )
-        .select("vec_id", "embedding", "norm", F.col("best.cell").alias("cell"))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            (-F.col("best.negcell")).cast("int").alias("cell"),
+        )
     )
     wq = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
     probes = (
@@ -296,6 +307,10 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: F.format_string("%.6f", s["c"]),
             ),
             ",",
+            # a poisoned dimension (davg exact-or-NULL) renders as a
+            # positional "null" token — array_join would otherwise DROP
+            # the NULL element and silently shift every later dimension
+            "null",
         ).alias("centroid_csv"),
     )
 
@@ -534,12 +549,12 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = q_side.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("q_norm"),
+        F.col("norm").alias("q_norm"),  # reuse the normed-load column
     )
     nv = n_side.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("n_emb"),
-        _norm(F.col("embedding")).alias("n_norm"),
+        F.col("norm").alias("n_norm"),  # reuse the normed-load column
     )
     scored = (
         cand.join(F.broadcast(qv), cand.query_id == qv.q_id)
