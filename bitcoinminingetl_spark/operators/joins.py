@@ -516,7 +516,6 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SNAP_CUT = 5000  # snapshot A: event_id < 9000; snapshot B: event_id >= 1000
 
 
 @query(

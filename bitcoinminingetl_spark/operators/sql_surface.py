@@ -253,7 +253,8 @@ _SPINE_HI = "2001-08-01 00:00:00"
     )
     SELECT spine.month_start,
            COALESCE(per_month.n_orders, 0) AS n_orders,
-           COALESCE(per_month.revenue, 0.0) AS revenue
+           CASE WHEN per_month.m IS NULL THEN 0.0
+                ELSE per_month.revenue END AS revenue
     FROM spine LEFT JOIN per_month ON per_month.m = spine.month_start
     """,
 )
@@ -291,7 +292,13 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "month_start",
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            # zero-fill ONLY months absent from the fact (join miss):
+            # a month present but NULL-poisoned (dsum exactness bound)
+            # must stay NULL — coalescing it to 0.0 would silently turn
+            # "sum not representable" into a wrong zero
+            F.when(per_month.m.isNull(), F.lit(0.0))
+            .otherwise(F.col("revenue"))
+            .alias("revenue"),
         )
     )
 

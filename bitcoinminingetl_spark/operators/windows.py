@@ -197,7 +197,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     three); ties broken by event_id so ordering is total and the result
     engine-deterministic."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # fractional-second gap: unix_timestamp() FLOORS to whole seconds, so
+    # a true 1800.5 s gap could read 1800 and merge two sessions the
+    # oracle (microsecond-exact epoch()) splits; casting the timestamp to
+    # double keeps the microseconds
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     return (
         table(spark, sf_dir, "events")
         .withColumn(
@@ -235,13 +239,22 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaker — the determinism rule every oracle-checked window here
     follows."""
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return table(spark, sf_dir, "events").select(
+    # window outputs materialize before roundn (single-eval; numeric.py)
+    ev = table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         "value",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        roundn(F.percent_rank().over(w), 6).alias("pct_rank"),
-        roundn(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("raw_pr"),
+        F.cume_dist().over(w).alias("raw_cd"),
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        "quartile",
+        roundn(F.col("raw_pr"), 6).alias("pct_rank"),
+        roundn(F.col("raw_cd"), 6).alias("cume"),
     )
 
 
@@ -279,6 +292,10 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EWMA_L = 16  # truncation: only the last 16 observations contribute
+# Frames containing |value| >= this bound smooth to NULL (exact-or-NULL):
+# terms |v * 0.5^d| <= |v|, so staying a decade under DECIMAL(28,12)'s
+# 1e16 integer range keeps every quantized term exactly representable.
+_EWMA_MAG_BOUND = 1e15
 
 
 @query(
@@ -293,9 +310,11 @@ _EWMA_L = 16  # truncation: only the last 16 observations contribute
     )
     SELECT a.event_id, a.event_type,
            {roundn_sql(
-               "CAST(SUM(CAST(b.value * power(0.5, a.rn - b.rn)"
+               f"CASE WHEN max(abs(b.value)) >= {_EWMA_MAG_BOUND:g} THEN NULL"
+               " ELSE CAST(SUM(TRY_CAST(b.value * power(0.5, a.rn - b.rn)"
                " AS DECIMAL(28,12))) AS DOUBLE)"
-               " / (2 * (1 - power(0.5, COUNT(*))))",
+               " / SUM(CASE WHEN b.value IS NOT NULL"
+               "           THEN power(0.5, a.rn - b.rn) END) END",
                6,
            )} AS ewma
     FROM r a
@@ -327,41 +346,68 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ewma_smooth(ev: DataFrame) -> DataFrame:
     """q_ewma_smooth's core over any (event_id, event_type, ts, value)
     frame — separated so the hypothesis property test can drive the
-    exact production expressions against a Python reference."""
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(_EWMA_L - 1), 0)
+    exact production expressions against a Python reference.
+
+    NULL handling is pandas ``ewm(ignore_na=False)``: weights are by ROW
+    distance, so a NULL observation still spaces out its neighbors'
+    weights, and the denominator sums the weights of the NON-NULL
+    positions only. (Position-among-non-nulls — what a bare
+    collect_list gives, since it drops NULLs — diverges from this and
+    from the row-distance oracle whenever a frame contains a NULL.)
+
+    Plan: 16 lag() columns in ONE keyed window pass (offset frames are
+    O(1)/row) and a flat codegen projection — benched ~3x faster than
+    the collect_list(struct)+HOF-fold formulation, with no arrays
+    materialized. A lag that is NULL means either "row before the
+    stream started" or "NULL observation"; both carry weight zero,
+    exactly the oracle's bounded self-join + non-null filter.
+
+    Exactness: each term quantizes to DECIMAL(28,12) (order-independent
+    sum; the 16-term decimal chain peaks at ~2e15, far inside range
+    when the magnitude gate passes); the denominator is a sum of
+    distinct powers of 0.5 — exact in a double in any order. Frames
+    containing a magnitude >= _EWMA_MAG_BOUND (or NaN/Inf, which order
+    greater) smooth to NULL — the dsum exact-or-NULL doctrine."""
+    wrow = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        *[F.lag("value", k).over(wrow).alias(f"l{k}") for k in range(_EWMA_L)],
     )
-    vals = F.collect_list("value").over(w)
-    ev = ev.select("event_id", "event_type", vals.alias("vals"))
-    n = F.size("vals")
-    terms = F.transform(
-        "vals",
-        lambda x, i: x * F.pow(F.lit(0.5), (F.size("vals") - 1 - i)),
+    zero_dec = F.lit(0).cast("decimal(28,12)")
+    num = None
+    den = None
+    mags = []
+    for k in range(_EWMA_L):
+        c = F.col(f"l{k}")
+        w_k = 0.5 ** k  # exact binary double
+        t = F.when(c.isNotNull(), (c * F.lit(w_k)).try_cast("decimal(28,12)")).otherwise(
+            zero_dec
+        )
+        # re-truncate the accumulator each step: unbounded decimal
+        # addition widens precision until Spark caps at 38 by REDUCING
+        # SCALE (allowPrecisionLoss), silently rounding later terms at
+        # 11 dp; the cast is exact here (sums peak ~2e15, scale kept)
+        num = t if num is None else (num + t).try_cast("decimal(28,12)")
+        d = F.when(c.isNotNull(), F.lit(w_k)).otherwise(F.lit(0.0))
+        den = d if den is None else den + d
+        mags.append(F.abs(c))
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        num.alias("num"),
+        den.alias("den"),
+        # greatest() skips NULLs, so a partially-filled frame still
+        # reports the max magnitude of its present values
+        F.greatest(*mags).alias("fmax"),
     )
-    # try_cast: a term past DECIMAL(28,12) (|x| >= ~1e16) becomes NULL and
-    # poisons the whole frame sum (acc + NULL stays NULL) — the same
-    # exact-or-NULL doctrine as dsum, per-frame, instead of an ANSI crash.
-    s = F.aggregate(
-        terms,
-        F.lit(0).cast("decimal(28,12)"),
-        lambda acc, x: (acc + x.try_cast("decimal(28,12)")).try_cast(
-            "decimal(28,12)"
-        ),
-    )
-    # The HOF sum materializes as a column before roundn so its overflow
-    # guard (which references its argument twice, see functions/numeric)
-    # duplicates a column read, not the array reduction.
-    ev = ev.select("event_id", "event_type", n.alias("n"), s.alias("s"))
-    # n == 0 happens when every value in the frame is NULL (collect_list
-    # skips nulls): the weight sum 2*(1-0.5^0) is zero and ANSI mode
-    # would raise DIVIDE_BY_ZERO — an all-NULL stream smooths to NULL.
+    # den == 0: every value in the frame is NULL (or the frame is only
+    # pre-stream lags) -> NULL, not a DIVIDE_BY_ZERO; fmax >= bound or
+    # NaN/Inf -> NULL, not an ANSI crash.
     ewma = roundn(
         F.when(
-            F.col("n") > 0,
-            F.col("s").cast("double")
-            / (2 * (1 - F.pow(F.lit(0.5), F.col("n")))),
+            (F.col("den") > 0) & (F.col("fmax") < _EWMA_MAG_BOUND),
+            F.col("num").cast("double") / F.col("den"),
         ),
         6,
     )
