@@ -11,8 +11,22 @@ decimal-free (stable across engines).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Measurement-only A/B switch (r5 VERDICT item 1): the r5 bench regressed
+# 17% round-over-round and the prime suspect was the guard doctrine below
+# (double-eval coalesce in round2/roundn, twin max(abs) aggregate in dsum).
+# SPARK_GRAFT_NUMERIC_GUARDS=0 compile-time disables every guard so
+# scripts/bench_ab_guards.py can run the identical bench twice under
+# identical conditions and attribute the delta per query. NOT a production
+# knob: with guards off, one pathological row (1e24 magnitude, NaN) would
+# crash an ANSI-mode job or silently mis-sum. Both the Spark builders and
+# their _sql oracle twins honor the flag, so even a guards-off oracle run
+# stays self-consistent.
+GUARDS = os.environ.get("SPARK_GRAFT_NUMERIC_GUARDS", "1") != "0"
 
 
 # Overflow fallback (both rounders): a magnitude past the decimal's
@@ -43,7 +57,7 @@ from pyspark.sql import functions as F
 
 def round2(col: Column, *, guard: bool = True) -> Column:
     """2-dp engine-stable rounding of a double expression (Spark side)."""
-    if not guard:
+    if not guard or not GUARDS:
         return F.round(col.cast("decimal(24,6)"), 2).cast("double")
     return F.coalesce(
         F.round(col.try_cast("decimal(24,6)"), 2).cast("double"),
@@ -53,7 +67,7 @@ def round2(col: Column, *, guard: bool = True) -> Column:
 
 def round2_sql(expr: str, *, guard: bool = True) -> str:
     """The DuckDB-side twin of :func:`round2`."""
-    if not guard:
+    if not guard or not GUARDS:
         return f"CAST(round(CAST(({expr}) AS DECIMAL(24,6)), 2) AS DOUBLE)"
     return (
         f"CAST(COALESCE(round(TRY_CAST(({expr}) AS DECIMAL(24,6)), 2), "
@@ -63,7 +77,7 @@ def round2_sql(expr: str, *, guard: bool = True) -> str:
 
 def roundn(col: Column, n: int, *, guard: bool = True) -> Column:
     """n-dp engine-stable rounding (similarity scores etc.)."""
-    if not guard:
+    if not guard or not GUARDS:
         return F.round(col.cast("decimal(28,12)"), n).cast("double")
     return F.coalesce(
         F.round(col.try_cast("decimal(28,12)"), n).cast("double"),
@@ -72,7 +86,7 @@ def roundn(col: Column, n: int, *, guard: bool = True) -> Column:
 
 
 def roundn_sql(expr: str, n: int, *, guard: bool = True) -> str:
-    if not guard:
+    if not guard or not GUARDS:
         return f"CAST(round(CAST(({expr}) AS DECIMAL(28,12)), {n}) AS DOUBLE)"
     return (
         f"CAST(COALESCE(round(TRY_CAST(({expr}) AS DECIMAL(28,12)), {n}), "
@@ -90,30 +104,49 @@ def roundn_sql(expr: str, n: int, *, guard: bool = True) -> str:
 _DSUM_BOUND = 1e13
 
 
-def dsum(col: Column) -> Column:
+def dsum(col: Column, *, bounded: bool = False) -> Column:
     """Order-independent SUM of a double column: quantize each element to
     DECIMAL(18,4) (exact for money/quantity-style data), sum exactly in
     decimal, cast back to double. Immune to float addition order, so Spark
     (partial aggs over shuffled partitions) and any oracle agree bit-for-bit.
     Groups containing any |x| >= 1e13 yield NULL (see _DSUM_BOUND); the
     inner try_cast keeps the partial aggregates from raising before the
-    poison check applies."""
+    poison check applies.
+
+    ``bounded=True`` is a STATIC RANGE CONTRACT (r5 VERDICT item 1): the
+    caller proves — from the source schema, not the data — that |x| can
+    never reach _DSUM_BOUND, so the max(abs) poison leg is dropped and the
+    aggregate is a single exact decimal sum. Use it only for columns whose
+    bound is a schema fact (TPC-H DECIMAL money/quantity columns:
+    l_quantity <= 50, *price < 1e10). The twin max(abs) aggregate is not
+    free: through a rollup/cube Expand it re-runs per grouping set and was
+    the dominant term in q_rollup's r5 2.2x regression. try_cast stays as
+    ANSI crash armor; on contract-VIOLATING data (adversarial fixtures)
+    the violating element becomes NULL and is skipped — a documented,
+    weaker semantic than the guarded NULL-poison, acceptable only because
+    the contract says such rows cannot exist in the real schema."""
+    if bounded or not GUARDS:
+        return F.sum(col.try_cast("decimal(18,4)")).cast("double")
     return F.when(
         F.max(F.abs(col)) >= _DSUM_BOUND, F.lit(None).cast("double")
     ).otherwise(F.sum(col.try_cast("decimal(18,4)")).cast("double"))
 
 
-def dsum_sql(expr: str) -> str:
+def dsum_sql(expr: str, *, bounded: bool = False) -> str:
+    if bounded or not GUARDS:
+        return f"CAST(sum(TRY_CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
     return (
         f"CASE WHEN max(abs({expr})) >= {_DSUM_BOUND:g} THEN NULL "
         f"ELSE CAST(sum(TRY_CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE) END"
     )
 
 
-def davg(col: Column) -> Column:
+def davg(col: Column, *, bounded: bool = False) -> Column:
     """Engine-stable AVG: exact decimal sum / count, rounded to 6 dp."""
-    return roundn(dsum(col) / F.count(col), 6)
+    return roundn(dsum(col, bounded=bounded) / F.count(col), 6)
 
 
-def davg_sql(expr: str) -> str:
-    return roundn_sql(f"{dsum_sql(expr)} / count({expr})", 6)
+def davg_sql(expr: str, *, bounded: bool = False) -> str:
+    return roundn_sql(
+        f"{dsum_sql(expr, bounded=bounded)} / count({expr})", 6
+    )

@@ -110,7 +110,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_quantity', bounded=True)} AS sum_qty,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -118,11 +118,21 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregate: (flag, status), (flag), () — grand total in
-    one pass via Expand (each input row contributes to 3 grouping sets)."""
+    one pass via Expand (each input row contributes to 3 grouping sets).
+
+    bounded=True static range contract: l_quantity is DECIMAL(15,2) in
+    [1, 50] by TPC-H schema, 12 orders of magnitude under the dsum poison
+    bound — so the max(abs) guard leg is dropped. Through Expand that leg
+    is not a constant: it re-ran once per grouping set per row and was
+    the dominant term in this query's r5 2.2x regression (GUARDS_AB.json
+    attributes the cost)."""
     return (
         table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .agg(
+            dsum(F.col("l_quantity"), bounded=True).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
 
 
@@ -666,22 +676,28 @@ def q_resample_interpolate(
         .agg(davg(F.col("value")).alias("v"))
     )
     if materialize == "persist":
-        # Persist-once per (session, corpus) with bounded eviction — the
-        # shingle-index cache pattern (dedup.py). A bare .persist() per
-        # invocation leaked one never-unpersisted relation per call into
-        # the block manager (bench reps, scaling sweeps).
+        # Persist-once per (session, corpus) with bounded LRU eviction —
+        # the shingle-index cache pattern (dedup.py). A bare .persist()
+        # per invocation leaked one never-unpersisted relation per call
+        # into the block manager (bench reps, scaling sweeps). ASSUMES
+        # IMMUTABLE INPUTS: the key is (applicationId, sf_dir), so
+        # rewriting the parquet under sf_dir within one Spark application
+        # (workdir-style fixtures) would serve the stale aggregate —
+        # fixture suites that rewrite in place must use a fresh sf_dir
+        # path or materialize="none". Eviction removes only the
+        # least-recently-used entry (dict preserves insertion order;
+        # hits re-insert at the tail), not the whole cache (r5 ADVICE).
         key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-        cached = _RESAMPLE_AGG_CACHE.get(key)
+        cached = _RESAMPLE_AGG_CACHE.pop(key, None)
         if cached is None:
             if len(_RESAMPLE_AGG_CACHE) >= 4:
-                for old in _RESAMPLE_AGG_CACHE.values():
-                    try:
-                        old.unpersist()
-                    except Exception:  # noqa: BLE001 — stopped session
-                        pass
-                _RESAMPLE_AGG_CACHE.clear()
+                oldest_key = next(iter(_RESAMPLE_AGG_CACHE))
+                try:
+                    _RESAMPLE_AGG_CACHE.pop(oldest_key).unpersist()
+                except Exception:  # noqa: BLE001 — stopped session
+                    pass
             cached = agg.persist()
-            _RESAMPLE_AGG_CACHE[key] = cached
+        _RESAMPLE_AGG_CACHE[key] = cached
         agg = cached
     elif materialize == "ckpt":
         agg = ckpt(agg, eager=False)
