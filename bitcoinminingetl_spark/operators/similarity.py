@@ -268,8 +268,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(max(n) AS BIGINT) AS n_vecs,
+           -- COALESCE the rendered token: printf('%.6f', NULL) is NULL and
+           -- array_to_string silently DROPS null elements, which would
+           -- shift every later dimension exactly in the poisoned-dimension
+           -- case; the Spark side emits a positional "null" token instead
+           -- (array_join null replacement) and the oracle must match it.
            array_to_string(
-               list_transform(list(c ORDER BY pos), x -> printf('%.6f', x)), ','
+               list_transform(list(c ORDER BY pos),
+                              x -> COALESCE(printf('%.6f', x), 'null')), ','
            ) AS centroid_csv
     FROM per GROUP BY label
     """,

@@ -334,12 +334,13 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(28,12) and summing exactly (the dsum doctrine,
     functions/numeric.py).
 
-    Plan: one keyed window (parallel per event_type), collect_list over
-    a 16-row frame, then JVM-side higher-order functions (transform +
-    aggregate) — no Python boundary. The 16-element arrays bound both
-    memory and the HOF cost per row. The oracle expresses the same
-    truncated EWMA as a bounded self-join on row_number, which DuckDB
-    can check without window-frame UDAFs."""
+    Plan: 16 lag() columns in ONE keyed window pass (offset frames are
+    O(1)/row, parallel per event_type) and a flat whole-stage-codegen
+    projection folding the weighted terms — no arrays materialized, no
+    Python boundary (see :func:`ewma_smooth` for the formulation and
+    NULL-in-frame semantics). The oracle expresses the same truncated
+    EWMA as a bounded self-join on row_number, which DuckDB can check
+    without window-frame UDAFs."""
     return ewma_smooth(table(spark, sf_dir, "events"))
 
 

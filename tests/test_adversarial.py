@@ -14,7 +14,7 @@ divide-by-zero/IntCastingNaN crashes fixed in round 5. Spark 4 runs ANSI
 mode by default, so a single bad row throws instead of yielding NULL;
 at scale that is a dead 1000-executor job.
 
-The TPC-H warehouse tables come straight from sf0.001 (warehouse data
+The TPC-H warehouse tables come straight from conftest's SF_DIR (warehouse data
 is schema-disciplined by construction; telemetry and scraped corpora
 are not). Streaming lifecycle queries are excluded — their robustness
 is exercised by tests/test_streaming.py with its own landed fixtures.
@@ -28,6 +28,7 @@ import shutil
 import pytest
 
 from bitcoinminingetl_spark.registry import load_all
+from tests.conftest import SF_DIR
 
 REGISTRY = load_all()
 
@@ -42,9 +43,9 @@ def adv_dir(spark, tmp_path_factory) -> str:
     for t in (
         "region nation customer supplier part orders lineitem"
     ).split():
-        shutil.copy(
-            f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet"
-        )
+        # same resolution as every other suite: conftest's SF_DIR honors
+        # the SPARK_GRAFT_TEST_SF_DIR override (r5 ADVICE)
+        shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
 
     ev = []
     # constant-value stream: stddev 0 (z-score / corr divide-by-zero bait)
@@ -75,6 +76,22 @@ def adv_dir(spark, tmp_path_factory) -> str:
     for h in range(4):
         ev.append((800 + h, _T0 + datetime.timedelta(hours=h), 9, "view", 1.0, None))
         ev.append((820 + h, _T0 + datetime.timedelta(hours=h), 9, "purchase", 1.0, None))
+    # r5 regression shapes, pinned permanently (r5 VERDICT item 6):
+    # (a) NULL inside an EWMA frame — [1, 2, NULL, 4] is the exact shape
+    # where the pre-fix collect_list plan re-weighted by position among
+    # the non-null survivors (3.0) while pandas ewm(ignore_na=False) /
+    # the row-distance oracle give 4.625/1.375 = 3.363636
+    for i, v in enumerate([1.0, 2.0, None, 4.0]):
+        ev.append((900 + i, _T0 + datetime.timedelta(minutes=i), 40,
+                   "nullframe", v, None))
+    # (b) sub-second session gaps — a true 1800.5 s gap floored to whole
+    # seconds by unix_timestamp() reads 1800 and merges two sessions the
+    # microsecond-exact oracle splits; 1799.5 s and exactly 1800.0 s
+    # must stay merged (the threshold is strict >)
+    _sub = [0.0, 1800.5, 1800.5 + 1799.5, 1800.5 + 1799.5 + 1800.0]
+    for i, s in enumerate(_sub):
+        ev.append((910 + i, _T0 + datetime.timedelta(seconds=s), 41,
+                   "subsec", 1.0, None))
     for i in range(50):  # one ordinary stream so aggregates have real work
         ev.append((500 + i, _T0 + datetime.timedelta(minutes=7 * i),
                    6 + i % 3, "normal", float(i), f'{{"k": {i}}}'))
@@ -218,6 +235,35 @@ def test_zero_variance_streams_yield_null_not_crash(spark, adv_dir):
     }
     assert all(ewma[200 + i] is None for i in range(5))  # null stream
     assert ewma[100] == 7.7               # single real value = its own EWMA
+
+
+def test_ewma_null_in_frame_and_subsecond_sessions(spark, adv_dir):
+    """Permanent pins for the two r5 late-found divergences (commit
+    0767e08), in the exact row shapes that triggered them — the sweep
+    must now catch any regression of either fix.
+
+    EWMA: frame values [1, 2, NULL, 4] — row-distance weighting
+    (pandas ewm(ignore_na=False)) gives (4 + 2*.25 + 1*.125)/1.375 =
+    3.363636; the pre-fix position-among-non-nulls plan gave 3.0.
+
+    Sessionize: gaps of 1800.5 / 1799.5 / exactly 1800.0 seconds — only
+    the first exceeds the strict >1800 s threshold, and only if the gap
+    keeps its microseconds (unix_timestamp flooring read 1800 and
+    merged)."""
+    ewma = {
+        r.event_id: r.ewma
+        for r in REGISTRY["q_ewma_smooth"].fn(spark, adv_dir).collect()
+        if r.event_type == "nullframe"
+    }
+    assert ewma[903] == 3.363636
+    assert ewma[902] == 1.666667          # NULL observation row still smooths
+
+    sess = sorted(
+        (r.session_idx, r.n_events)
+        for r in REGISTRY["q_sessionize"].fn(spark, adv_dir).collect()
+        if r.user_id == 41
+    )
+    assert sess == [(1, 1), (2, 3)]
 
 
 def test_overflow_and_bad_json_yield_null_not_crash(spark, adv_dir):
