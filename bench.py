@@ -133,6 +133,39 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    # Shared-infra attribution (r5 VERDICT item 3): the dedup family's
+    # persisted shingle index and pair-overlap relations build once per
+    # (session, corpus) and are shared by ~8 consumers — without this
+    # step the ALPHABETICAL family head (q_dedup_clusters in r5) pays
+    # the whole build and its bench number reads as plan cost (4.4 s
+    # reported vs 1.05 s warm). Build and time the shared artifacts
+    # explicitly; they land in BENCH_FULL.json under "shared_infra" and
+    # in the grand total, and every family member's per-query number is
+    # then warm plan cost. At 100 TB these are the corpus-snapshot index
+    # tables a production pipeline writes once and serves to every query.
+    shared_infra: dict[str, float] = {}
+    try:
+        from bitcoinminingetl_spark.operators import dedup as _dedup
+
+        for label, build in (
+            ("shingle_index", lambda: _dedup.shingle_index(spark, sf_dir)),
+            (
+                "pair_overlaps_uncapped",
+                lambda: _dedup.pair_overlaps(spark, sf_dir),
+            ),
+            (
+                "pair_overlaps_df_cap",
+                lambda: _dedup.pair_overlaps(
+                    spark, sf_dir, df_cap=_dedup._DF_CAP
+                ),
+            ),
+        ):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            shared_infra[label] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001 — consumers rebuild lazily
+        print(f"bench: shared-infra prebuild failed: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in names:
         spec = registry[name]
@@ -148,7 +181,11 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total = round(
+        sum(t for t in timings.values() if t >= 0)
+        + sum(shared_infra.values()),
+        3,
+    )
     # Lifecycle population (r4 VERDICT item 3): the q_streaming_* queries
     # time a full streaming LIFECYCLE — land files, start the stream, run
     # micro-batches, restart, drain — so their wall time is trigger/drain/
@@ -157,6 +194,25 @@ def main() -> None:
     # blamed on) streaming jitter. Headline total on stdout is unchanged.
     lifecycle = {
         n: t for n, t in timings.items() if n.startswith("q_streaming_")
+    }
+    # Expected lifecycle bands (r5 VERDICT stretch 7): these queries time
+    # trigger cadence + drain + (for incremental dedup) a restart cycle,
+    # dominated by fixed ProcessingTime waits — so their wall time should
+    # sit inside a BAND, not at a point. A reading outside its band is a
+    # genuine streaming-plan regression (extra micro-batch, lost state
+    # reuse, slow recovery), not jitter. Bands derived from r4/r5 driver
+    # runs +/- observed jitter at sf0.1/local[32].
+    lifecycle_bands = {
+        "q_streaming_window_avg": [1.5, 5.0],
+        "q_streaming_sessionize": [1.5, 5.0],
+        "q_streaming_incremental_dedup": [8.0, 16.0],
+    }
+    out_of_band = {
+        n: t
+        for n, t in lifecycle.items()
+        if n in lifecycle_bands
+        and t >= 0
+        and not (lifecycle_bands[n][0] <= t <= lifecycle_bands[n][1])
     }
     plan_timings = {n: t for n, t in timings.items() if n not in lifecycle}
     # Full per-query timing map goes to a file on disk; the stdout line is
@@ -169,6 +225,12 @@ def main() -> None:
         "unit": "sec",
         "queries": plan_timings,
         "lifecycle_queries": lifecycle,
+        # one-time per-corpus index builds, attributed to the family
+        # rather than whichever query alphabetically runs first
+        "shared_infra": shared_infra,
+        "shared_infra_total": round(sum(shared_infra.values()), 3),
+        "lifecycle_bands": lifecycle_bands,
+        "lifecycle_out_of_band": out_of_band,
         "plan_cost_total": round(
             sum(t for t in plan_timings.values() if t >= 0), 3
         ),

@@ -48,10 +48,21 @@ def duck_connect(sf_dir: str):
     return con
 
 
-def check_one(spark, con, spec, sf_dir: str) -> dict:
+def check_one(spark, con, spec, sf_dir: str, oracle_memo: dict | None = None) -> dict:
     """Run one registered query and its oracle; return a result record:
     status in {match, mismatch, rows_only, spark_error, oracle_error},
-    row counts, and (on mismatch) small spark-only/oracle-only samples."""
+    row counts, and (on mismatch) small spark-only/oracle-only samples.
+
+    ``oracle_memo`` caches DuckDB results keyed on the oracle SQL string:
+    parity twins deliberately share one oracle (q_dedup_clusters and
+    q_dedup_clusters_minlabel both use _CC_ORACLE, a recursive-CTE
+    transitive closure), and re-running the closure per twin doubled the
+    most expensive oracle in every full-registry sweep (r5 VERDICT
+    stretch 8). Memoizing is sound because the views are read-only for
+    the sweep's lifetime; driver-visible semantics are unchanged — both
+    twins still get a full hash verdict. The caller pre-seeds the dict
+    with ``{sql: None}`` for exactly the SHARED oracle strings, so only
+    twins' results are retained (memory stays bounded)."""
     try:
         sdf = spec.fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
@@ -60,9 +71,15 @@ def check_one(spark, con, spec, sf_dir: str) -> dict:
     if spec.oracle is None:
         return {"status": "rows_only", "spark_rows": len(srows)}
     try:
-        res = con.execute(spec.oracle)
-        ocols = [d[0].lower() for d in res.description]
-        orows = res.fetchall()
+        memo_slot = oracle_memo is not None and spec.oracle in oracle_memo
+        if memo_slot and oracle_memo[spec.oracle] is not None:
+            ocols, orows = oracle_memo[spec.oracle]
+        else:
+            res = con.execute(spec.oracle)
+            ocols = [d[0].lower() for d in res.description]
+            orows = res.fetchall()
+            if memo_slot:
+                oracle_memo[spec.oracle] = (ocols, orows)
     except Exception as exc:  # noqa: BLE001
         return {
             "status": "oracle_error",
@@ -88,6 +105,17 @@ def check_one(spark, con, spec, sf_dir: str) -> dict:
     return rec
 
 
+def shared_oracle_memo(registry) -> dict:
+    """Memo dict pre-seeded with the oracle SQL strings used by MORE than
+    one registered query (parity twins) — see check_one's docstring."""
+    from collections import Counter
+
+    counts = Counter(
+        s.oracle for s in registry.values() if s.oracle is not None
+    )
+    return {sql: None for sql, c in counts.items() if c > 1}
+
+
 def run_oracle_check(spark, sf_dir: str, on_result=None) -> dict:
     """Run the full-registry differential check; returns the summary dict
     written to ORACLE_LOCAL.json. ``on_result(name, record)`` is called
@@ -97,8 +125,9 @@ def run_oracle_check(spark, sf_dir: str, on_result=None) -> dict:
     registry = load_all()
     con = duck_connect(sf_dir)
     queries: dict[str, dict] = {}
+    oracle_memo = shared_oracle_memo(registry)
     for name in sorted(registry):
-        rec = check_one(spark, con, registry[name], sf_dir)
+        rec = check_one(spark, con, registry[name], sf_dir, oracle_memo)
         queries[name] = rec
         if on_result is not None:
             on_result(name, rec)

@@ -16,6 +16,14 @@ REGISTRY = load_all()
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
+# Parity twins share one oracle string (e.g. the recursive-CTE transitive
+# closure behind both CC queries); run each SHARED oracle once per session
+# instead of once per twin (r5 VERDICT stretch 8). Same policy as
+# oracle_check.shared_oracle_memo — only duplicated strings are retained.
+from bitcoinminingetl_spark.oracle_check import shared_oracle_memo
+
+_ORACLE_MEMO = shared_oracle_memo(REGISTRY)
+
 
 def _canon_cell(v):
     if v is None:
@@ -49,9 +57,14 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    ores = duck.execute(spec.oracle)
-    o_cols = [d[0].lower() for d in ores.description]
-    o_rows = ores.fetchall()
+    if spec.oracle in _ORACLE_MEMO and _ORACLE_MEMO[spec.oracle] is not None:
+        o_cols, o_rows = _ORACLE_MEMO[spec.oracle]
+    else:
+        ores = duck.execute(spec.oracle)
+        o_cols = [d[0].lower() for d in ores.description]
+        o_rows = ores.fetchall()
+        if spec.oracle in _ORACLE_MEMO:
+            _ORACLE_MEMO[spec.oracle] = (o_cols, o_rows)
 
     assert sorted(s_cols) == sorted(o_cols), f"{name}: column mismatch"
     assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} != {len(o_rows)}"
