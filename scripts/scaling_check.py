@@ -70,6 +70,15 @@ AUDIT = [
     ("q_ann_ivf_kmeans", 1.35, "KMeans per-fit amortized; probe join broadcast"),
     ("q_semdedup", 1.35, "quantizer fit + cluster-cap-bounded within-cell pairs"),
     ("q_cluster_keywords", 1.35, "fit + vocab-cardinality lift joins; corpus tokenized once"),
+    # r5 VERDICT item 5: the guarded-aggregate family — the dsum/roundn
+    # guard doctrine doubles per-group CONSTANTS (twin max(abs) leg,
+    # double-eval coalesce), and through rollup/cube Expand it multiplies
+    # by grouping-set count; this audit proves it never bends EXPONENTS
+    ("q_rollup", 1.35, "Expand x3 grouping sets — constant factor, scan linear"),
+    ("q_cube", 1.35, "Expand x4 grouping sets — constant factor, scan linear"),
+    ("q_grouping_sets", 1.35, "Expand x2 grouping sets via SQL"),
+    ("q_incremental_agg_merge", 1.35, "partition-wise partial aggs merged"),
+    ("q_window_frame", 1.35, "bounded sliding frame, one keyed exchange"),
     # declared super-linear ground-truth twins: audited against their claim
     ("q_knn_join", 2.2, "GUARDED all-pairs exact twin: |A|·|B| ~ n^2"),
     ("q_dedup_ngram_jaccard", 2.2, "exact pair ground truth (df_cap-guarded)"),
