@@ -46,6 +46,27 @@ HEADLINE = (
 )
 
 
+def _tree_stamp() -> dict:
+    """Git commit (+dirty flag) of the tree this artifact describes — so
+    BENCH_FULL.json / ORACLE_LOCAL.json are verifiably stamped at the code
+    they measured (r5 VERDICT item 2: an artifact claiming full-registry
+    correctness must carry the commit it was generated at)."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=_REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=_REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip())
+        return {"tree_commit": head, "tree_dirty": dirty}
+    except Exception:  # noqa: BLE001 — not a git checkout
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
@@ -150,6 +171,10 @@ def main() -> None:
         for label, build in (
             ("shingle_index", lambda: _dedup.shingle_index(spark, sf_dir)),
             (
+                "normed_embeddings",
+                lambda: _dedup.normed_embeddings(spark, sf_dir),
+            ),
+            (
                 "pair_overlaps_uncapped",
                 lambda: _dedup.pair_overlaps(spark, sf_dir),
             ),
@@ -240,6 +265,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
+        **_tree_stamp(),
     }
     (Path(_REPO) / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
 
@@ -258,6 +284,7 @@ def main() -> None:
                 "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
             )
             summary = run_oracle_check(spark, oracle_sf_dir)
+            summary.update(_tree_stamp())
             (Path(_REPO) / "ORACLE_LOCAL.json").write_text(
                 json.dumps(summary, indent=1)
             )

@@ -1,0 +1,53 @@
+"""Session-scoped persist-once cache for shared relations.
+
+Several operator families share one expensive subplan per corpus — the
+dedup family's shingle index, the cosine family's normed embeddings, the
+resample family's bucket aggregate. Each family persists it once per
+(session, corpus) and serves every consumer from executor storage: the
+engine-side analogue of the snapshot/index tables a production pipeline
+materializes once per corpus version and shares across queries at 100 TB.
+
+One doctrine, one implementation (this module), three call sites —
+previously each family hand-rolled the dict + eviction logic and two of
+the three evicted the WHOLE cache (including the most recently used
+entry) when full.
+
+Contract:
+- Keys must include ``spark.sparkContext.applicationId`` so a stopped
+  session's dead relations are never served to a new one.
+- ASSUMES IMMUTABLE INPUTS for the key's lifetime: rewriting the parquet
+  under a cached path within one Spark application serves the stale
+  relation. Fixture suites that rewrite in place must use a fresh path
+  (pytest ``tmp_path`` does) or bypass the cache.
+- Bounded LRU: beyond ``cap`` entries the least-recently-used one is
+  unpersisted and dropped (dict preserves insertion order; hits
+  re-insert at the tail), so fixture churn can't accumulate executor
+  storage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def lru_persisted(
+    cache: dict[str, DataFrame],
+    key: str,
+    build: Callable[[], DataFrame],
+    cap: int = 4,
+) -> DataFrame:
+    """Return the persisted relation for ``key``, building + persisting
+    it on first use and refreshing its LRU position on every hit."""
+    df = cache.pop(key, None)
+    if df is None:
+        if len(cache) >= cap:
+            oldest = next(iter(cache))
+            try:
+                cache.pop(oldest).unpersist()
+            except Exception:  # noqa: BLE001 — owned by a stopped session
+                pass
+        df = build().persist()
+    cache[key] = df
+    return df

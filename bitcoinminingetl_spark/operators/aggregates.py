@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.cache import lru_persisted
 from bitcoinminingetl_spark.functions.numeric import (
     _DSUM_BOUND,
     davg,
@@ -677,28 +678,17 @@ def q_resample_interpolate(
     )
     if materialize == "persist":
         # Persist-once per (session, corpus) with bounded LRU eviction —
-        # the shingle-index cache pattern (dedup.py). A bare .persist()
-        # per invocation leaked one never-unpersisted relation per call
-        # into the block manager (bench reps, scaling sweeps). ASSUMES
-        # IMMUTABLE INPUTS: the key is (applicationId, sf_dir), so
-        # rewriting the parquet under sf_dir within one Spark application
-        # (workdir-style fixtures) would serve the stale aggregate —
-        # fixture suites that rewrite in place must use a fresh sf_dir
-        # path or materialize="none". Eviction removes only the
-        # least-recently-used entry (dict preserves insertion order;
-        # hits re-insert at the tail), not the whole cache (r5 ADVICE).
-        key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-        cached = _RESAMPLE_AGG_CACHE.pop(key, None)
-        if cached is None:
-            if len(_RESAMPLE_AGG_CACHE) >= 4:
-                oldest_key = next(iter(_RESAMPLE_AGG_CACHE))
-                try:
-                    _RESAMPLE_AGG_CACHE.pop(oldest_key).unpersist()
-                except Exception:  # noqa: BLE001 — stopped session
-                    pass
-            cached = agg.persist()
-        _RESAMPLE_AGG_CACHE[key] = cached
-        agg = cached
+        # the shared pattern of functions/cache.py (shingle index, normed
+        # embeddings). A bare .persist() per invocation leaked one
+        # never-unpersisted relation per call into the block manager
+        # (bench reps, scaling sweeps); immutable-input assumption
+        # documented in the helper module.
+        base = agg
+        agg = lru_persisted(
+            _RESAMPLE_AGG_CACHE,
+            f"{spark.sparkContext.applicationId}:{sf_dir}",
+            lambda: base,
+        )
     elif materialize == "ckpt":
         agg = ckpt(agg, eager=False)
     # materialize == "none": recompute — two fact scans, never right at scale

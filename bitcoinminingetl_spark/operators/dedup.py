@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.cache import lru_persisted
 from bitcoinminingetl_spark.functions.numeric import roundn, roundn_sql
 from bitcoinminingetl_spark.registry import query
 
@@ -107,21 +108,14 @@ def shingle_index(spark: SparkSession, sf_dir: str, n: int = _NGRAM) -> DataFram
     (long, long) and the rest reuse them. MEMORY_AND_DISK persist: at
     100 TB this is the index you'd write to a bucketed table instead;
     the 8-byte hashed keys make it compact either way. The cache is
-    bounded (entries evicted+unpersisted beyond 4) so test fixtures
-    don't accumulate executor storage."""
+    bounded LRU (functions/cache.py) so test fixtures don't accumulate
+    executor storage."""
     key = f"{spark.sparkContext.applicationId}:{sf_dir}:{n}"
-    df = _SHINGLE_INDEX_CACHE.get(key)
-    if df is None:
-        if len(_SHINGLE_INDEX_CACHE) >= 4:
-            for old in _SHINGLE_INDEX_CACHE.values():
-                try:
-                    old.unpersist()
-                except Exception:  # noqa: BLE001 — owned by a stopped session
-                    pass
-            _SHINGLE_INDEX_CACHE.clear()
-        df = _shingled(table(spark, sf_dir, "documents"), n=n).persist()
-        _SHINGLE_INDEX_CACHE[key] = df
-    return df
+    return lru_persisted(
+        _SHINGLE_INDEX_CACHE,
+        key,
+        lambda: _shingled(table(spark, sf_dir, "documents"), n=n),
+    )
 
 
 def _jaccard_pairs(shingled: DataFrame, df_cap: int | None = None) -> DataFrame:
@@ -241,18 +235,11 @@ def pair_overlaps(
     Every similarity metric (Jaccard, containment, overlap coefficient)
     is a map-only projection of this relation."""
     key = f"{spark.sparkContext.applicationId}:{sf_dir}:{n}:{df_cap}"
-    df = _PAIR_OVERLAPS_CACHE.get(key)
-    if df is None:
-        if len(_PAIR_OVERLAPS_CACHE) >= 4:
-            for old in _PAIR_OVERLAPS_CACHE.values():
-                try:
-                    old.unpersist()
-                except Exception:  # noqa: BLE001 — owned by a stopped session
-                    pass
-            _PAIR_OVERLAPS_CACHE.clear()
-        df = _pair_overlaps(shingle_index(spark, sf_dir, n), df_cap).persist()
-        _PAIR_OVERLAPS_CACHE[key] = df
-    return df
+    return lru_persisted(
+        _PAIR_OVERLAPS_CACHE,
+        key,
+        lambda: _pair_overlaps(shingle_index(spark, sf_dir, n), df_cap),
+    )
 
 
 # DuckDB-side exact near-dup pairs — the oracle for q_dedup_ngram_jaccard
@@ -642,6 +629,9 @@ def _norm(x: Column) -> Column:
     )
 
 
+_NORMED_EMB_CACHE: dict[str, DataFrame] = {}
+
+
 def normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table with its L2 norm attached, EXCLUDING
     zero-norm vectors — the shared load path of the cosine family
@@ -659,11 +649,23 @@ def normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     finiteness bound. The test fixtures contain no corrupt vectors, so
     oracle rows are unchanged; the adversarial-corpus sweep
     (tests/test_adversarial.py) plants zero, NaN and 1e200-component
-    vectors and asserts the family excludes them and survives."""
-    return (
-        table(spark, sf_dir, "embeddings")
-        .withColumn("norm", _norm(F.col("embedding")))
-        .filter((F.col("norm") > 0) & (F.col("norm") < F.lit(float("inf"))))
+    vectors and asserts the family excludes them and survives.
+
+    Persisted once per (session, corpus) and shared by all ~14 consumer
+    sites (functions/cache.py) — the normalize-once snapshot a production
+    pipeline materializes next to the raw embeddings at 100 TB. Without
+    it every cosine-family query re-paid the scan + 64-dim norm fold."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:normed_emb"
+    return lru_persisted(
+        _NORMED_EMB_CACHE,
+        key,
+        lambda: (
+            table(spark, sf_dir, "embeddings")
+            .withColumn("norm", _norm(F.col("embedding")))
+            .filter(
+                (F.col("norm") > 0) & (F.col("norm") < F.lit(float("inf")))
+            )
+        ),
     )
 
 
