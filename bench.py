@@ -166,27 +166,55 @@ def main() -> None:
     # tables a production pipeline writes once and serves to every query.
     shared_infra: dict[str, float] = {}
     try:
+        from bitcoinminingetl_spark.operators import corpus_ops as _corpus
         from bitcoinminingetl_spark.operators import dedup as _dedup
+        from bitcoinminingetl_spark.operators import scans as _scans
 
-        for label, build in (
-            ("shingle_index", lambda: _dedup.shingle_index(spark, sf_dir)),
+        def _mat(build):  # materialize a persist-backed relation fully
+            return lambda: (
+                build().write.format("noop").mode("overwrite").save()
+            )
+
+        for label, run in (
+            (
+                "shingle_index",
+                _mat(lambda: _dedup.shingle_index(spark, sf_dir)),
+            ),
             (
                 "normed_embeddings",
-                lambda: _dedup.normed_embeddings(spark, sf_dir),
+                _mat(lambda: _dedup.normed_embeddings(spark, sf_dir)),
+            ),
+            # the decontamination family (q_curation_funnel,
+            # q_decontaminate) shares a SECOND index at n=13
+            (
+                "shingle_index_13gram",
+                _mat(
+                    lambda: _dedup.shingle_index(
+                        spark, sf_dir, n=_corpus._DECON_N
+                    )
+                ),
             ),
             (
                 "pair_overlaps_uncapped",
-                lambda: _dedup.pair_overlaps(spark, sf_dir),
+                _mat(lambda: _dedup.pair_overlaps(spark, sf_dir)),
             ),
             (
                 "pair_overlaps_df_cap",
-                lambda: _dedup.pair_overlaps(
-                    spark, sf_dir, df_cap=_dedup._DF_CAP
+                _mat(
+                    lambda: _dedup.pair_overlaps(
+                        spark, sf_dir, df_cap=_dedup._DF_CAP
+                    )
                 ),
+            ),
+            # write-once date-partitioned events layout (the pruning
+            # query's fixture — a production table's layout, not a query)
+            (
+                "partitioned_events_layout",
+                lambda: _scans._partitioned_events(spark, sf_dir),
             ),
         ):
             t0 = time.perf_counter()
-            build().write.format("noop").mode("overwrite").save()
+            run()
             shared_infra[label] = round(time.perf_counter() - t0, 3)
     except Exception as exc:  # noqa: BLE001 — consumers rebuild lazily
         print(f"bench: shared-infra prebuild failed: {exc}", file=sys.stderr)

@@ -185,7 +185,9 @@ def q_ann_brp_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("datasetA.vec_id").alias("query_id"),
             F.col("datasetB.vec_id").alias("neighbor_id"),
-            roundn(F.col("dist"), 6).alias("euclid"),
+            # finite-by-construction: BRP distances over the zero-norm/
+            # non-finite-filtered corpus — single-eval like the cosine family
+            roundn(F.col("dist"), 6, guard=False).alias("euclid"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("euclid"), F.col("neighbor_id"))

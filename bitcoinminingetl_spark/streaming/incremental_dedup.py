@@ -131,11 +131,27 @@ def run_incremental_dedup(
             .drop("rn")
         )
         hash_idx = sess.read.parquet(f"{index_dir}/hashes").select("content_hash")
-        fresh = batch.join(hash_idx, "content_hash", "left_anti").persist()
+        # per-batch persists are released in the finally below: foreachBatch
+        # RETRIES a failed batch, and an unpersist reached only on the happy
+        # path would leak one set of blocks per failed attempt — a slow OOM
+        # in a long-running stream with transient sink errors
+        batch_persists: list = []
 
+        def _p(df):
+            batch_persists.append(df.persist())
+            return df
+
+        try:
+            fresh = _p(batch.join(hash_idx, "content_hash", "left_anti"))
+            _run_batch(sess, fresh, _p, index_dir, out_dir, batch_id)
+        finally:
+            for df in batch_persists:
+                df.unpersist()
+
+    def _run_batch(sess, fresh, _p, index_dir, out_dir, batch_id):
         # near-dup stage: candidates vs the corpus index (asymmetric)
         # plus new-vs-new within the batch; exact verify on candidates
-        sh_new = _shingled(fresh.select("doc_id", "text")).persist()
+        sh_new = _p(_shingled(fresh.select("doc_id", "text")))
         bands_new = minhash_bands(sh_new)
         sig_idx = sess.read.parquet(f"{index_dir}/signatures")
         cross_cand = (
@@ -166,9 +182,7 @@ def run_incremental_dedup(
         dups = _verify_candidates(sh_verify, candidates).select(
             F.col("doc_b").alias("doc_id")
         )
-        survivors = fresh.join(
-            dups.distinct(), "doc_id", "left_anti"
-        ).persist()
+        survivors = _p(fresh.join(dups.distinct(), "doc_id", "left_anti"))
 
         # idempotent per-batch writes: overwrite <dir>/batch_id=N
         survivors.select("doc_id", "ts", "text", "content_hash").write.mode(
@@ -177,8 +191,6 @@ def run_incremental_dedup(
         _write_index_increment(
             survivors.select("doc_id", "text"), index_dir, batch_id
         )
-        for df in (survivors, sh_new, fresh):
-            df.unpersist()
 
     writer = (
         deduped.writeStream.outputMode("update")
