@@ -58,10 +58,20 @@ def _tree_stamp() -> dict:
             ["git", "rev-parse", "--short", "HEAD"],
             cwd=_REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
-        dirty = bool(subprocess.run(
-            ["git", "status", "--porcelain"],
-            cwd=_REPO, capture_output=True, text=True, check=True,
-        ).stdout.strip())
+        # dirty = CODE differs from tree_commit; regenerated round
+        # artifacts (this file's own outputs included) don't count
+        artifacts = {
+            "BENCH_FULL.json", "ORACLE_LOCAL.json", "GUARDS_AB.json",
+            "SCALING.md", "PLANS.md",
+        }
+        dirty = any(
+            line[3:] not in artifacts
+            and not line[3:].startswith(("BENCH_r", "CORRECTNESS_r"))
+            for line in subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=_REPO, capture_output=True, text=True, check=True,
+            ).stdout.splitlines()
+        )
         return {"tree_commit": head, "tree_dirty": dirty}
     except Exception:  # noqa: BLE001 — not a git checkout
         return {}

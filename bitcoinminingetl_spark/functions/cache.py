@@ -23,6 +23,13 @@ Contract:
   unpersisted and dropped (dict preserves insertion order; hits
   re-insert at the tail), so fixture churn can't accumulate executor
   storage.
+- Distinct keys must map to distinct CANONICALIZED plans: Spark's cache
+  manager matches by canonical plan (alias names and exprIds normalized
+  away), so two keys whose relations canonicalize identically would
+  share one storage entry — evicting one would drop the other's blocks,
+  and re-persisting would resurrect them. All current keys differ by
+  source path or plan constants (n-gram length, df_cap), which
+  canonicalize distinctly; tests/test_cache.py pins the mechanics.
 """
 
 from __future__ import annotations
