@@ -863,6 +863,140 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_span_removal",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+        SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+               array_to_string(
+                   ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + {_SPAN_N - 1}],
+                   ' ') AS gram
+        FROM d, unnest(generate_series(1, len(ws) - {_SPAN_N - 1})) AS t(i)
+        WHERE text IS NOT NULL
+    ), shared AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT doc_id) > 1
+    ), covered AS (
+        SELECT DISTINCT g.doc_id, CAST(p AS INTEGER) AS pos
+        FROM grams g JOIN shared USING (gram),
+             unnest(generate_series(g.pos, g.pos + {_SPAN_N - 1})) AS c(p)
+    ), words AS (
+        SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+               ws[CAST(i AS INTEGER)] AS word
+        FROM d, unnest(generate_series(1, len(ws))) AS t(i)
+        WHERE text IS NOT NULL
+    ), rebuilt AS (
+        SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(w.word, ' ' ORDER BY w.pos) AS clean_text
+        FROM words w LEFT JOIN covered c
+          ON c.doc_id = w.doc_id AND c.pos = w.pos
+        WHERE c.doc_id IS NULL
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.text IS NULL THEN 0 ELSE len(d.ws) END
+               AS BIGINT) AS n_words,
+           CAST(CASE WHEN d.text IS NULL THEN 0 ELSE len(d.ws) END
+               - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(r.clean_text, '') END AS clean_text
+    FROM d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL — the corpus rewrite q_dup_span_stats
+    only measures (Lee et al. 2022's ExactSubstr dedup, the variant that
+    keeps documents but cuts the repeated material): every word position
+    covered by any 5-gram that also occurs in ANOTHER document is
+    dropped, and the surviving words are reassembled in order. Output is
+    the full-corpus audit rewrite: (doc_id, n_words, n_removed,
+    clean_text) for EVERY document — NULL text passes through as NULL,
+    fully-duplicated docs come back as empty text, sub-span docs (< 5
+    words) are untouched. Reassembly via split/join on single spaces is
+    lossless for the corpus's space-separated text (empty tokens from
+    consecutive spaces survive both engines identically — verified
+    concat_ws/string_agg parity).
+
+    Scale shape: the same gram relation as q_dup_span_stats (Generate
+    in-scan, one hash aggregate on the 8-byte gram hash, semi-join for
+    the dup flag); coverage expansion is explode(sequence(pos, pos+4)) —
+    a bounded x5 fan-out, strictly LINEAR in gram count, unlike pair
+    generation there is no quadratic term anywhere. The rebuild is one
+    per-doc aggregate: array_sort(collect_list(struct(pos, word)))
+    bounds memory at document length, the same per-group bound every
+    text op already carries. Hot (stop-)grams skew the semi-join key —
+    AQE skew-split owns it, payload is (doc_id, pos) longs."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_words = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    grams = (
+        with_words.filter(F.size("ws") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - _SPAN_N),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("ws"), i + 1, _SPAN_N)
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", F.xxhash64("gram").alias("gram_h"))
+    )
+    shared = (
+        grams.groupBy("gram_h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram_h")
+    )
+    covered = (
+        grams.join(shared, "gram_h", "semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + _SPAN_N - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = with_words.select(
+        "doc_id", F.posexplode("ws").alias("pos", "word")
+    )
+    rebuilt = (
+        words.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    n_words = F.when(
+        F.col("text").isNull(), F.lit(0).cast("long")
+    ).otherwise(F.size(F.split("text", " ")).cast("long"))
+    return docs.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_words - F.coalesce(F.col("n_kept"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("n_removed"),
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
+        .alias("clean_text"),
+    )
+
+
 _BPE_MERGES = 5
 
 

@@ -986,6 +986,51 @@ def test_dup_span_stats_planted_and_hot_gram(spark, tmp_path):
     for i in range(30):
         assert got[100 + i] == (1, 1)
 
+    # span REMOVAL on the same fixture: the rewrite the stats motivate.
+    # doc1/doc2: the shared gram covers word positions 0-4, the 5 tail
+    # words survive; doc3 untouched; hot docs fully covered -> empty.
+    rm = {
+        r.doc_id: (r.n_words, r.n_removed, r.clean_text)
+        for r in REGISTRY["q_dedup_span_removal"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert rm[1] == (10, 5, "zeta eta theta iota kappa")
+    assert rm[2] == (10, 5, "unique2a unique2b unique2c unique2d unique2e")
+    assert rm[3] == (6, 0, "lone3a lone3b lone3c lone3d lone3e lone3f")
+    for i in range(30):
+        assert rm[100 + i] == (5, 5, "")
+
+
+def test_dedup_span_removal_edge_docs(spark, tmp_path):
+    """Full-corpus rewrite contract on the shapes the funnel must not
+    drop or corrupt: NULL text passes through as NULL; sub-span docs
+    (< 5 words) are untouched; an interior shared run removes only its
+    covered window (overlapping grams merge into one span); consecutive
+    spaces (empty tokens) survive reassembly byte-for-byte."""
+    mid = "m1 m2 m3 m4 m5"
+    rows = [
+        (1, f"pre1 pre2 {mid} post1 post2", "en", "s", 0),
+        (2, f"left1 {mid} right1 right2 right3", "en", "s", 0),
+        (3, "short doc", "en", "s", 0),
+        (4, None, "en", "s", 0),
+        (5, "a  b", "en", "s", 0),  # consecutive spaces, 3 tokens
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_words, r.n_removed, r.clean_text)
+        for r in REGISTRY["q_dedup_span_removal"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[1] == (9, 5, "pre1 pre2 post1 post2")
+    assert got[2] == (9, 5, "left1 right1 right2 right3")
+    assert got[3] == (2, 0, "short doc")
+    assert got[4] == (0, 0, None)
+    assert got[5] == (3, 0, "a  b")
+
 
 def test_tokenize_to_ids_reassembly_laws(spark, sf_dir):
     """Structural laws of the tokenization: per doc, len(token_ids) ==
