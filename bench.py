@@ -46,6 +46,12 @@ HEADLINE = (
 )
 
 
+def _numeric_guards_enabled() -> bool:
+    from bitcoinminingetl_spark.functions import numeric
+
+    return numeric.GUARDS
+
+
 def _tree_stamp() -> dict:
     """Git commit (+dirty flag) of the tree this artifact describes — so
     BENCH_FULL.json / ORACLE_LOCAL.json are verifiably stamped at the code
@@ -59,14 +65,14 @@ def _tree_stamp() -> dict:
             cwd=_REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
         # dirty = CODE differs from tree_commit; regenerated round
-        # artifacts (this file's own outputs included) don't count
-        artifacts = {
-            "BENCH_FULL.json", "ORACLE_LOCAL.json", "GUARDS_AB.json",
-            "SCALING.md", "PLANS.md",
-        }
+        # artifacts (this file's own outputs included) don't count.
+        # Name list shared with scripts/snapshot_round.py so the
+        # stamp's exemptions and the snapshot's staging can't drift.
+        from scripts.snapshot_round import ARTIFACT_PREFIXES, ARTIFACTS
+
         dirty = any(
-            line[3:] not in artifacts
-            and not line[3:].startswith(("BENCH_r", "CORRECTNESS_r"))
+            line[3:] not in ARTIFACTS
+            and not line[3:].startswith(ARTIFACT_PREFIXES)
             for line in subprocess.run(
                 ["git", "status", "--porcelain"],
                 cwd=_REPO, capture_output=True, text=True, check=True,
@@ -264,16 +270,24 @@ def main() -> None:
     # sit inside a BAND, not at a point. A reading outside its band is a
     # genuine streaming-plan regression (extra micro-batch, lost state
     # reuse, slow recovery), not jitter. Bands derived from r4/r5 driver
-    # runs +/- observed jitter at sf0.1/local[32].
+    # runs +/- observed jitter at sf0.1/local[32]; the bands only mean
+    # anything under the conditions they were calibrated at, so the
+    # out-of-band check is gated on (sf, cpus) matching — at sf0.01 or on
+    # a different box a reading outside [8, 16] s is a scale/host
+    # mismatch, not a regression, and flagging it would be a false alarm.
     lifecycle_bands = {
         "q_streaming_window_avg": [1.5, 5.0],
         "q_streaming_sessionize": [1.5, 5.0],
         "q_streaming_incremental_dedup": [8.0, 16.0],
     }
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bands_calibration = {"sf": 0.1, "cpus": 32}
+    bands_apply = sf == bands_calibration["sf"] and cpus == bands_calibration["cpus"]
     out_of_band = {
         n: t
         for n, t in lifecycle.items()
-        if n in lifecycle_bands
+        if bands_apply
+        and n in lifecycle_bands
         and t >= 0
         and not (lifecycle_bands[n][0] <= t <= lifecycle_bands[n][1])
     }
@@ -293,6 +307,7 @@ def main() -> None:
         "shared_infra": shared_infra,
         "shared_infra_total": round(sum(shared_infra.values()), 3),
         "lifecycle_bands": lifecycle_bands,
+        "lifecycle_bands_calibration": {**bands_calibration, "applied": bands_apply},
         "lifecycle_out_of_band": out_of_band,
         "plan_cost_total": round(
             sum(t for t in plan_timings.values() if t >= 0), 3
@@ -301,6 +316,14 @@ def main() -> None:
             sum(t for t in lifecycle.values() if t >= 0), 3
         ),
         "sf": sf,
+        "cpus": cpus,
+        # Run-configuration stamp: an A/B arm (bench_ab_guards.py) writes
+        # this same file with guards off / oracle skipped, and nothing in
+        # the timings reveals that — so the artifact itself must say which
+        # configuration it measured. snapshot_round.py --skip-bench
+        # refuses to commit a non-canonical stamp.
+        "numeric_guards": _numeric_guards_enabled(),
+        "oracle_skipped": os.environ.get("SPARK_GRAFT_SKIP_ORACLE") == "1",
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
         **_tree_stamp(),

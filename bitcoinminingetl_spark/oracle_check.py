@@ -48,6 +48,23 @@ def duck_connect(sf_dir: str):
     return con
 
 
+def fetch_oracle(con, sql: str, memo: dict | None = None):
+    """Execute an oracle SQL on DuckDB (or serve it from the parity-twin
+    memo) and return ``(lowercased column names, rows)``. Memo policy per
+    check_one's docstring: only SQL strings pre-seeded by
+    shared_oracle_memo are retained, so memory stays bounded. The one
+    fetch/lowercase/store sequence shared by check_one and
+    tests/test_oracle.py — the memo contract must not fork between them."""
+    if memo is not None and memo.get(sql) is not None:
+        return memo[sql]
+    res = con.execute(sql)
+    cols = [d[0].lower() for d in res.description]
+    rows = res.fetchall()
+    if memo is not None and sql in memo:
+        memo[sql] = (cols, rows)
+    return cols, rows
+
+
 def check_one(spark, con, spec, sf_dir: str, oracle_memo: dict | None = None) -> dict:
     """Run one registered query and its oracle; return a result record:
     status in {match, mismatch, rows_only, spark_error, oracle_error},
@@ -71,15 +88,7 @@ def check_one(spark, con, spec, sf_dir: str, oracle_memo: dict | None = None) ->
     if spec.oracle is None:
         return {"status": "rows_only", "spark_rows": len(srows)}
     try:
-        memo_slot = oracle_memo is not None and spec.oracle in oracle_memo
-        if memo_slot and oracle_memo[spec.oracle] is not None:
-            ocols, orows = oracle_memo[spec.oracle]
-        else:
-            res = con.execute(spec.oracle)
-            ocols = [d[0].lower() for d in res.description]
-            orows = res.fetchall()
-            if memo_slot:
-                oracle_memo[spec.oracle] = (ocols, orows)
+        ocols, orows = fetch_oracle(con, spec.oracle, oracle_memo)
     except Exception as exc:  # noqa: BLE001
         return {
             "status": "oracle_error",

@@ -57,16 +57,29 @@ SCRATCH = REPO / "scratch_ab"
 
 
 def combine(arms: dict[str, list[dict]]) -> None:
+    # Plan-cost queries only: the q_streaming_* lifecycle queries time
+    # fixed ProcessingTime triggers + drain + restart (accepted band for
+    # incremental dedup is 8-16 s), so one extra micro-batch in one arm
+    # would inject seconds of pure scheduling noise into a ~1-2 s guard
+    # signal. Guards are compile-time column expressions; trigger cadence
+    # cannot depend on them. This also keeps plan_cost_total_on/off on
+    # the same definition as bench.py's plan_cost_total.
     def per_query_min(runs: list[dict]) -> dict[str, float]:
         out: dict[str, float] = {}
         for r in runs:
-            for section in ("queries", "lifecycle_queries"):
-                for name, t in r.get(section, {}).items():
-                    if t < 0:
-                        continue
-                    out[name] = min(out.get(name, float("inf")), t)
+            for name, t in r.get("queries", {}).items():
+                if t < 0:
+                    continue
+                out[name] = min(out.get(name, float("inf")), t)
         return out
 
+    for label in ("on", "off"):
+        if not arms.get(label):
+            raise SystemExit(
+                f"no completed '{label}' runs found — expected scratch_ab/"
+                f"bench_{label}_<rep>.json (run `bench_ab_guards.py run "
+                f"{label} <rep>` first)"
+            )
     on_t = per_query_min(arms["on"])
     off_t = per_query_min(arms["off"])
     queries = {}
@@ -122,9 +135,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "combine":
         arms: dict[str, list[dict]] = {"on": [], "off": []}
-        for p in sorted(SCRATCH.glob("bench_*.json")):
-            label = p.stem.split("_")[1]
-            arms[label].append(json.loads(p.read_text()))
+        for label in arms:
+            for p in sorted(SCRATCH.glob(f"bench_{label}_*.json")):
+                arms[label].append(json.loads(p.read_text()))
         combine(arms)
         return
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2

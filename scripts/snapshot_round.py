@@ -21,17 +21,24 @@ code first — the artifact commit must describe exactly one tree).
 
 Usage: python scripts/snapshot_round.py [--skip-bench]
   --skip-bench: only stage+commit existing artifacts (when the bench
-  was already run at this exact tree, e.g. straight after an A/B).
+  was already run at this exact tree). Refuses if BENCH_FULL.json's own
+  stamp shows it is NOT a canonical full run — guards disabled, oracle
+  mirror skipped (both true for every scripts/bench_ab_guards.py rep),
+  dirty tree, or code commits made since it was generated.
 """
 
 from __future__ import annotations
 
+import json
 import subprocess
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
+# The single source of truth for "what counts as a round artifact" —
+# bench.py imports these for its tree_dirty stamp, so the two lists
+# cannot drift (a name added here is automatically exempt there).
 ARTIFACTS = (
     "BENCH_FULL.json",
     "ORACLE_LOCAL.json",
@@ -39,13 +46,51 @@ ARTIFACTS = (
     "SCALING.md",
     "PLANS.md",
 )
-ARTIFACT_GLOBS = ("BENCH_r*.json", "CORRECTNESS_r*.json")
+ARTIFACT_PREFIXES = ("BENCH_r", "CORRECTNESS_r")
+ARTIFACT_GLOBS = tuple(p + "*.json" for p in ARTIFACT_PREFIXES)
 
 
 def _git(*args: str) -> str:
     return subprocess.run(
         ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
     ).stdout
+
+
+def _skip_bench_objection(artifact_names: set[str]) -> str | None:
+    """Reason BENCH_FULL.json is unfit to commit as the canonical round
+    artifact, or None if it is fit. Catches the A/B trap: every
+    bench_ab_guards.py rep overwrites BENCH_FULL.json with
+    SPARK_GRAFT_SKIP_ORACLE=1 (and half the reps with guards off), so
+    "straight after an A/B" is exactly when --skip-bench must refuse."""
+    path = REPO / "BENCH_FULL.json"
+    if not path.exists():
+        return "BENCH_FULL.json missing"
+    try:
+        stamp = json.loads(path.read_text())
+    except ValueError:
+        return "BENCH_FULL.json unparseable"
+    if stamp.get("numeric_guards") is False:
+        return "stamped with numeric guards DISABLED (an A/B arm, not a canonical run)"
+    if stamp.get("oracle_skipped"):
+        return "stamped with the oracle mirror skipped, so ORACLE_LOCAL.json is stale"
+    if stamp.get("tree_dirty"):
+        return "stamped at a dirty tree"
+    commit = stamp.get("tree_commit")
+    if not commit:
+        return "carries no tree_commit stamp"
+    try:
+        changed = _git("diff", "--name-only", f"{commit}..HEAD").splitlines()
+    except subprocess.CalledProcessError:
+        return f"tree_commit {commit} not in this repo's history"
+    code_changed = [
+        f for f in changed
+        if Path(f).name not in artifact_names
+        and not Path(f).name.startswith(ARTIFACT_PREFIXES)
+    ]
+    if code_changed:
+        return (f"code changed since it was generated at {commit}: "
+                + ", ".join(code_changed[:5]))
+    return None
 
 
 def main() -> int:
@@ -64,6 +109,12 @@ def main() -> int:
         print("refusing: non-artifact changes uncommitted:", *dirty, sep="\n  ")
         return 1
 
+    if skip_bench:
+        err = _skip_bench_objection(artifact_names)
+        if err:
+            print(f"refusing --skip-bench: {err}\n"
+                  "run without --skip-bench to regenerate canonical artifacts")
+            return 1
     if not skip_bench:
         print("running full bench + oracle mirror (several minutes)...")
         proc = subprocess.run(

@@ -20,7 +20,7 @@ ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 # closure behind both CC queries); run each SHARED oracle once per session
 # instead of once per twin (r5 VERDICT stretch 8). Same policy as
 # oracle_check.shared_oracle_memo — only duplicated strings are retained.
-from bitcoinminingetl_spark.oracle_check import shared_oracle_memo
+from bitcoinminingetl_spark.oracle_check import fetch_oracle, shared_oracle_memo
 
 _ORACLE_MEMO = shared_oracle_memo(REGISTRY)
 
@@ -57,14 +57,7 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    if spec.oracle in _ORACLE_MEMO and _ORACLE_MEMO[spec.oracle] is not None:
-        o_cols, o_rows = _ORACLE_MEMO[spec.oracle]
-    else:
-        ores = duck.execute(spec.oracle)
-        o_cols = [d[0].lower() for d in ores.description]
-        o_rows = ores.fetchall()
-        if spec.oracle in _ORACLE_MEMO:
-            _ORACLE_MEMO[spec.oracle] = (o_cols, o_rows)
+    o_cols, o_rows = fetch_oracle(duck, spec.oracle, _ORACLE_MEMO)
 
     assert sorted(s_cols) == sorted(o_cols), f"{name}: column mismatch"
     assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} != {len(o_rows)}"

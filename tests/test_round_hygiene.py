@@ -1,0 +1,140 @@
+"""Guards on the round-artifact machinery itself (bench stamp, snapshot
+gate, guards-A/B attribution) — the processes the r5 verdict flagged as
+repeat offenders. These are plain-unit tests: no Spark session.
+
+The trap being pinned: every scripts/bench_ab_guards.py rep overwrites
+BENCH_FULL.json under SPARK_GRAFT_SKIP_ORACLE=1 (half of them with
+numeric guards disabled), and the timings alone cannot reveal that. So
+bench.py must stamp the run configuration into the artifact, and
+snapshot_round --skip-bench must refuse any non-canonical stamp.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from scripts.bench_ab_guards import combine  # noqa: E402
+from scripts.snapshot_round import ARTIFACT_PREFIXES, ARTIFACTS  # noqa: E402
+
+
+def _stamp(**over):
+    base = {
+        "numeric_guards": True,
+        "oracle_skipped": False,
+        "tree_dirty": False,
+        "tree_commit": "HEAD",
+    }
+    base.update(over)
+    return base
+
+
+def _objection(tmp_path, monkeypatch, stamp) -> str | None:
+    import scripts.snapshot_round as sr
+
+    monkeypatch.setattr(sr, "REPO", tmp_path)
+    # resolve the literal "HEAD" stamp to the real repo's head so the
+    # diff-since-generation check sees zero code changes
+    monkeypatch.setattr(sr, "_git", lambda *a: "")
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(stamp))
+    return sr._skip_bench_objection(set(ARTIFACTS))
+
+
+def test_skip_bench_accepts_canonical_stamp(tmp_path, monkeypatch):
+    assert _objection(tmp_path, monkeypatch, _stamp()) is None
+
+
+def test_skip_bench_refuses_non_canonical_stamps(tmp_path, monkeypatch):
+    for over, needle in [
+        ({"numeric_guards": False}, "guards DISABLED"),
+        ({"oracle_skipped": True}, "oracle mirror skipped"),
+        ({"tree_dirty": True}, "dirty tree"),
+        ({"tree_commit": None}, "no tree_commit"),
+    ]:
+        obj = _objection(tmp_path, monkeypatch, _stamp(**over))
+        assert obj is not None and needle in obj, (over, obj)
+
+
+def test_skip_bench_refuses_missing_or_bad_artifact(tmp_path, monkeypatch):
+    import scripts.snapshot_round as sr
+
+    monkeypatch.setattr(sr, "REPO", tmp_path)
+    assert "missing" in sr._skip_bench_objection(set(ARTIFACTS))
+    (tmp_path / "BENCH_FULL.json").write_text("{not json")
+    assert "unparseable" in sr._skip_bench_objection(set(ARTIFACTS))
+
+
+def test_skip_bench_refuses_when_code_changed_since_stamp(tmp_path, monkeypatch):
+    import scripts.snapshot_round as sr
+
+    monkeypatch.setattr(sr, "REPO", tmp_path)
+    monkeypatch.setattr(
+        sr, "_git", lambda *a: "bitcoinminingetl_spark/operators/joins.py\nBENCH_r06.json\n"
+    )
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(_stamp(tree_commit="abc1234")))
+    obj = sr._skip_bench_objection(set(ARTIFACTS))
+    assert obj is not None and "joins.py" in obj
+    # artifact-only history since the stamp is fine (that's the normal
+    # flow: bench runs, snapshot commits the artifacts, stamp now lags
+    # HEAD by exactly that artifact commit)
+    monkeypatch.setattr(sr, "_git", lambda *a: "BENCH_r06.json\nORACLE_LOCAL.json\n")
+    assert sr._skip_bench_objection(set(ARTIFACTS)) is None
+
+
+def test_bench_stamps_run_configuration():
+    """BENCH_FULL.json must carry the knobs that alter what it measured."""
+    full = json.loads((REPO / "BENCH_FULL.json").read_text())
+    # the canonical committed artifact must be a guards-on, oracle-on run
+    # (older artifacts predate the stamp; once regenerated these are hard)
+    if "numeric_guards" in full:
+        assert full["numeric_guards"] is True
+        assert full["oracle_skipped"] is False
+    assert "lifecycle_bands_calibration" in full or "numeric_guards" not in full
+
+
+def test_artifact_name_set_is_shared():
+    """bench.py's tree_dirty exemptions come from snapshot_round's
+    constants — a drift would resurrect the false-dirty stamp."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench._tree_stamp)
+    assert "from scripts.snapshot_round import" in src
+    assert "BENCH_FULL.json" in ARTIFACTS
+    assert ARTIFACT_PREFIXES == ("BENCH_r", "CORRECTNESS_r")
+
+
+def test_ab_combine_excludes_lifecycle_and_validates_arms(tmp_path, monkeypatch):
+    import scripts.bench_ab_guards as ab
+
+    monkeypatch.setattr(ab, "REPO", tmp_path)
+    run_on = {
+        "sf": 0.1,
+        "plan_cost_total": 3.0,
+        "queries": {"q_a": 2.0, "q_b": 1.0},
+        "lifecycle_queries": {"q_streaming_x": 12.0},
+    }
+    run_off = {
+        "sf": 0.1,
+        "plan_cost_total": 2.5,
+        "queries": {"q_a": 1.6, "q_b": 0.9},
+        "lifecycle_queries": {"q_streaming_x": 9.0},  # 3 s of trigger jitter
+    }
+    combine({"on": [run_on], "off": [run_off]})
+    out = json.loads((tmp_path / "GUARDS_AB.json").read_text())
+    # jitter-dominated lifecycle delta (3 s) must NOT pollute the ~0.5 s
+    # guard attribution
+    assert "q_streaming_x" not in out["queries"]
+    assert abs(out["guard_cost_total_s"] - 0.5) < 1e-9
+    assert out["plan_cost_total_on"] == 3.0 and out["plan_cost_total_off"] == 2.5
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="no completed 'off' runs"):
+        combine({"on": [run_on], "off": []})
