@@ -222,6 +222,13 @@ def main() -> None:
                     )
                 ),
             ),
+            # symmetric near-dup edge relation + node count for the
+            # PageRank family (builds on pair_overlaps, so its cost here
+            # is the incremental edge/degree materialization only)
+            (
+                "pagerank_graph",
+                lambda: _corpus.pagerank_graph(spark, sf_dir),
+            ),
             # write-once date-partitioned events layout (the pruning
             # query's fixture — a production table's layout, not a query)
             (

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
+from bitcoinminingetl_spark.functions.cache import lru_persisted
 from bitcoinminingetl_spark.functions.numeric import roundn, roundn_sql
 from bitcoinminingetl_spark.functions.state import ckpt
 from bitcoinminingetl_spark.operators.dedup import (
@@ -301,6 +302,180 @@ def q_dedup_clusters_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_clusters_fast through round 4 — the roles swapped in round 5
     when pointer jumping (4x cheaper at sf0.1) became the primary."""
     return _cc_labels(spark, sf_dir, pointer_jump=False)
+
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85  # both constants are exact decimal-literal doubles:
+_PR_TELEPORT = 0.15  # NEVER write 1 - 0.85 (== 0.15000000000000002)
+
+
+def _pr_step_sql(prev: str) -> str:
+    """One unrolled PageRank iteration (DuckDB side). The exact-sum
+    doctrine at rank precision: each contribution rank/deg quantizes to
+    DECIMAL(28,12) before the per-node sum (same order-independence
+    argument as ewma_smooth's term chain, windows.py), and every double
+    arithmetic step is mirrored operator-for-operator on the Spark side
+    — literals CAST to DOUBLE because a bare 0.15 is DECIMAL(3,2) to
+    DuckDB and decimal division diverges from Spark's double division."""
+    new_rank = roundn_sql(
+        f"CAST({_PR_TELEPORT} AS DOUBLE) / n.n"
+        f" + CAST({_PR_DAMP} AS DOUBLE) * CAST(s AS DOUBLE)",
+        12,
+    )
+    return f"""
+        SELECT doc_id, {new_rank} AS rank
+        FROM (SELECT e.dst AS doc_id,
+                     sum(TRY_CAST(r.rank / e.deg AS DECIMAL(28,12))) AS s
+              FROM e JOIN {prev} r ON r.doc_id = e.src
+              GROUP BY e.dst), n
+    """
+
+
+_PAGERANK_ORACLE = f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({NGRAM_PAIRS_ORACLE})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    e AS (SELECT ed.src, ed.dst, d.deg FROM edges ed JOIN deg d USING (src)),
+    pr0 AS (
+        SELECT src AS doc_id, {roundn_sql('CAST(1.0 AS DOUBLE) / n.n', 12)}
+            AS rank
+        FROM deg, n
+    ),
+    pr1 AS ({_pr_step_sql('pr0')}),
+    pr2 AS ({_pr_step_sql('pr1')}),
+    pr3 AS ({_pr_step_sql('pr2')}),
+    pr4 AS ({_pr_step_sql('pr3')}),
+    pr5 AS ({_pr_step_sql('pr4')})
+    SELECT doc_id, rank FROM pr{_PR_ITERS}
+    """
+
+
+_PR_GRAPH_CACHE: dict[str, DataFrame] = {}
+_PR_NODES_CACHE: dict[str, int] = {}
+
+
+def pagerank_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """Persist-once near-dup graph for a corpus: the symmetric edge
+    relation (src, dst, deg) with out-degree attached, plus the node
+    count — third member of the dedup-family artifact stack
+    (shingle_index → pair_overlaps → this). Without it each of the 5
+    PageRank iterations would re-derive edges+degree from the overlap
+    relation AND re-run the 1-row node-count subquery per broadcast
+    (6 extra jobs — measured 11.6 s vs ~2 s warm at sf0.1). The node
+    count crosses to the driver once as a plain int (a 1-row pull, the
+    same sanctioned scalar-stat class as sources/layout.py's row count);
+    its side cache is pruned to the LRU's surviving keys so eviction
+    keeps both in lockstep."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+
+    def build() -> DataFrame:
+        pairs = (
+            _jaccard_from_overlaps(pair_overlaps(spark, sf_dir))
+            .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b")
+        )
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        return edges.join(deg, "src")
+
+    ewd = lru_persisted(_PR_GRAPH_CACHE, key, build)
+    if key not in _PR_NODES_CACHE:
+        _PR_NODES_CACHE[key] = ewd.select("src").distinct().count()
+        for k in list(_PR_NODES_CACHE):
+            if k not in _PR_GRAPH_CACHE:
+                del _PR_NODES_CACHE[k]
+    return ewd, _PR_NODES_CACHE[key]
+
+
+@query("q_dedup_pagerank", oracle=_PAGERANK_ORACLE)
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-HUB centrality: PageRank over the exact-Jaccard near-dup
+    graph (the same edges as q_dedup_clusters). Where components answer
+    "which docs merge", rank answers "which doc is the TEMPLATE" — in a
+    web corpus, boilerplate hubs (a TOS page near-duplicated by thousands
+    of thin variants) collect rank from their whole neighborhood, so
+    rank-ordering a cluster surfaces the canonical representative to keep
+    (or the template to strip) without any per-cluster heuristic. Only
+    docs with at least one near-dup edge are ranked — an isolated doc has
+    no duplication signal and is omitted by construction (undirected
+    edges also mean out-degree >= 1, so there are no dangling nodes and
+    no rank leak). Fixed {_PR_ITERS} damped iterations (d={_PR_DAMP}),
+    init 1/N.
+
+    Unlike q_dedup_clusters' data-dependent while-loop (pointer jumping
+    to a fixpoint, checkpointed), the iteration count here is STATIC — 5
+    unrolled DataFrame joins, lineage bounded at build time, no
+    checkpoint needed, and the oracle is plain unrolled CTEs instead of a
+    recursive one. Each iteration is one shuffle pair (join ranks on src,
+    aggregate messages on dst) over the persisted pair_overlaps relation
+    (persist-once via pagerank_graph, the family artifact stack). Hot
+    hubs skew the dst aggregate exactly like hot grams skew the shingle
+    join; the message payload is one decimal, and AQE skew-split owns
+    the rest. N crosses to the driver once as a plain int (see
+    pagerank_graph) and enters the plan as a folded literal.
+
+    Determinism: rank is a 12-dp double at every step; contributions
+    quantize to DECIMAL(28,12) and sum exactly (order-independent, the
+    dsum doctrine at rank precision), teleport/damping literals are exact
+    decimal-literal doubles CAST identically in both engines."""
+    ewd, n_nodes = pagerank_graph(spark, sf_dir)
+    if n_nodes == 0:
+        return spark.createDataFrame([], "doc_id long, rank double")
+    # teleport term computed driver-side in IEEE double — bit-identical
+    # to the oracle's CAST(0.15 AS DOUBLE) / n.n
+    teleport = _PR_TELEPORT / n_nodes
+    # iteration 1 folds pr0 away: every node starts at the same constant
+    # roundn(1/N, 12), so the first message pass reads no ranks relation
+    rank0 = roundn(F.lit(1.0 / n_nodes), 12)
+    ranks = (
+        ewd.select(
+            "dst", (rank0 / F.col("deg")).try_cast("decimal(28,12)").alias("c")
+        )
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+        .select(
+            F.col("dst").alias("doc_id"),
+            roundn(
+                F.lit(teleport) + F.lit(_PR_DAMP) * F.col("s").cast("double"),
+                12,
+            ).alias("rank"),
+        )
+    )
+    for _ in range(_PR_ITERS - 1):
+        ranks = (
+            ewd.join(ranks, F.col("src") == F.col("doc_id"))
+            .select(
+                "dst",
+                (F.col("rank") / F.col("deg"))
+                .try_cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("doc_id"),
+                roundn(
+                    F.lit(teleport)
+                    + F.lit(_PR_DAMP) * F.col("s").cast("double"),
+                    12,
+                ).alias("rank"),
+            )
+        )
+    return ranks
 
 
 _PACK_CAP = 512  # tokens per packed training sequence

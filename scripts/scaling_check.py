@@ -75,6 +75,7 @@ AUDIT = [
     # double-eval coalesce), and through rollup/cube Expand it multiplies
     # by grouping-set count; this audit proves it never bends EXPONENTS
     ("q_dedup_span_removal", 1.35, "gram agg + x5 coverage explode — linear, no pair term"),
+    ("q_dedup_pagerank", 1.35, "5 static join+agg rounds over the persisted edge relation"),
     ("q_rollup", 1.35, "Expand x3 grouping sets — constant factor, scan linear"),
     ("q_cube", 1.35, "Expand x4 grouping sets — constant factor, scan linear"),
     ("q_grouping_sets", 1.35, "Expand x2 grouping sets via SQL"),

@@ -438,6 +438,43 @@ def test_dedup_clusters_chain_convergence(spark, tmp_path):
     assert {c for _, c in fast} == {1}  # one chain, labeled by its minimum
 
 
+def test_pagerank_star_hub_and_mass(spark, tmp_path):
+    """On a planted STAR (one template doc near-dup to k variants that
+    are NOT near-dup to each other), PageRank must (a) rank the template
+    hub strictly above every leaf, (b) rank all leaves equally (graph
+    symmetry), and (c) conserve rank mass: the ranks of the 5 graph
+    nodes sum to ~1. Star construction: each variant = the 12 base words
+    + 12 unique words, so variant-vs-template Jaccard is 10/22 ~ 0.45
+    (edge) while variant-vs-variant is 10/34 ~ 0.29 (just under the 0.3
+    threshold, no edge). An unrelated doc is isolated and must be absent
+    from the output."""
+    base = [f"b{i}" for i in range(12)]
+    rows = [(1, " ".join(base), "en", "web", 1)]
+    for k in range(4):
+        rows.append(
+            (
+                2 + k,
+                " ".join(base + [f"u{k}_{j}" for j in range(12)]),
+                "en",
+                "web",
+                1,
+            )
+        )
+    rows.append((99, "totally separate island words only here", "en", "web", 1))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    ranks = {
+        r.doc_id: r.rank
+        for r in REGISTRY["q_dedup_pagerank"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(ranks) == {1, 2, 3, 4, 5}  # isolated doc 99 not ranked
+    leaf_ranks = [ranks[d] for d in (2, 3, 4, 5)]
+    assert all(ranks[1] > lr for lr in leaf_ranks)  # hub dominates
+    assert len({round(lr, 9) for lr in leaf_ranks}) == 1  # leaves tie
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conserved
+
+
 def test_decontaminate_planted_overlap(spark, tmp_path):
     """A corpus doc sharing a verbatim 13-word span with an eval doc
     (doc_id % 10 == 0) is flagged with the right hit count; unrelated
