@@ -229,6 +229,13 @@ def main() -> None:
                 "pagerank_graph",
                 lambda: _corpus.pagerank_graph(spark, sf_dir),
             ),
+            # the LSH-edge twin persists its own graph: single consumer,
+            # but the 5 internal iterations would otherwise re-run
+            # MinHash banding — the build is one-time cost, not plan cost
+            (
+                "pagerank_graph_lsh",
+                lambda: _corpus.pagerank_graph(spark, sf_dir, variant="lsh"),
+            ),
             # write-once date-partitioned events layout (the pruning
             # query's fixture — a production table's layout, not a query)
             (

@@ -362,26 +362,53 @@ _PR_GRAPH_CACHE: dict[str, DataFrame] = {}
 _PR_NODES_CACHE: dict[str, int] = {}
 
 
-def pagerank_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+def _pr_edge_pairs(
+    spark: SparkSession, sf_dir: str, variant: str
+) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b) for the requested edge generator:
+    ``exact`` projects the persisted pair-overlap relation (ground
+    truth, quadratic-guarded); ``lsh`` runs the 100 TB candidate path —
+    MinHash bands → bucket-join candidates → exact-Jaccard verification
+    on candidates only, the same composition q_corpus_dedup_lsh ships.
+    Both filter at the one _JACCARD_THRESHOLD, so LSH edges are a SUBSET
+    of exact edges (one-sided recall trade, auditable)."""
+    if variant == "lsh":
+        from bitcoinminingetl_spark.operators.dedup import (
+            _candidate_pairs,
+            _verify_candidates,
+            minhash_bands,
+        )
+
+        sh = shingle_index(spark, sf_dir)
+        return _verify_candidates(sh, _candidate_pairs(minhash_bands(sh))).select(
+            "doc_a", "doc_b"
+        )
+    return (
+        _jaccard_from_overlaps(pair_overlaps(spark, sf_dir))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
+def pagerank_graph(
+    spark: SparkSession, sf_dir: str, variant: str = "exact"
+) -> tuple[DataFrame, int]:
     """Persist-once near-dup graph for a corpus: the symmetric edge
     relation (src, dst, deg) with out-degree attached, plus the node
     count — third member of the dedup-family artifact stack
     (shingle_index → pair_overlaps → this). Without it each of the 5
-    PageRank iterations would re-derive edges+degree from the overlap
+    PageRank iterations would re-derive edges+degree from the pair
     relation AND re-run the 1-row node-count subquery per broadcast
-    (6 extra jobs — measured 11.6 s vs ~2 s warm at sf0.1). The node
+    (6 extra jobs — measured 11.6 s vs ~2 s warm at sf0.1); the LSH
+    variant would even re-run MinHash banding per iteration. The node
     count crosses to the driver once as a plain int (a 1-row pull, the
     same sanctioned scalar-stat class as sources/layout.py's row count);
     its side cache is pruned to the LRU's surviving keys so eviction
     keeps both in lockstep."""
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{variant}"
 
     def build() -> DataFrame:
-        pairs = (
-            _jaccard_from_overlaps(pair_overlaps(spark, sf_dir))
-            .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-            .select("doc_a", "doc_b")
-        )
+        pairs = _pr_edge_pairs(spark, sf_dir, variant)
         edges = pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         ).unionAll(
@@ -432,7 +459,15 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize to DECIMAL(28,12) and sum exactly (order-independent, the
     dsum doctrine at rank precision), teleport/damping literals are exact
     decimal-literal doubles CAST identically in both engines."""
-    ewd, n_nodes = pagerank_graph(spark, sf_dir)
+    return _pagerank_ranks(spark, *pagerank_graph(spark, sf_dir))
+
+
+def _pagerank_ranks(
+    spark: SparkSession, ewd: DataFrame, n_nodes: int
+) -> DataFrame:
+    """The shared fixed-iteration damped rank loop over a (src, dst,
+    deg) edge relation — see q_dedup_pagerank's docstring for the plan
+    and determinism story."""
     if n_nodes == 0:
         return spark.createDataFrame([], "doc_id long, rank double")
     # teleport term computed driver-side in IEEE double — bit-identical
@@ -476,6 +511,22 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks
+
+
+@query("q_dedup_pagerank_lsh")  # rows-only: MinHash signatures are engine-specific
+def q_dedup_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_pagerank with its edge generator swapped for the 100 TB
+    candidate path — MinHash bands → bucket-join candidates →
+    exact-Jaccard verification on candidates only (the q_corpus_dedup_lsh
+    composition), so edge generation shuffles O(docs × bands) instead of
+    exploding the shared-shingle pair space. Verification filters at the
+    same 0.3 threshold, so the LSH edge set is a SUBSET of the exact
+    graph's: hubs can only lose neighbors, never gain false ones, and
+    rank mass still sums to 1 over whatever graph LSH recovers (the
+    no-dangling argument is per-graph, not per-corpus). Same persist-once
+    graph relation (variant='lsh') and the same static 5-iteration loop;
+    the property test pins node-subset-of-exact and mass conservation."""
+    return _pagerank_ranks(spark, *pagerank_graph(spark, sf_dir, variant="lsh"))
 
 
 _PACK_CAP = 512  # tokens per packed training sequence

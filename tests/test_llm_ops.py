@@ -475,6 +475,22 @@ def test_pagerank_star_hub_and_mass(spark, tmp_path):
     assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conserved
 
 
+def test_pagerank_lsh_subset_and_mass(spark, sf_dir):
+    """The LSH edge generator verifies candidates with the SAME exact
+    Jaccard threshold as the ground-truth graph, so (a) every node LSH
+    ranks must be a node the exact graph ranks (edges are a subset, so
+    nodes are too), and (b) rank mass over the LSH graph still sums to
+    ~1 — the undirected no-dangling argument holds per-graph regardless
+    of how many edges LSH recovered."""
+    exact_nodes = {
+        r.doc_id for r in REGISTRY["q_dedup_pagerank"].fn(spark, sf_dir).collect()
+    }
+    lsh = REGISTRY["q_dedup_pagerank_lsh"].fn(spark, sf_dir).collect()
+    assert len(lsh) > 0  # fixture corpus has recoverable near-dup structure
+    assert {r.doc_id for r in lsh} <= exact_nodes
+    assert abs(sum(r.rank for r in lsh) - 1.0) < 1e-6
+
+
 def test_decontaminate_planted_overlap(spark, tmp_path):
     """A corpus doc sharing a verbatim 13-word span with an eval doc
     (doc_id % 10 == 0) is flagged with the right hit count; unrelated
