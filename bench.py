@@ -294,7 +294,9 @@ def main() -> None:
         "q_streaming_sessionize": [1.5, 5.0],
         "q_streaming_incremental_dedup": [8.0, 16.0],
     }
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from bitcoinminingetl_spark.session import default_parallelism
+
+    cpus = default_parallelism()  # the session's actual local[N]
     bands_calibration = {"sf": 0.1, "cpus": 32}
     bands_apply = sf == bands_calibration["sf"] and cpus == bands_calibration["cpus"]
     out_of_band = {
@@ -338,6 +340,17 @@ def main() -> None:
         # refuses to commit a non-canonical stamp.
         "numeric_guards": _numeric_guards_enabled(),
         "oracle_skipped": os.environ.get("SPARK_GRAFT_SKIP_ORACLE") == "1",
+        # False until the mirror phase below completes; rewritten to True
+        # on success so a swallowed mirror failure (or a hard kill mid-
+        # mirror) can't masquerade as a canonical run — ORACLE_LOCAL.json
+        # would be stale from a previous tree in exactly that case. None
+        # when the mirror was deliberately skipped (the skip flag above
+        # already disqualifies the artifact).
+        "oracle_mirror_ok": (
+            None
+            if os.environ.get("SPARK_GRAFT_SKIP_ORACLE") == "1"
+            else False
+        ),
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
         **_tree_stamp(),
@@ -370,6 +383,10 @@ def main() -> None:
                 f"{summary['n_spark_error'] + summary['n_oracle_error']} error"
                 f" -> ORACLE_LOCAL.json",
                 file=sys.stderr,
+            )
+            full["oracle_mirror_ok"] = True
+            (Path(_REPO) / "BENCH_FULL.json").write_text(
+                json.dumps(full, indent=1)
             )
         except Exception as exc:  # noqa: BLE001 — the bench line must still print
             print(f"bench: oracle mirror failed: {exc}", file=sys.stderr)

@@ -22,8 +22,7 @@ from bitcoinminingetl_spark.functions.cache import lru_persisted
 from bitcoinminingetl_spark.functions.numeric import roundn, roundn_sql
 from bitcoinminingetl_spark.functions.state import ckpt
 from bitcoinminingetl_spark.operators.dedup import (
-    _JACCARD_THRESHOLD,
-    _jaccard_from_overlaps,
+    near_dup_pairs,
     NGRAM_PAIRS_ORACLE,
     pair_overlaps,
     shingle_index,
@@ -145,9 +144,7 @@ def _cc_labels(
     localCheckpoint otherwise — see functions/state.ckpt); the driver
     only pulls the 1-row convergence count. Edges come from the shared
     persisted pair_overlaps relation, computed once per corpus."""
-    pairs = _jaccard_from_overlaps(pair_overlaps(spark, sf_dir)).filter(
-        F.col("jaccard") >= _JACCARD_THRESHOLD
-    )
+    pairs = near_dup_pairs(pair_overlaps(spark, sf_dir))
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -349,45 +346,35 @@ _PAGERANK_ORACLE = f"""
             AS rank
         FROM deg, n
     ),
-    pr1 AS ({_pr_step_sql('pr0')}),
-    pr2 AS ({_pr_step_sql('pr1')}),
-    pr3 AS ({_pr_step_sql('pr2')}),
-    pr4 AS ({_pr_step_sql('pr3')}),
-    pr5 AS ({_pr_step_sql('pr4')})
+    {",".join(f"pr{i + 1} AS ({_pr_step_sql(f'pr{i}')})" for i in range(_PR_ITERS))}
     SELECT doc_id, rank FROM pr{_PR_ITERS}
     """
 
 
 _PR_GRAPH_CACHE: dict[str, DataFrame] = {}
+_PR_PAIRS_CACHE: dict[str, DataFrame] = {}
 _PR_NODES_CACHE: dict[str, int] = {}
 
 
 def _pr_edge_pairs(
     spark: SparkSession, sf_dir: str, variant: str
 ) -> DataFrame:
-    """Near-dup pairs (doc_a, doc_b) for the requested edge generator:
-    ``exact`` projects the persisted pair-overlap relation (ground
-    truth, quadratic-guarded); ``lsh`` runs the 100 TB candidate path —
-    MinHash bands → bucket-join candidates → exact-Jaccard verification
-    on candidates only, the same composition q_corpus_dedup_lsh ships.
-    Both filter at the one _JACCARD_THRESHOLD, so LSH edges are a SUBSET
-    of exact edges (one-sided recall trade, auditable)."""
-    if variant == "lsh":
-        from bitcoinminingetl_spark.operators.dedup import (
-            _candidate_pairs,
-            _verify_candidates,
-            minhash_bands,
-        )
-
-        sh = shingle_index(spark, sf_dir)
-        return _verify_candidates(sh, _candidate_pairs(minhash_bands(sh))).select(
-            "doc_a", "doc_b"
-        )
-    return (
-        _jaccard_from_overlaps(pair_overlaps(spark, sf_dir))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
+    """Near-dup pairs (doc_a, doc_b) for the requested edge generator —
+    each variant IS the corresponding registered dedup query's pair
+    relation, not a reimplementation, so the PageRank graph provably
+    shares edges with the dedup family: ``exact`` is
+    q_dedup_ngram_jaccard's relation (the quadratic-guarded ground
+    truth), ``lsh`` is q_dedup_minhash_lsh's (MinHash bands →
+    bucket-join candidates → exact verification). Both filter at the one
+    _JACCARD_THRESHOLD on the raw ratio, so LSH edges are a SUBSET of
+    exact edges (one-sided recall trade, auditable)."""
+    from bitcoinminingetl_spark.operators.dedup import (
+        q_dedup_minhash_lsh,
+        q_dedup_ngram_jaccard,
     )
+
+    fn = q_dedup_minhash_lsh if variant == "lsh" else q_dedup_ngram_jaccard
+    return fn(spark, sf_dir).select("doc_a", "doc_b")
 
 
 def pagerank_graph(
@@ -408,7 +395,16 @@ def pagerank_graph(
     key = f"{spark.sparkContext.applicationId}:{sf_dir}:{variant}"
 
     def build() -> DataFrame:
-        pairs = _pr_edge_pairs(spark, sf_dir, variant)
+        # the pairs relation is referenced FOUR times in the plan below
+        # (both union branches, then the whole edges subtree again under
+        # the deg aggregate) — without its own persist the LSH variant
+        # would run the full MinHash banding + verify pipeline 4x during
+        # the one-time graph materialization
+        pairs = lru_persisted(
+            _PR_PAIRS_CACHE,
+            key,
+            lambda: _pr_edge_pairs(spark, sf_dir, variant),
+        )
         edges = pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         ).unionAll(

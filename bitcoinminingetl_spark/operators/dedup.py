@@ -159,6 +159,25 @@ def _jaccard_from_overlaps(overlaps: DataFrame) -> DataFrame:
     )
 
 
+def near_dup_pairs(overlaps: DataFrame) -> DataFrame:
+    """Thresholded near-dup pairs (doc_a, doc_b, jaccard) from an
+    overlap relation. The selection predicate runs on the RAW
+    intersection ratio — matching every oracle's WHERE on the unrounded
+    expression — and only the REPORTED metric is rounded to 6 dp.
+    Filtering on the rounded column (the pre-r6 form) admitted pairs in
+    [threshold - 5e-7, threshold) that the oracles exclude; one such
+    phantom edge perturbs degree-sensitive consumers (PageRank degrees,
+    CC components) far beyond its own row."""
+    raw = (
+        F.col("n_inter")
+        * 1.0
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    )
+    return _jaccard_from_overlaps(
+        overlaps.filter(raw >= _JACCARD_THRESHOLD)
+    )
+
+
 def _pair_overlaps(shingled: DataFrame, df_cap: int | None = None) -> DataFrame:
     """The shared pair-overlap skeleton: (doc_a, doc_b, n_inter, n_a,
     n_b) for all doc pairs sharing >=1 (kept) shingle — the relation
@@ -271,9 +290,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_minhash_lsh beyond ~10^7 docs. Reads the shared persisted
     pair-overlap relation (pair_overlaps); the Jaccard metric is a
     map-only projection of it."""
-    return _jaccard_from_overlaps(pair_overlaps(spark, sf_dir)).filter(
-        F.col("jaccard") >= _JACCARD_THRESHOLD
-    )
+    return near_dup_pairs(pair_overlaps(spark, sf_dir))
 
 
 _DF_CAP = 50
@@ -310,9 +327,7 @@ def q_dedup_ngram_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant to run at corpus scale when exact (non-LSH) pairs are needed;
     q_dedup_ngram_jaccard remains the unpruned ground truth. Projects
     the shared persisted guarded pair-overlap relation."""
-    return _jaccard_from_overlaps(
-        pair_overlaps(spark, sf_dir, df_cap=_DF_CAP)
-    ).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    return near_dup_pairs(pair_overlaps(spark, sf_dir, df_cap=_DF_CAP))
 
 
 _CONTAINMENT_THRESHOLD = 0.8
@@ -492,6 +507,13 @@ def _verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
     return (
         candidates.join(sa, on="doc_a")
         .join(sb, on="doc_b")
+        # raw-ratio predicate, rounded report (see near_dup_pairs) —
+        # also keeps the LSH edge set a strict subset of the exact one
+        # at the threshold boundary
+        .filter(
+            n_inter * 1.0 / (F.col("n_a") + F.col("n_b") - n_inter)
+            >= _JACCARD_THRESHOLD
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -499,7 +521,6 @@ def _verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
                 n_inter * 1.0 / (F.col("n_a") + F.col("n_b") - n_inter), 6
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
 
 
@@ -903,9 +924,7 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    pairs = _jaccard_from_overlaps(
-        pair_overlaps(spark, sf_dir, df_cap=_DF_CAP)
-    ).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    pairs = near_dup_pairs(pair_overlaps(spark, sf_dir, df_cap=_DF_CAP))
     near_dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return exact_survivors.join(near_dups, on="doc_id", how="left_anti")
 
@@ -1018,6 +1037,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "corpus_doc",
         )
+        # raw-ratio predicate, rounded report — see near_dup_pairs
+        .filter(
+            F.col("n_inter") * 1.0
+            / (F.col("n_n") + F.col("n_c") - F.col("n_inter"))
+            >= _JACCARD_THRESHOLD
+        )
         .select(
             "new_doc",
             "corpus_doc",
@@ -1026,7 +1051,6 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
 
 
@@ -1081,9 +1105,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     — corpus cardinality — would OOM at 100 TB.) The rollup aggregates
     |sources|² rows at most."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = _jaccard_from_overlaps(
-        pair_overlaps(spark, sf_dir, df_cap=_DF_CAP)
-    ).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    pairs = near_dup_pairs(pair_overlaps(spark, sf_dir, df_cap=_DF_CAP))
     sa = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
     )

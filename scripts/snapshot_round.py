@@ -73,6 +73,12 @@ def _skip_bench_objection(artifact_names: set[str]) -> str | None:
         return "stamped with numeric guards DISABLED (an A/B arm, not a canonical run)"
     if stamp.get("oracle_skipped"):
         return "stamped with the oracle mirror skipped, so ORACLE_LOCAL.json is stale"
+    # oracle_mirror_ok starts False in the artifact and is rewritten to
+    # True only after the mirror completes — a swallowed mirror failure
+    # (bench.py prints a warning and exits 0) or a kill mid-mirror
+    # leaves it False, and ORACLE_LOCAL.json stale from a previous tree
+    if "oracle_mirror_ok" in stamp and stamp["oracle_mirror_ok"] is not True:
+        return "oracle mirror did not complete, so ORACLE_LOCAL.json is stale"
     if stamp.get("tree_dirty"):
         return "stamped at a dirty tree"
     commit = stamp.get("tree_commit")
@@ -82,10 +88,13 @@ def _skip_bench_objection(artifact_names: set[str]) -> str | None:
         changed = _git("diff", "--name-only", f"{commit}..HEAD").splitlines()
     except subprocess.CalledProcessError:
         return f"tree_commit {commit} not in this repo's history"
+    # full repo-relative paths, the same semantics as bench.py's
+    # tree_dirty stamp and main()'s dirty gate — basename matching would
+    # let a nested file that happens to share an artifact's name (e.g.
+    # docs/PLANS.md) slip past the code-changed refusal
     code_changed = [
         f for f in changed
-        if Path(f).name not in artifact_names
-        and not Path(f).name.startswith(ARTIFACT_PREFIXES)
+        if f not in artifact_names and not f.startswith(ARTIFACT_PREFIXES)
     ]
     if code_changed:
         return (f"code changed since it was generated at {commit}: "
@@ -122,6 +131,13 @@ def main() -> int:
         )
         if proc.returncode != 0:
             print("bench failed; not committing")
+            return 1
+        # same fitness gate as --skip-bench: catches a mirror failure
+        # inside the run just made (bench exits 0 with a warning), or a
+        # guards-off/skip-oracle env contaminating the snapshot shell
+        err = _skip_bench_objection(artifact_names)
+        if err:
+            print(f"refusing to commit the run just made: {err}")
             return 1
 
     to_add = [n for n in sorted(artifact_names) if (REPO / n).exists()]

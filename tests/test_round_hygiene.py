@@ -27,6 +27,7 @@ def _stamp(**over):
     base = {
         "numeric_guards": True,
         "oracle_skipped": False,
+        "oracle_mirror_ok": True,
         "tree_dirty": False,
         "tree_commit": "HEAD",
     }
@@ -53,6 +54,7 @@ def test_skip_bench_refuses_non_canonical_stamps(tmp_path, monkeypatch):
     for over, needle in [
         ({"numeric_guards": False}, "guards DISABLED"),
         ({"oracle_skipped": True}, "oracle mirror skipped"),
+        ({"oracle_mirror_ok": False}, "mirror did not complete"),
         ({"tree_dirty": True}, "dirty tree"),
         ({"tree_commit": None}, "no tree_commit"),
     ]:
@@ -94,6 +96,8 @@ def test_bench_stamps_run_configuration():
     if "numeric_guards" in full:
         assert full["numeric_guards"] is True
         assert full["oracle_skipped"] is False
+    if "oracle_mirror_ok" in full:
+        assert full["oracle_mirror_ok"] is True
     assert "lifecycle_bands_calibration" in full or "numeric_guards" not in full
 
 
