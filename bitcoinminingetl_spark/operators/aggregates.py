@@ -312,6 +312,86 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINREG_ANCHOR = 1_704_067_200  # 2024-01-01 00:00:00 UTC, epoch seconds
+
+
+@query(
+    "q_linreg_trend",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_type,
+               (epoch(ts) - {_LINREG_ANCHOR}) / 3600.0 AS x,
+               value AS y
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               var_pop(x) AS vx,
+               var_pop(y) AS vy,
+               covar_pop(y, x) AS cxy,
+               avg(x) AS mx,
+               avg(y) AS my
+        FROM p GROUP BY event_type
+    )
+    SELECT event_type,
+           n_obs,
+           {roundn_sql('CASE WHEN vx > 0 THEN cxy / vx END', 6)} AS slope_per_hour,
+           {roundn_sql('CASE WHEN vx > 0 THEN my - (cxy / vx) * mx END', 4)} AS intercept,
+           {roundn_sql('CASE WHEN vx > 0 AND vy > 0 THEN (cxy * cxy) / (vx * vy) END', 6)}
+               AS r2
+    FROM m
+    """,
+)
+def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream least-squares trend line (slope/intercept/R²) of the
+    metric against time — the drift detector run over every metric
+    stream before a model-input freshness gate. x is hours since a fixed
+    anchor (2024-01-01): anchoring keeps the moments small (raw epoch
+    seconds ~1.7e9 would burn double precision in the variance), and a
+    LITERAL anchor — not min(ts) — keeps the intercept independent of
+    which rows an incremental run has seen.
+
+    Assembled from population moments (var_pop/covar_pop/avg over one
+    grouped pass) instead of Spark's regr_slope/regr_r2 family, for the
+    q_corr_stats reason: the builtins divide internally, so a
+    zero-variance stream (constant metric, or all rows same timestamp —
+    the adversarial corpus has both) raises DIVIDE_BY_ZERO under ANSI
+    mode; here the CASE guard emits NULL, the SQL answer. All five
+    moments are algebraic — partial-aggregated map-side, one shuffle of
+    O(keys) rows at any scale. The same explicit mask (ts AND value
+    non-null) feeds every moment, so the composition is exactly
+    regression over pairwise-complete observations."""
+    x = (F.col("ts").cast("double") - F.lit(float(_LINREG_ANCHOR))) / F.lit(3600.0)
+    pair = F.col("ts").isNotNull() & F.col("value").isNotNull()
+    px = F.when(pair, x)
+    py = F.when(pair, F.col("value"))
+    m = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(py).alias("n_obs"),
+            F.var_pop(px).alias("vx"),
+            F.var_pop(py).alias("vy"),
+            F.covar_pop(py, px).alias("cxy"),
+            F.avg(px).alias("mx"),
+            F.avg(py).alias("my"),
+        )
+    )
+    vx, vy, cxy = F.col("vx"), F.col("vy"), F.col("cxy")
+    slope = F.when(vx > 0, cxy / vx)
+    return m.select(
+        "event_type",
+        "n_obs",
+        roundn(slope, 6).alias("slope_per_hour"),
+        roundn(F.when(vx > 0, F.col("my") - (cxy / vx) * F.col("mx")), 4).alias(
+            "intercept"
+        ),
+        roundn(F.when((vx > 0) & (vy > 0), (cxy * cxy) / (vx * vy)), 6).alias("r2"),
+    )
+
+
 @query(
     "q_histogram",
     oracle="""

@@ -6,6 +6,9 @@ Design rule: tokenization and scoring stay in built-in expressions
 (split/transform/aggregate — JVM, codegen'd); nothing here drops to Python.
 At 100 TB these run as narrow scans + one hash aggregate each, so they
 pipeline with the dedup operators that consume their outputs.
+(One sanctioned exception: q_zlib_quality's DEFLATE byte counts have no
+SQL equivalent — its Arrow-batched kernel returns two integers per doc
+and everything derived stays JVM-side.)
 """
 
 from __future__ import annotations
@@ -1509,4 +1512,72 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_RRF_TOP)
+    )
+
+
+_ZLIB_LEVEL = 6
+_ZLIB_MIN_BYTES = 64
+_ZLIB_KEEP_LO = 0.25
+_ZLIB_KEEP_HI = 0.95
+
+
+def _zlib_len_batches(batches):
+    """mapInPandas kernel: (doc_id, text) in, (doc_id, n_bytes,
+    n_compressed) out. The ONLY work done in Python is the zlib call —
+    every derived quantity (ratio, keep flag) is computed JVM-side by
+    the caller. NULL text = empty payload (0 bytes in, header-only
+    compressed length), never a worker crash."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        n_bytes, n_comp = [], []
+        for t in pdf["text"]:
+            raw = b"" if t is None else str(t).encode("utf-8")
+            n_bytes.append(len(raw))
+            n_comp.append(len(zlib.compress(raw, _ZLIB_LEVEL)))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "n_bytes": n_bytes, "n_compressed": n_comp}
+        )
+
+
+@query("q_zlib_quality")  # rows-only: zlib isn't SQL-expressible
+def q_zlib_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the Dolma/RedPajama-family
+    heuristic): compressed_bytes / raw_bytes per document. Highly
+    repetitive machine-generated spam compresses far below natural
+    prose; random-noise/binary junk sits near (or above) 1.0 — the keep
+    band [0.25, 0.95] cuts both tails, and docs under 64 raw bytes are
+    dropped outright (the zlib header dominates, making the ratio
+    meaningless). It catches repetition the n-gram signals miss
+    (q_repetition_score sees exact 3-gram reuse; zlib sees ANY
+    redundancy, including long-period and near-miss repeats).
+
+    This is the one sanctioned Python drop in this module (the design
+    rule at the top): DEFLATE has no SQL equivalent. The Python surface
+    is minimal — an Arrow-batched mapInPandas kernel returning only the
+    two byte counts (zlib itself is C-speed; the per-row loop costs
+    microseconds) — while ratio, rounding and the keep flag stay in
+    whole-stage codegen. Scale shape: map-only, zero shuffles, output is
+    ~25 B/row regardless of document size, partitioning inherited from
+    the scan — the same contract as the multimodal kernels
+    (multimodal.py), at any corpus size."""
+    lens = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(_zlib_len_batches, "doc_id long, n_bytes long, n_compressed long")
+    )
+    ratio = F.when(
+        F.col("n_bytes") > 0, F.col("n_compressed") * 1.0 / F.col("n_bytes")
+    )
+    return lens.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        roundn(ratio, 6).alias("compress_ratio"),
+        (
+            (F.col("n_bytes") >= _ZLIB_MIN_BYTES)
+            & ratio.between(_ZLIB_KEEP_LO, _ZLIB_KEEP_HI)
+        ).alias("keep"),
     )

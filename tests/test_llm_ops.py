@@ -1443,3 +1443,77 @@ def test_dedup_clusters_deep_chain_beyond_round_cap(spark, tmp_path):
     }
     assert set(got.values()) == {1}, f"chain split: {sorted(set(got.values()))}"
     assert len(got) == 30
+
+
+def test_zlib_quality_planted(spark, sf_dir, tmp_path):
+    """Compression-ratio semantics: repetitive spam compresses below the
+    keep band, high-entropy text lands inside it, sub-64-byte and NULL
+    docs are never kept, and the kernel is deterministic."""
+    import hashlib
+
+    spam = "buy now " * 300
+    # ~0.5 bits-of-entropy-per-hex-char -> ratio comfortably in-band
+    noisy = " ".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    rows = [
+        (1, spam, "en", "web", len(spam)),
+        (2, noisy, "en", "web", len(noisy)),
+        (3, "tiny", "en", "web", 4),
+        (4, None, "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["q_zlib_quality"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1].compress_ratio < 0.25 and out[1].keep is False
+    assert 0.25 <= out[2].compress_ratio <= 0.95 and out[2].keep is True
+    assert out[3].n_bytes == 4 and out[3].keep is False
+    assert out[4].n_bytes == 0
+    assert out[4].compress_ratio is None and out[4].keep is False
+    again = {
+        r.doc_id: r.n_compressed
+        for r in REGISTRY["q_zlib_quality"].fn(spark, str(tmp_path)).collect()
+    }
+    assert again == {d: r.n_compressed for d, r in out.items()}
+    # real corpus: every doc scored, ratios positive where text is non-empty
+    corpus = REGISTRY["q_zlib_quality"].fn(spark, sf_dir)
+    assert corpus.filter(
+        (F.col("n_bytes") > 0) & ~(F.col("compress_ratio") > 0)
+    ).count() == 0
+
+
+def test_linreg_trend_planted(spark, tmp_path):
+    """Planted exact line recovers slope/intercept/R²=1; a constant
+    series yields slope 0 with NULL R²; a single-instant series (zero
+    time variance) yields all-NULL coefficients instead of an ANSI
+    divide-by-zero crash."""
+    from datetime import datetime, timedelta
+
+    anchor = datetime(2024, 1, 1)
+    rows = []
+    for h in range(24):  # y = 2x + 5 exactly
+        rows.append((h, anchor + timedelta(hours=h), 1, "line", 2.0 * h + 5.0, "{}"))
+    for h in range(24):
+        rows.append((100 + h, anchor + timedelta(hours=h), 1, "flat", 7.5, "{}"))
+    for i in range(10):
+        rows.append((200 + i, anchor, 1, "instant", float(i), "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in REGISTRY["q_linreg_trend"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["line"].n_obs == 24
+    assert abs(out["line"].slope_per_hour - 2.0) < 1e-6
+    assert abs(out["line"].intercept - 5.0) < 1e-3
+    assert abs(out["line"].r2 - 1.0) < 1e-6
+    assert out["flat"].slope_per_hour == 0.0 and out["flat"].r2 is None
+    assert out["instant"].slope_per_hour is None
+    assert out["instant"].intercept is None and out["instant"].r2 is None
