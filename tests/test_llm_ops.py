@@ -1517,3 +1517,222 @@ def test_linreg_trend_planted(spark, tmp_path):
     assert out["flat"].slope_per_hour == 0.0 and out["flat"].r2 is None
     assert out["instant"].slope_per_hour is None
     assert out["instant"].intercept is None and out["instant"].r2 is None
+
+
+def test_dedup_triangles_clique_and_star(spark, tmp_path):
+    """On a planted 4-clique of mutual near-dups plus a star (hub
+    near-dup to 4 leaves that are not near-dups of each other):
+    clique nodes have degree 3, sit in 3 triangles each, clustering
+    1.0 (a true template family); the star hub has degree 4 with ZERO
+    triangles, clustering 0.0 (chain-merged aggregator, not a dup
+    family); degree-1 leaves get NULL clustering, isolated docs are
+    absent."""
+    base = [f"b{i}" for i in range(12)]
+    rows = [(1, " ".join(base), "en", "web", 1)]
+    for k in range(4):  # star leaves: the q_dedup_pagerank fixture
+        rows.append(
+            (2 + k, " ".join(base + [f"u{k}_{j}" for j in range(12)]),
+             "en", "web", 1)
+        )
+    cw = [f"c{i}" for i in range(30)]
+    for k in range(4):  # clique: same 30 words + one unique tail word
+        rows.append((11 + k, " ".join(cw + [f"x{k}"]), "en", "web", 1))
+    rows.append((99, "totally separate island words only here", "en", "web", 1))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["q_dedup_triangles"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 11, 12, 13, 14}
+    assert out[1].degree == 4 and out[1].n_triangles == 0
+    assert out[1].clustering == 0.0
+    for d in (2, 3, 4, 5):
+        assert out[d].degree == 1 and out[d].n_triangles == 0
+        assert out[d].clustering is None
+    for d in (11, 12, 13, 14):
+        assert out[d].degree == 3 and out[d].n_triangles == 3
+        assert out[d].clustering == 1.0
+
+
+def test_event_seq_pattern_planted(spark, tmp_path):
+    """Pattern counts are non-overlapping leftmost matches over the
+    time-ordered per-user string; NULL-ts events carry no sequence
+    position; unknown event types map to 'x' and so BREAK a pattern."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+
+    def seq(user, types, start):
+        for i, ty in enumerate(types):
+            rows.append(
+                (len(rows) + 1, t0 + timedelta(minutes=start + i),
+                 user, ty, 1.0, "{}")
+            )
+
+    seq(1, ["view", "view", "click", "view", "click", "purchase"], 0)
+    seq(2, ["error", "error", "error", "view"], 100)
+    seq(3, ["signup", "view", "view", "view"], 200)
+    seq(4, ["click", "refund", "purchase"], 300)  # unknown type -> 'x'
+    # a NULL-ts purchase that WOULD add a click_to_purchase match
+    rows.append((9999, None, 1, "purchase", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.pattern: r
+        for r in REGISTRY["q_event_seq_pattern"].fn(spark, str(tmp_path)).collect()
+    }
+    # user 1 string is 'vvcvcp': v+c matches twice, cp once
+    assert out["browse_then_click"].n_users == 1
+    assert out["browse_then_click"].total_matches == 2
+    assert out["click_to_purchase"].n_users == 1
+    assert out["click_to_purchase"].total_matches == 1
+    # user 2 'eeev': one burst regardless of length; user 4 'cxp': no cp
+    assert out["error_burst"].n_users == 1
+    assert out["error_burst"].total_matches == 1
+
+
+def test_hll_union_merge_planted(spark, tmp_path):
+    """Union-of-partial-sketches must agree with the full-pass sketch
+    within the sketch's own error (merge_rel_gap ~ 0 — DataSketches'
+    union gadget is NOT guaranteed bit-identical to single-pass state)
+    even when users span both periods, a group lives entirely in one
+    period (NULL sketch leg), or rows carry NULL ts (routed to the
+    increment leg); the estimate itself stays within 5% of exact at
+    this cardinality."""
+    from datetime import datetime
+
+    before = datetime(2024, 1, 10)
+    after = datetime(2024, 1, 28)
+    rows = []
+    for u in range(1, 301):  # base period users 1..300
+        rows.append((len(rows) + 1, before, u, "view", 1.0, "{}"))
+    for u in range(200, 401):  # increment users 200..400 (overlap!)
+        rows.append((len(rows) + 1, after, u, "view", 1.0, "{}"))
+    for u in range(1, 51):  # increment-only group: sk_base is NULL
+        rows.append((len(rows) + 1, after, u, "solo", 1.0, "{}"))
+    for u in range(1, 31):  # NULL ts routes to the increment leg
+        rows.append((len(rows) + 1, None, u, "nullts", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in REGISTRY["q_hll_union_merge"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"view", "solo", "nullts"}
+    for r in out.values():
+        assert r.merge_rel_gap is not None and r.merge_rel_gap < 0.01
+        assert r.rel_err is not None and r.rel_err < 0.05
+    assert out["view"].exact_users == 400  # overlap counted once
+    assert out["solo"].exact_users == 50
+    assert out["nullts"].exact_users == 30
+
+
+def test_zorder_layout_rectangles(spark, sf_dir, tmp_path):
+    """Every layout fills all buckets; each linear layout leaves its
+    orthogonal dimension at full domain width while zorder bounds BOTH
+    spans below them; NaN quantity and NULL dimensions don't kill the
+    job (try_cast + mask)."""
+    rows = {
+        r.layout: r
+        for r in REGISTRY["q_zorder_layout"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"zorder", "linear_ship", "linear_qty"}
+    for r in rows.values():
+        assert r.n_buckets == 64
+        assert 1 <= r.buckets_scanned <= 64
+    # orthogonal-dimension collapse of the linear layouts
+    assert rows["zorder"].avg_day_span < rows["linear_qty"].avg_day_span
+    assert rows["zorder"].avg_qty_span < rows["linear_ship"].avg_qty_span
+    # crash-safety on pathological rows
+    from datetime import datetime, timedelta
+
+    t0 = datetime(1995, 1, 1)
+    bad = [
+        (i + 1, 1, i + 1, i + 1, float((i * 7) % 50 + 1), t0 + timedelta(days=i))
+        for i in range(256)
+    ]
+    bad.append((300, 1, 300, 300, float("nan"), t0))
+    bad.append((301, 1, 301, 301, 5.0, None))
+    spark.createDataFrame(
+        bad,
+        "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long,"
+        " l_quantity double, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = REGISTRY["q_zorder_layout"].fn(spark, str(tmp_path)).collect()
+    assert {r.layout for r in out} == {"zorder", "linear_ship", "linear_qty"}
+
+
+def test_kll_quantile_merge_planted(spark, tmp_path):
+    """Merged-sketch quantiles track the exact percentiles of a known
+    distribution within sketch error; a group living entirely on one
+    side of the cutoff exercises the NULL-sketch leg; NaN/Inf values
+    are masked out of BOTH sketch and exact twin instead of poisoning
+    (KLL throws on NaN) — the exact p50 of 0..999 plus junk must still
+    be 499.5."""
+    from datetime import datetime
+
+    before, after = datetime(2024, 1, 10), datetime(2024, 1, 28)
+    rows = []
+    for i in range(1000):  # uniform 0..999 split across the cutoff
+        rows.append((len(rows) + 1, before if i % 2 == 0 else after,
+                     1, "uniform", float(i), "{}"))
+    for i in range(200):  # increment-only group: sk_base is NULL
+        rows.append((len(rows) + 1, after, 1, "onesided", float(i), "{}"))
+    rows.append((9001, before, 1, "uniform", float("nan"), "{}"))
+    rows.append((9002, after, 1, "uniform", float("inf"), "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in REGISTRY["q_kll_quantile_merge"].fn(spark, str(tmp_path)).collect()
+    }
+    u = out["uniform"]
+    assert u.p50_exact == 499.5  # junk rows masked from the exact twin too
+    for p, exact in (("p50", 499.5), ("p90", 899.1), ("p99", 989.01)):
+        got = getattr(u, f"{p}_sketch")
+        assert abs(got - exact) / exact < 0.05, (p, got)
+    assert u.merge_gap_p90 < 0.05 * 899.1
+    o = out["onesided"]
+    assert o.p50_exact == 99.5 and abs(o.p50_sketch - 99.5) / 99.5 < 0.05
+
+
+def test_theta_set_ops_planted(spark, tmp_path):
+    """Planted overlap: 100 viewers, 80 purchasers, 50 shared. Theta
+    sketches are exact at this cardinality, so union/intersection/
+    difference estimates must EQUAL the exact twins computed in the
+    same query; unrelated event types and NULL users don't leak in."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 5)
+    rows = []
+    for u in range(1, 101):
+        rows.append((len(rows) + 1, t, u, "view", 1.0, "{}"))
+    for u in range(51, 131):
+        rows.append((len(rows) + 1, t, u, "purchase", 1.0, "{}"))
+    for u in range(200, 210):
+        rows.append((len(rows) + 1, t, u, "click", 1.0, "{}"))
+    rows.append((len(rows) + 1, t, None, "view", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["q_theta_set_ops"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.exact_a, r.exact_b) == (100, 80)
+    assert (r.exact_union, r.exact_inter, r.exact_diff) == (130, 50, 50)
+    assert r.est_a == r.exact_a and r.est_b == r.exact_b
+    assert r.est_union == r.exact_union
+    assert r.est_inter == r.exact_inter
+    assert r.est_diff == r.exact_diff
