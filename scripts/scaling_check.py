@@ -81,6 +81,10 @@ AUDIT = [
     ("q_grouping_sets", 1.35, "Expand x2 grouping sets via SQL"),
     ("q_incremental_agg_merge", 1.35, "partition-wise partial aggs merged"),
     ("q_window_frame", 1.35, "bounded sliding frame, one keyed exchange"),
+    # r6 widening: new >= 1.5 s-at-sf0.1 queries join the audit on arrival
+    ("q_zorder_layout", 1.35, "3 per-layout ntile sorts (n log n); production write path is repartitionByRange"),
+    ("q_dedup_triangles", 1.35, "wedge join bounded by near-dup-graph deg^2, corpus never joined"),
+    ("q_tpch_market_share", 1.35, "7-relation tree, all dims broadcast; one fact-keyed shuffle"),
     # declared super-linear ground-truth twins: audited against their claim
     ("q_knn_join", 2.2, "GUARDED all-pairs exact twin: |A|·|B| ~ n^2"),
     ("q_dedup_ngram_jaccard", 2.2, "exact pair ground truth (df_cap-guarded)"),
