@@ -422,3 +422,78 @@ def test_window_locf_single_keyed_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_window_locf")
     assert plan.count("Window") == 1
     assert "Join" not in plan
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    # Q6 IS the scan: all three predicates reach the parquet reader and
+    # ReadSchema carries exactly the 4 referenced columns
+    plan = _plan(spark, sf_dir, "q_tpch_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema and "l_tax" not in read_schema
+
+
+def test_tpch_q8_no_sort_merge_join(spark, sf_dir):
+    # the 7-relation tree: every dimension attaches by broadcast; no
+    # sort-merge join and certainly no cartesian anywhere in the tree
+    plan = _plan(spark, sf_dir, "q_tpch_market_share")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_tpch_q13_exclusion_preserves_left_join(spark, sf_dir):
+    # the exclusion predicate must ride the LEFT JOIN's ON clause — if
+    # it slipped into a post-join filter Catalyst would rewrite the
+    # outer join to inner and the zero-order customers would vanish
+    plan = _plan(spark, sf_dir, "q_tpch_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_tpch_sales_opportunity")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_zorder_single_window_pass(spark, sf_dir):
+    # the three layouts bucket through ONE ntile window (partitioned by
+    # layout), not three separate sorts of three plans
+    plan = _plan(spark, sf_dir, "q_zorder_layout")
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_event_seq_pattern_stays_jvm_side(spark, sf_dir):
+    # regex counting over the sequence string is codegen'd expression
+    # work — no Python evaluation anywhere in the plan
+    plan = _plan(spark, sf_dir, "q_event_seq_pattern")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_dedup_triangles_joins_pairs_not_corpus(spark, sf_dir):
+    # wedge enumeration reads the persisted pair relation (InMemory
+    # scans), and the closing edge check is a semi join — the documents
+    # table itself appears only under the one-time persisted build
+    df = REGISTRY["q_dedup_triangles"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_sketch_rollups_single_grouped_pass(spark, sf_dir):
+    # base/increment/full sketches must come out of ONE grouped
+    # aggregate (mask-based split) — more would mean the query
+    # re-scanned events per period. The HLL query carries one extra
+    # exchange: its exact countDistinct twin plans as the standard
+    # two-phase (key, user) expand — that is the audit's cost, not the
+    # sketches'.
+    plan = _plan(spark, sf_dir, "q_kll_quantile_merge")
+    assert plan.count("Exchange hashpartitioning") == 1
+    plan = _plan(spark, sf_dir, "q_hll_union_merge")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_hll_sketch_agg" in plan  # map-side sketch partials
