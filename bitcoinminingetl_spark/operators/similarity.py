@@ -584,3 +584,151 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _KNN_K)
     )
+
+
+_HN_K = 3  # hard negatives per anchor
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH a AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
+    b AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} <> 0),
+    scored AS (
+        SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+               b.label AS negative_label,
+               {roundn_sql(f'{_DOT_SQL} / ({_norm_sql("a")} * {_norm_sql("b")})', 6)}
+                   AS cosine
+        FROM a JOIN b ON a.label IS DISTINCT FROM b.label
+    )
+    SELECT anchor_id, negative_id, negative_label, cosine,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_HN_K}
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING, exact ground-truth twin: for every anchor
+    (the 2% vec_id sample), the k most-similar vectors with a DIFFERENT
+    label. Contrastive training (retrieval embedders, CLIP-style dual
+    encoders, rerankers) is only as good as its negatives — random
+    negatives are trivially separable, so the pipeline op that matters
+    mines the highest-cosine wrong-label vectors, exactly this query's
+    output. It is q_knn_join with one extra predicate, inherited
+    guardrails included (normed_embeddings drops zero-norm/non-finite
+    vectors): the label-inequality join condition uses null-safe
+    semantics (IS DISTINCT FROM / ~eqNullSafe) so unlabeled vectors
+    count as negatives for every labeled anchor rather than silently
+    vanishing.
+
+    GUARDED all-pairs like its parent — |A|·|B| candidates with the
+    anchor side broadcast; declared unshippable past ~10^4 anchors;
+    q_hard_negatives_lsh is the scale path this twin measures."""
+    emb = normed_embeddings(spark, sf_dir)
+    a = emb.filter(F.col("vec_id") % _KNN_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("label").alias("q_label"),
+    )
+    b = emb.filter(F.col("vec_id") % _KNN_MOD != 0)
+    scored = b.join(
+        F.broadcast(a), ~F.col("q_label").eqNullSafe(F.col("label"))
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        roundn(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+            6,
+            # zero-norm-filtered inputs: cosine finite in [-1,1] -> single-eval
+            guard=False,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _HN_K)
+    )
+
+
+@query("q_hard_negatives_lsh")  # rows-only: LSH recall is checked vs the exact twin
+def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining at corpus scale: q_knn_join_lsh's blocked
+    candidate generator (4 OR'd 6-plane sign-bucket tables, narrow
+    id-only candidate join, vectors re-attached only for the exact
+    re-rank) with the label-inequality filter applied at re-rank time.
+    The filter deliberately does NOT enter the bucketing: sign buckets
+    are label-blind, so candidates arrive label-mixed and the predicate
+    costs one codegen'd comparison on the already-joined rows — whereas
+    label-partitioned tables would need per-label bucket joins and
+    re-shuffle the corpus per distinct label. Same two-long-row growth
+    contract as the parent; the planted test pins that a same-label
+    near-twin is rejected while the cross-label nearest vector
+    survives, and the recall floor is asserted against the exact
+    twin."""
+    emb = normed_embeddings(spark, sf_dir)
+    bucket_of = _knn_bucket_udf()
+
+    def bucketed(df, idcol):
+        return df.select(
+            F.col("vec_id").alias(idcol),
+            F.posexplode(bucket_of(F.col("embedding"))).alias(
+                f"{idcol}_t", f"{idcol}_bkt"
+            ),
+        )
+
+    a_side = emb.filter(F.col("vec_id") % _KNN_MOD == 0)
+    n_side = emb.filter(F.col("vec_id") % _KNN_MOD != 0)
+    cand = (
+        bucketed(a_side, "anchor_id")
+        .join(
+            bucketed(n_side, "negative_id"),
+            (F.col("anchor_id_t") == F.col("negative_id_t"))
+            & (F.col("anchor_id_bkt") == F.col("negative_id_bkt")),
+        )
+        .select("anchor_id", "negative_id")
+        .distinct()
+    )
+    qv = a_side.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("label").alias("q_label"),
+    )
+    nv = n_side.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+        F.col("label").alias("n_label"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), cand.anchor_id == qv.q_id)
+        .join(nv, cand.negative_id == nv.n_id)
+        .filter(~F.col("q_label").eqNullSafe(F.col("n_label")))
+        .select(
+            "anchor_id",
+            F.col("n_id").alias("negative_id"),
+            F.col("n_label").alias("negative_label"),
+            roundn(
+                _dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+                # zero-norm-filtered inputs: cosine finite in [-1,1] -> single-eval
+                guard=False,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _HN_K)
+    )

@@ -1736,3 +1736,55 @@ def test_theta_set_ops_planted(spark, tmp_path):
     assert r.est_union == r.exact_union
     assert r.est_inter == r.exact_inter
     assert r.est_diff == r.exact_diff
+
+
+def test_hard_negatives_planted(spark, tmp_path):
+    """The nearest SAME-label twin must be rejected; the nearest
+    cross-label vector ranks first; an unlabeled vector counts as a
+    negative for a labeled anchor (null-safe inequality); zero-norm
+    junk never surfaces. The LSH twin obeys the same label contract and
+    recovers the planted high-cosine negative."""
+    d = 64
+
+    def vec(*pairs):
+        v = [0.0] * d
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = [
+        (50, vec((0, 1.0)), 1),            # anchor (50 % 50 == 0)
+        (51, vec((0, 1.0), (1, 0.05)), 1), # same-label near-twin: rejected
+        (52, vec((0, 1.0), (1, 0.2)), 2),  # hardest cross-label negative
+        (53, vec((1, 1.0)), 3),            # orthogonal cross-label
+        (54, vec((0, 1.0), (1, 0.3)), None),  # unlabeled counts as negative
+        (55, [0.0] * d, 9),                # zero vector: filtered by load
+        (56, vec((0, 0.5), (1, 1.0)), 2),  # mid-cosine cross-label
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = REGISTRY["q_hard_negatives"].fn(spark, str(tmp_path)).collect()
+    assert {r.anchor_id for r in out} == {50}
+    ranked = [r.negative_id for r in sorted(out, key=lambda r: r.rn)]
+    assert ranked == [52, 54, 56]  # 51 (same label) and 55 (zero) absent
+    assert all(r.negative_label != 1 for r in out)
+
+    lsh = REGISTRY["q_hard_negatives_lsh"].fn(spark, str(tmp_path)).collect()
+    lsh_ids = {r.negative_id for r in lsh}
+    assert 51 not in lsh_ids and 55 not in lsh_ids
+    assert 52 in lsh_ids  # cos 0.98 collides in the OR'd sign tables
+    assert all(r.negative_label != 1 for r in lsh)
+
+
+def test_hard_negatives_lsh_recall_floor(spark, sf_dir):
+    """On the real fixture the LSH twin's pairs at rank 1 recover a
+    reasonable fraction of the exact twin's rank-1 negatives (sign
+    buckets are label-blind, so recall matches q_knn_join_lsh's), and
+    every returned pair satisfies the label contract."""
+    exact = REGISTRY["q_hard_negatives"].fn(spark, sf_dir).collect()
+    lsh = REGISTRY["q_hard_negatives_lsh"].fn(spark, sf_dir).collect()
+    assert len(lsh) > 0
+    lsh_pairs = {(r.anchor_id, r.negative_id) for r in lsh}
+    top1 = {(r.anchor_id, r.negative_id) for r in exact if r.rn == 1}
+    assert len(lsh_pairs & top1) / len(top1) >= 0.1  # isotropic-fixture floor
