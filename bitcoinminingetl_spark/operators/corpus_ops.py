@@ -1609,3 +1609,154 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_ok",
         (eligible & F.col("b_ok")).alias("kept"),
     )
+
+
+_TEMP_ALPHA = 0.3  # mT5/XLM-R default sampling temperature exponent
+_TOKS_SQL = "len(regexp_extract_all(text, '[a-z0-9]+'))"
+
+
+@query(
+    "q_mix_temperature",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *, {roundn_sql(f'pow(n_tokens, {_TEMP_ALPHA})', 6)} AS w
+        FROM src
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_n,
+               CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS tot_w
+        FROM w
+    )
+    SELECT source, n_docs, n_tokens,
+           {roundn_sql('CAST(n_tokens AS DOUBLE) / tot_n', 6)} AS raw_share,
+           {roundn_sql('w / tot_w', 6)} AS temp_share,
+           CASE WHEN n_tokens > 0 THEN
+               {roundn_sql('(w / tot_w) / (CAST(n_tokens AS DOUBLE) / tot_n)', 6)}
+           END AS boost
+    FROM w, tot
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED MIX WEIGHTS (mT5/XLM-R alpha-sampling,
+    arXiv:1910.10683 sec 3.4.2 / arXiv:1911.02116): proportional-to-size
+    sampling lets the largest source drown the mix, uniform sampling
+    over-trains tiny sources; the standard fix samples source s with
+    probability proportional to n_s^alpha (alpha={_TEMP_ALPHA}), which
+    compresses the size ratios. Output per source: doc/token counts, the
+    raw proportional share, the temperature share, and the boost factor
+    (temp/raw — >1 means the source is up-sampled by the temperature).
+
+    Engine-stable numerics: token counts are exact integers; pow() is
+    quantized to 6 dp per source BEFORE the exact decimal total, so the
+    only cross-engine hazard (libm pow at the last ulp) is squeezed out
+    ahead of the normalization; every share is one IEEE double division
+    on identical inputs, rounded to 6 dp.
+
+    Scale shape: ONE grouped aggregate over the corpus (map-side partial
+    sums), then all share math happens on the ||sources||-row relation
+    against a 1-row broadcast total — the corpus is touched once and
+    nothing source-count-sized ever shuffles."""
+    toks = F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    src = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks.cast("long")).alias("n_tokens"),
+        )
+        .withColumn(
+            "w",
+            roundn(F.pow(F.col("n_tokens"), F.lit(_TEMP_ALPHA)), 6, guard=False),
+        )
+    )
+    tot = src.agg(
+        F.sum("n_tokens").cast("double").alias("tot_n"),
+        F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("tot_w"),
+    )
+    raw_share = F.col("n_tokens").cast("double") / F.col("tot_n")
+    temp_share = F.col("w") / F.col("tot_w")
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        roundn(raw_share, 6, guard=False).alias("raw_share"),
+        roundn(temp_share, 6, guard=False).alias("temp_share"),
+        F.when(
+            F.col("n_tokens") > 0,
+            roundn(temp_share / raw_share, 6, guard=False),
+        ).alias("boost"),
+    )
+
+
+_LB_BUCKETS = 8  # length buckets (equal-count, ntile over token length)
+
+
+@query(
+    "q_length_buckets",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, CAST({_TOKS_SQL} AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT *, CAST(ntile({_LB_BUCKETS}) OVER (
+            ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+        FROM lens
+    )
+    SELECT bucket, count(*) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS pad_len,
+           CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(count(*) * max(n_tokens) AS BIGINT) AS padded_tokens,
+           CASE WHEN count(*) * max(n_tokens) > 0 THEN
+               {roundn_sql('1.0 - CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) * max(n_tokens) AS DOUBLE)', 6)}
+           END AS waste_ratio
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING AUDIT: batching variable-length documents
+    pads every sequence to its batch's max, and padding is wasted
+    compute — the standard fix buckets by length first so batch-mates
+    have similar lengths. This query quantifies the win: docs are split
+    into {_LB_BUCKETS} equal-count buckets by token length, and each
+    bucket reports its pad-to length (bucket max), real vs padded token
+    counts, and the waste ratio (1 - real/padded). The unbucketed
+    baseline is the same numbers computed at one global bucket; the test
+    pins that bucketing strictly reduces total waste on any non-constant
+    length distribution.
+
+    The global ntile mirrors q_histogram_equiheight's (the declared
+    ground-truth pattern): a single-task O(n) sort bounded by the docs
+    relation. The 100 TB path swaps it for percentile_approx boundaries
+    broadcast onto a map-only bucketing, exactly as
+    q_histogram_equiheight_approx already implements — the audit math on
+    top is unchanged."""
+    toks = F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    lens = table(spark, sf_dir, "documents").select(
+        "doc_id", toks.cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    padded = F.count(F.lit(1)) * F.max("n_tokens")
+    return (
+        lens.withColumn("bucket", F.ntile(_LB_BUCKETS).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("pad_len"),
+            F.sum("n_tokens").alias("real_tokens"),
+            padded.alias("padded_tokens"),
+            F.when(
+                padded > 0,
+                roundn(
+                    1.0 - F.sum("n_tokens").cast("double") / padded.cast("double"),
+                    6,
+                    guard=False,
+                ),
+            ).alias("waste_ratio"),
+        )
+    )

@@ -732,3 +732,224 @@ def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _HN_K)
     )
+
+
+_BT_K = 4  # neighborhood size for the margin denominators
+_BT_MARGIN = 1.45  # keep threshold on the ratio margin (non-vacuous on the
+# isotropic fixture: best-pair margins span ~1.28-1.65, so the cut keeps
+# roughly the top half and the oracle check exercises both branches)
+
+_BT_AVG_SQL = """
+    CAST(sum(CASE WHEN {rn} <= {k} THEN CAST(cosine AS DECIMAL(18,6)) END)
+             OVER (PARTITION BY {key}) AS DOUBLE)
+    / CAST(count(CASE WHEN {rn} <= {k} THEN 1 END)
+             OVER (PARTITION BY {key}) AS DOUBLE)
+"""
+
+
+@query(
+    "q_bitext_mine",
+    oracle=f"""
+    WITH s AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
+    t AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} <> 0),
+    scored AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+               {roundn_sql(f'{_DOT_SQL} / ({_norm_sql("a")} * {_norm_sql("b")})', 6)}
+                   AS cosine
+        FROM s a JOIN t b ON true
+    ),
+    ranked AS (
+        SELECT *,
+            row_number() OVER (
+                PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS fwd_rn,
+            row_number() OVER (
+                PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS bwd_rn
+        FROM scored
+    ),
+    avgd AS (
+        SELECT *,
+            {_BT_AVG_SQL.format(rn='fwd_rn', k=_BT_K, key='src_id')} AS fwd_avg,
+            {_BT_AVG_SQL.format(rn='bwd_rn', k=_BT_K, key='tgt_id')} AS bwd_avg
+        FROM ranked
+    ),
+    margins AS (
+        SELECT src_id, tgt_id, cosine,
+            CASE WHEN (fwd_avg + bwd_avg) / 2.0 > 0 THEN
+                {roundn_sql('cosine / ((fwd_avg + bwd_avg) / 2.0)', 6)}
+            END AS margin
+        FROM avgd
+    )
+    SELECT src_id, tgt_id, cosine, margin FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+        FROM margins WHERE margin IS NOT NULL
+    ) WHERE rn = 1 AND margin >= {_BT_MARGIN}
+    """,
+)
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARALLEL-PAIR (bitext) MINING, exact ground-truth twin — the
+    margin criterion of Artetxe & Schwenk (ACL'19), the method behind
+    CCMatrix/LASER-scale parallel-corpus construction. Raw cosine is a
+    broken pair score because of HUBS: vectors near the embedding-space
+    centroid score high against everything, so threshold-on-cosine mines
+    hub junk. The ratio margin renormalizes each pair by its two local
+    neighborhoods —
+
+        margin(x, y) = cos(x, y) / ((fwd_avg(x) + bwd_avg(y)) / 2)
+
+    where fwd_avg is the mean of x's top-{_BT_K} candidate cosines and
+    bwd_avg the mean of y's top-{_BT_K} source cosines — and a hub's
+    inflated bwd_avg cancels its inflated cosine. Output: per source
+    vector its best candidate BY MARGIN (not cosine — the planted test
+    pins a rank inversion) when that margin clears {_BT_MARGIN}.
+
+    Engine-stable numerics: cosines rounded to 6 dp; the avg legs are
+    exact DECIMAL(18,6) window sums divided as doubles (both engines do
+    the same correctly-rounded decimal->double conversion); the margin
+    division is one IEEE double op on identical inputs, rounded to 6 dp.
+    Non-positive denominators (adversarially anti-correlated
+    neighborhoods) yield NULL margin, filtered before ranking in both
+    engines — no ANSI division hazard.
+
+    GUARDED all-pairs like q_knn_join (the source side is the 2%
+    vec_id sample, broadcast; candidates are |S|·|T|); the margin
+    windows add two sorts of the pair relation, fine for a twin.
+    q_bitext_mine_lsh is the shippable path this twin measures."""
+    emb = normed_embeddings(spark, sf_dir)
+    s = emb.filter(F.col("vec_id") % _KNN_MOD == 0).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("s_emb"),
+        F.col("norm").alias("s_norm"),
+    )
+    t = emb.filter(F.col("vec_id") % _KNN_MOD != 0)
+    scored = t.join(F.broadcast(s)).select(
+        "src_id",
+        F.col("vec_id").alias("tgt_id"),
+        roundn(
+            _dot(F.col("s_emb"), F.col("embedding"))
+            / (F.col("s_norm") * F.col("norm")),
+            6,
+            # zero-norm-filtered inputs: cosine finite in [-1,1] -> single-eval
+            guard=False,
+        ).alias("cosine"),
+    )
+    return _margin_rank(scored)
+
+
+def _margin_rank(scored: DataFrame) -> DataFrame:
+    """Shared margin machinery over a (src_id, tgt_id, cosine) pair
+    relation: neighborhood ranks, decimal-exact top-K averages, ratio
+    margin, best-per-source cut. Works unchanged on the exact all-pairs
+    relation and on the LSH candidate relation (where the neighborhoods
+    are the candidate sets — exactly how FAISS-backed production miners
+    approximate the denominator)."""
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("tgt_id")
+    )
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.col("cosine").desc(), F.col("src_id")
+    )
+    w_src = Window.partitionBy("src_id")
+    w_tgt = Window.partitionBy("tgt_id")
+
+    def topk_avg(rn_col: str, w) -> Column:
+        kept = F.when(
+            F.col(rn_col) <= _BT_K, F.col("cosine").cast("decimal(18,6)")
+        )
+        return F.sum(kept).over(w).cast("double") / F.count(kept).over(
+            w
+        ).cast("double")
+
+    ranked = (
+        scored.withColumn("fwd_rn", F.row_number().over(w_fwd))
+        .withColumn("bwd_rn", F.row_number().over(w_bwd))
+        .withColumn("fwd_avg", topk_avg("fwd_rn", w_src))
+        .withColumn("bwd_avg", topk_avg("bwd_rn", w_tgt))
+    )
+    denom = (F.col("fwd_avg") + F.col("bwd_avg")) / 2.0
+    margins = ranked.withColumn(
+        "margin",
+        F.when(
+            denom > 0,
+            # identical rounded-double inputs -> identical IEEE division
+            roundn(F.col("cosine") / denom, 6, guard=False),
+        ),
+    ).filter(F.col("margin").isNotNull())
+    w_pick = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id")
+    )
+    return (
+        margins.withColumn("rn", F.row_number().over(w_pick))
+        .filter((F.col("rn") == 1) & (F.col("margin") >= _BT_MARGIN))
+        .select("src_id", "tgt_id", "cosine", "margin")
+    )
+
+
+@query("q_bitext_mine_lsh")  # rows-only: candidate sets are engine-side
+def q_bitext_mine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining at corpus scale: q_knn_join_lsh's blocked candidate
+    generator (4 OR'd 6-plane sign-bucket tables, narrow id-only
+    candidate join, vectors re-attached only for exact scoring) feeding
+    the SAME margin machinery as the exact twin — the denominators'
+    neighborhoods become the candidate sets, which is precisely the
+    approximation FAISS-backed production miners make. Margin is a
+    projection over the candidate relation plus three windows keyed by
+    src/tgt id; the only growing intermediate is the two-long-row
+    candidate relation, same contract as the parent.
+
+    Degeneracy caveat the planted test documents: when a candidate set
+    is THIN (1-2 pairs, only possible on toy fixtures), fwd_avg
+    collapses toward the pair's own cosine and the margin toward ~1, so
+    the threshold filters the pair — the approximate margin needs
+    neighborhood mass to renormalize against, which real corpora always
+    provide (the sf fixture yields non-empty output; the real-fixture
+    test pins that)."""
+    emb = normed_embeddings(spark, sf_dir)
+    bucket_of = _knn_bucket_udf()
+
+    def bucketed(df, idcol):
+        return df.select(
+            F.col("vec_id").alias(idcol),
+            F.posexplode(bucket_of(F.col("embedding"))).alias(
+                f"{idcol}_t", f"{idcol}_bkt"
+            ),
+        )
+
+    s_side = emb.filter(F.col("vec_id") % _KNN_MOD == 0)
+    t_side = emb.filter(F.col("vec_id") % _KNN_MOD != 0)
+    cand = (
+        bucketed(s_side, "src_id")
+        .join(
+            bucketed(t_side, "tgt_id"),
+            (F.col("src_id_t") == F.col("tgt_id_t"))
+            & (F.col("src_id_bkt") == F.col("tgt_id_bkt")),
+        )
+        .select("src_id", "tgt_id")
+        .distinct()
+    )
+    sv = s_side.select(
+        F.col("vec_id").alias("s_id"),
+        F.col("embedding").alias("s_emb"),
+        F.col("norm").alias("s_norm"),
+    )
+    tv = t_side.select(
+        F.col("vec_id").alias("t_id"),
+        F.col("embedding").alias("t_emb"),
+        F.col("norm").alias("t_norm"),
+    )
+    scored = (
+        cand.join(F.broadcast(sv), cand.src_id == sv.s_id)
+        .join(tv, cand.tgt_id == tv.t_id)
+        .select(
+            "src_id",
+            "tgt_id",
+            roundn(
+                _dot(F.col("s_emb"), F.col("t_emb"))
+                / (F.col("s_norm") * F.col("t_norm")),
+                6,
+                # zero-norm-filtered inputs: cosine finite in [-1,1] -> single-eval
+                guard=False,
+            ).alias("cosine"),
+        )
+    )
+    return _margin_rank(scored)

@@ -1581,3 +1581,171 @@ def q_zlib_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ratio.between(_ZLIB_KEEP_LO, _ZLIB_KEEP_HI)
         ).alias("keep"),
     )
+
+
+# ---- retrieval evaluation: nDCG@k / overlap@k of the lexical ranker ----
+import math as _math
+from decimal import Decimal as _Decimal
+
+_EVAL_K = 10
+# 12-dp string literals so both engines parse the EXACT same decimal —
+# log2 at the last ulp is the one libm call that could diverge, so it is
+# evaluated once here, not in either engine.
+_NDCG_DISCOUNTS = [
+    f"{1.0 / _math.log2(i + 1):.12f}" for i in range(1, _EVAL_K + 1)
+]
+# ideal DCG for graded relevance K..1 down the ranking — exact decimal
+_NDCG_IDCG = str(
+    sum(
+        _Decimal(_EVAL_K + 1 - i) * _Decimal(_NDCG_DISCOUNTS[i - 1])
+        for i in range(1, _EVAL_K + 1)
+    )
+)
+_DISC_SQL = (
+    "[" + ", ".join(f"CAST('{d}' AS DECIMAL(14,12))" for d in _NDCG_DISCOUNTS) + "]"
+)
+
+
+@query(
+    "q_retrieval_eval",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               {', '.join(f'CAST({_bm25_tf_sql(t)} AS BIGINT) AS tf{i}'
+                          for i, t in enumerate(_BM25_TERMS))}
+        FROM documents
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS sum_dl,
+               {', '.join(f'CAST(count(*) FILTER (tf{i} > 0) AS BIGINT) AS df{i}'
+                          for i in range(len(_BM25_TERMS)))}
+        FROM t
+    ), lex_pool AS (
+        SELECT doc_id,
+               {' + '.join(
+                   f"(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+                   f" * (tf{i} * ({_BM25_K1} + 1.0))"
+                   f" / (tf{i} + {_BM25_K1} * (1.0 - {_BM25_B}"
+                   f" + {_BM25_B} * dl / (sum_dl * 1.0 / n))))"
+                   for i in range(len(_BM25_TERMS)))} AS score
+        FROM t CROSS JOIN stats
+        WHERE {' + '.join(f'tf{i}' for i in range(len(_BM25_TERMS)))} > 0
+        ORDER BY score DESC, doc_id LIMIT {_EVAL_K}
+    ), lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                   AS lex_rank
+        FROM lex_pool
+    ), qv AS (
+        SELECT embedding AS q FROM embeddings WHERE vec_id = {_RRF_QVEC_ID}
+    ), sem_pool AS (
+        SELECT b.vec_id AS doc_id,
+               list_reduce(list_transform(generate_series(1, len(qv.q)),
+                   i -> CAST(qv.q[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(CAST(qv.q AS DOUBLE[]),
+                      v -> v * v), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(CAST(b.embedding AS DOUBLE[]),
+                      v -> v * v), (x, y) -> x + y))) AS cosine
+        FROM embeddings b CROSS JOIN qv
+        WHERE b.vec_id <> {_RRF_QVEC_ID}
+        ORDER BY cosine DESC, b.vec_id LIMIT {_EVAL_K}
+    ), sem AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+                   AS sem_rank
+        FROM sem_pool
+    ), joined AS (
+        SELECT lex.lex_rank, sem.sem_rank FROM lex
+        LEFT JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT CAST({_EVAL_K} AS BIGINT) AS k,
+           CAST(count(sem_rank) AS BIGINT) AS n_overlap,
+           CAST(count(sem_rank) AS DOUBLE) / {_EVAL_K}.0 AS overlap_at_k,
+           {roundn_sql(
+               "CAST(sum(CAST(CASE WHEN sem_rank IS NOT NULL "
+               f"THEN {_EVAL_K + 1} - sem_rank ELSE 0 END AS DECIMAL(4,0)) "
+               f"* {_DISC_SQL}[lex_rank]) AS DOUBLE) "
+               f"/ CAST('{_NDCG_IDCG}' AS DOUBLE)", 6)} AS ndcg_at_k
+    FROM joined
+    """,
+)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION — overlap@{_EVAL_K} and nDCG@{_EVAL_K} of the
+    lexical BM25 ranker against semantic-cosine graded relevance: before
+    trusting a cheap ranker (BM25) to curate topical data at 100 TB, a
+    pipeline measures how much of the semantic ranking it recovers. The
+    truth side grades the cosine top-{_EVAL_K} (vs the q_hybrid_rrf
+    query embedding) as relevance {_EVAL_K}..1; the system side is
+    q_bm25_rank's exact scoring; nDCG = sum(rel_i * discount_i) / IDCG
+    over the system's ranking.
+
+    Engine-stable numerics: the discounts 1/log2(rank+1) and the IDCG
+    are PYTHON-evaluated 12-dp decimal string literals — neither engine
+    ever calls log2 — so rel*discount products and their sum are exact
+    decimal arithmetic, and the one double division per metric runs on
+    identical inputs. An empty lexical pool yields NULL nDCG and zero
+    overlap in both engines (no ANSI hazard).
+
+    Scale shape: both rankers are TakeOrdered top-{_EVAL_K} pools (the
+    corpus never shuffles — q_bm25_rank / q_hybrid_rrf plan doctrine);
+    every metric computes on a ≤{_EVAL_K}-row relation."""
+    from bitcoinminingetl_spark.operators.dedup import _dot, normed_embeddings
+
+    lex_pool = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_EVAL_K)
+    )
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = lex_pool.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
+    )
+    emb = normed_embeddings(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == _RRF_QVEC_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    sem_pool = (
+        emb.filter(F.col("vec_id") != _RRF_QVEC_ID)
+        .join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (F.col("norm") * F.col("q_norm"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_EVAL_K)
+    )
+    w_sem = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    sem = sem_pool.select(
+        "doc_id", F.row_number().over(w_sem).cast("long").alias("sem_rank")
+    )
+    disc = F.element_at(
+        F.array(
+            *[
+                F.expr(f"CAST('{d}' AS DECIMAL(14,12))")
+                for d in _NDCG_DISCOUNTS
+            ]
+        ),
+        F.col("lex_rank").cast("int"),
+    )
+    rel = F.when(
+        F.col("sem_rank").isNotNull(), F.lit(_EVAL_K + 1) - F.col("sem_rank")
+    ).otherwise(F.lit(0)).cast("decimal(4,0)")
+    return lex.join(sem, "doc_id", "left").agg(
+        F.lit(_EVAL_K).cast("long").alias("k"),
+        F.count("sem_rank").cast("long").alias("n_overlap"),
+        (F.count("sem_rank").cast("double") / float(_EVAL_K)).alias(
+            "overlap_at_k"
+        ),
+        roundn(
+            F.sum(rel * disc).cast("double")
+            / F.lit(float(_Decimal(_NDCG_IDCG))),
+            6,
+            guard=False,
+        ).alias("ndcg_at_k"),
+    )

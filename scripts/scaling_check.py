@@ -85,9 +85,13 @@ AUDIT = [
     ("q_zorder_layout", 1.35, "3 per-layout ntile sorts (n log n); production write path is repartitionByRange"),
     ("q_dedup_triangles", 1.35, "wedge join bounded by near-dup-graph deg^2, corpus never joined"),
     ("q_tpch_market_share", 1.35, "7-relation tree, all dims broadcast; one fact-keyed shuffle"),
+    ("q_hard_negatives_lsh", 1.35, "label-blind sign-bucket candidates; label filter at re-rank"),
+    ("q_bitext_mine_lsh", 1.35, "sign-bucket candidates + margin windows keyed by src/tgt id"),
     # declared super-linear ground-truth twins: audited against their claim
     ("q_knn_join", 2.2, "GUARDED all-pairs exact twin: |A|·|B| ~ n^2"),
     ("q_dedup_ngram_jaccard", 2.2, "exact pair ground truth (df_cap-guarded)"),
+    ("q_hard_negatives", 2.2, "GUARDED all-pairs exact twin (q_knn_join + label predicate)"),
+    ("q_bitext_mine", 2.2, "GUARDED all-pairs exact twin + margin windows on the pair relation"),
 ]
 
 
