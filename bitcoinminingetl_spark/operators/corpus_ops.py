@@ -1659,8 +1659,10 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE grouped aggregate over the corpus (map-side partial
     sums), then all share math happens on the ||sources||-row relation
-    against a 1-row broadcast total — the corpus is touched once and
-    nothing source-count-sized ever shuffles."""
+    via a share-of-total window (one SinglePartition exchange of ~20
+    rows, the q_sql_text_query pattern) — the corpus is scanned once;
+    a broadcast-total crossJoin would duplicate the aggregate subtree
+    and scan it twice."""
     toks = F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
     src = (
         table(spark, sf_dir, "documents")
@@ -1674,13 +1676,20 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(F.pow(F.col("n_tokens"), F.lit(_TEMP_ALPHA)), 6, guard=False),
         )
     )
-    tot = src.agg(
-        F.sum("n_tokens").cast("double").alias("tot_n"),
-        F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("tot_w"),
+    # share-of-total as a window over the ||sources||-row aggregate (the
+    # q_sql_text_query pattern): a broadcast-total crossJoin would
+    # duplicate the src subtree and SCAN THE CORPUS TWICE — the window
+    # costs one SinglePartition exchange of ~20 rows instead
+    w_all = Window.partitionBy()
+    src = src.withColumn(
+        "tot_n", F.sum("n_tokens").over(w_all).cast("double")
+    ).withColumn(
+        "tot_w",
+        F.sum(F.col("w").cast("decimal(18,6)")).over(w_all).cast("double"),
     )
     raw_share = F.col("n_tokens").cast("double") / F.col("tot_n")
     temp_share = F.col("w") / F.col("tot_w")
-    return src.crossJoin(F.broadcast(tot)).select(
+    return src.select(
         "source",
         "n_docs",
         "n_tokens",

@@ -497,3 +497,60 @@ def test_sketch_rollups_single_grouped_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_hll_union_merge")
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_hll_sketch_agg" in plan  # map-side sketch partials
+
+
+def test_hard_negatives_lsh_narrow_candidates(spark, sf_dir):
+    """The label filter must NOT change the candidate plan shape: same
+    narrow bucket equi-join as q_knn_join_lsh (no cartesian pair
+    expansion), anchor vectors re-attached by broadcast, and the label
+    inequality is a post-join filter — never a join strategy downgrade
+    to CartesianProduct."""
+    plan = _plan(spark, sf_dir, "q_hard_negatives_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # anchor-side vector re-attach
+    assert "HashJoin" in plan  # bucket join is hash-based, never nested-loop
+
+
+def test_bitext_mine_lsh_margin_is_windows_not_joins(spark, sf_dir):
+    """The margin machinery must compile to windows over the candidate
+    relation (rank + avg legs share the src/tgt partitionings), not
+    join-backs: no CartesianProduct, and the window count is bounded by
+    the 5 declared specs (fwd/bwd rank, fwd/bwd avg, final pick)."""
+    plan = _plan(spark, sf_dir, "q_bitext_mine_lsh")
+    assert "CartesianProduct" not in plan
+    assert 1 <= plan.count("Window [") <= 5  # operator nodes, not refs
+    assert "BroadcastExchange" in plan  # source-side vector re-attach
+
+
+def test_retrieval_eval_pools_are_take_ordered(spark, sf_dir):
+    """Both ranker pools must be TakeOrderedAndProject (per-partition
+    top-k, corpus never globally sorted) and the metric math must stay
+    JVM-side (BM25's idf ln is the only transcendental — the nDCG
+    discounts are decimal literals, so LOG2 never appears)."""
+    plan = _plan(spark, sf_dir, "q_retrieval_eval")
+    assert plan.count("TakeOrderedAndProject") >= 2  # lex + sem pools
+    assert "EvalPython" not in plan
+    assert "LOG2" not in plan.upper()  # discounts are literals
+
+
+def test_mix_temperature_one_corpus_pass(spark, sf_dir):
+    """The corpus contributes ONE grouped aggregate (map-side partials
+    into a single source-keyed exchange); the totals are a
+    share-of-total window on the ~20-row aggregate, so there is exactly
+    one corpus scan, no join, and no Python."""
+    plan = _plan(spark, sf_dir, "q_mix_temperature")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1  # the fix this test pins
+
+
+def test_length_buckets_single_ntile_window(spark, sf_dir):
+    """The audit is one global ntile window (the declared equiheight
+    ground-truth pattern) followed by one grouped aggregate — no joins,
+    no Python, no second corpus scan."""
+    plan = _plan(spark, sf_dir, "q_length_buckets")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
