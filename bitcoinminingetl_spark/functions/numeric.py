@@ -65,12 +65,27 @@ def round2(col: Column, *, guard: bool = True) -> Column:
     )
 
 
+def _nan_masked(expr: str) -> str:
+    """NaN-mask a double expression before a decimal TRY_CAST.
+
+    DuckDB 1.0's TRY_CAST raises InvalidInputException (not the
+    ConversionException it swallows) on DOUBLE nan -> DECIMAL, so a
+    single NaN would CRASH the oracle where Spark's try_cast calmly
+    yields NULL. Masking NaN to NULL restores the exact Spark semantic:
+    the element drops out of the cast, the COALESCE fallback (scalar
+    rounders) or the max(abs) poison leg (dsum) still sees the raw
+    expression. +/-Inf already TRY_CASTs to NULL in both engines.
+    Found by the adversarial differential test on the poisoned-dimension
+    fixture (r6 VERDICT item 1) — the clean fixtures carry no NaN."""
+    return f"(CASE WHEN NOT isnan({expr}) THEN ({expr}) END)"
+
+
 def round2_sql(expr: str, *, guard: bool = True) -> str:
     """The DuckDB-side twin of :func:`round2`."""
     if not guard or not GUARDS:
         return f"CAST(round(CAST(({expr}) AS DECIMAL(24,6)), 2) AS DOUBLE)"
     return (
-        f"CAST(COALESCE(round(TRY_CAST(({expr}) AS DECIMAL(24,6)), 2), "
+        f"CAST(COALESCE(round(TRY_CAST({_nan_masked(expr)} AS DECIMAL(24,6)), 2), "
         f"round(({expr}), 2)) AS DOUBLE)"
     )
 
@@ -89,7 +104,7 @@ def roundn_sql(expr: str, n: int, *, guard: bool = True) -> str:
     if not guard or not GUARDS:
         return f"CAST(round(CAST(({expr}) AS DECIMAL(28,12)), {n}) AS DOUBLE)"
     return (
-        f"CAST(COALESCE(round(TRY_CAST(({expr}) AS DECIMAL(28,12)), {n}), "
+        f"CAST(COALESCE(round(TRY_CAST({_nan_masked(expr)} AS DECIMAL(28,12)), {n}), "
         f"round(({expr}), {n})) AS DOUBLE)"
     )
 
@@ -134,10 +149,10 @@ def dsum(col: Column, *, bounded: bool = False) -> Column:
 
 def dsum_sql(expr: str, *, bounded: bool = False) -> str:
     if bounded or not GUARDS:
-        return f"CAST(sum(TRY_CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
+        return f"CAST(sum(TRY_CAST({_nan_masked(expr)} AS DECIMAL(18,4))) AS DOUBLE)"
     return (
         f"CASE WHEN max(abs({expr})) >= {_DSUM_BOUND:g} THEN NULL "
-        f"ELSE CAST(sum(TRY_CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE) END"
+        f"ELSE CAST(sum(TRY_CAST({_nan_masked(expr)} AS DECIMAL(18,4))) AS DOUBLE) END"
     )
 
 

@@ -1769,3 +1769,59 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_ratio"),
         )
     )
+
+
+@query("q_length_buckets_approx")  # rows-only: sketch boundaries are engine-specific
+def q_length_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit, 100 TB path (r6 VERDICT stretch
+    7): q_length_buckets' global ntile is a single-task O(n log n) sort
+    — the declared ground-truth pattern, disqualified at corpus scale.
+    This twin swaps it for the q_histogram_equiheight_approx recipe:
+    bucket boundaries from ONE percentile_approx sketch aggregate
+    (mergeable per-partition state, no sort), broadcast back onto the
+    scan as seven scalar columns, each doc's bucket assigned by range
+    comparison inside whole-stage codegen — a map-only pass plus an
+    8-key aggregate. The audit math on top (pad-to length, real vs
+    padded tokens, waste ratio) is unchanged.
+
+    Semantics delta vs the ntile ground truth, by design: range
+    bucketing keeps TIED lengths in one bucket where ntile splits them
+    to equalize counts, so bucket populations are approximately — not
+    exactly — equal. The planted test pins the invariants that survive
+    the swap: doc/token totals conserved, pad lengths monotone across
+    buckets, and total padded tokens within tolerance of (and strictly
+    better than the single global bucket baseline beaten by) the exact
+    ntile answer."""
+    toks = F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    lens = table(spark, sf_dir, "documents").select(
+        "doc_id", toks.cast("long").alias("n_tokens")
+    )
+    qs = [i / _LB_BUCKETS for i in range(1, _LB_BUCKETS)]
+    bounds = lens.agg(
+        F.percentile_approx("n_tokens", qs, 10000).alias("bs")
+    ).select(
+        *[F.element_at("bs", i + 1).alias(f"b{i}") for i in range(len(qs))]
+    )
+    bucket = F.lit(1)
+    for i in range(len(qs)):
+        bucket = bucket + (F.col("n_tokens") > F.col(f"b{i}")).cast("int")
+    padded = F.count(F.lit(1)) * F.max("n_tokens")
+    return (
+        lens.join(F.broadcast(bounds))
+        .select("n_tokens", bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("pad_len"),
+            F.sum("n_tokens").alias("real_tokens"),
+            padded.alias("padded_tokens"),
+            F.when(
+                padded > 0,
+                roundn(
+                    1.0 - F.sum("n_tokens").cast("double") / padded.cast("double"),
+                    6,
+                    guard=False,
+                ),
+            ).alias("waste_ratio"),
+        )
+    )

@@ -628,10 +628,10 @@ _BIGRAM_HEAD_K = 1024
 _BIGRAM_SALT = 16
 
 
-@query(
-    "q_bigram_logprob",
-    oracle=f"""
-    WITH split AS (
+# The bigram-LM scoring CTE chain, shared verbatim by q_bigram_logprob's
+# oracle and the CCNet bucket oracles built on top of the same scores.
+_BIGRAM_LP_CTES = f"""
+    split AS (
         SELECT doc_id, string_split(text, ' ') AS ts FROM documents
     ),
     bg AS (
@@ -643,16 +643,25 @@ _BIGRAM_SALT = 16
     ),
     b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
     c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2),
-    c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1)
-    SELECT b.doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           {roundn_sql(
-               "CAST(sum(CAST(ln(c2.c2 * 1.0 / c1.c1) AS DECIMAL(28,12)))"
-               " AS DOUBLE) / count(*)",
-               6,
-           )} AS avg_logprob
-    FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-    GROUP BY b.doc_id
+    c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+    lm_scored AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               {roundn_sql(
+                   "CAST(sum(CAST(ln(c2.c2 * 1.0 / c1.c1) AS DECIMAL(28,12)))"
+                   " AS DOUBLE) / count(*)",
+                   6,
+               )} AS avg_logprob
+        FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY b.doc_id
+    )"""
+
+
+@query(
+    "q_bigram_logprob",
+    oracle=f"""
+    WITH {_BIGRAM_LP_CTES}
+    SELECT doc_id, n_bigrams, avg_logprob FROM lm_scored
     """,
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,6 +780,116 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
                 "avg_logprob"
             ),
+        )
+    )
+
+
+_CCNET_BUCKET = (
+    "CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+)
+
+
+@query(
+    "q_ccnet_buckets",
+    oracle=f"""
+    WITH {_BIGRAM_LP_CTES},
+    j AS (
+        SELECT s.doc_id, s.avg_logprob, d.lang
+        FROM lm_scored s JOIN documents d USING (doc_id)
+    ),
+    t AS (
+        SELECT lang, avg_logprob,
+               ntile(3) OVER (
+                   PARTITION BY lang ORDER BY avg_logprob DESC, doc_id
+               ) AS t
+        FROM j
+    )
+    SELECT lang, {_CCNET_BUCKET} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {davg_sql('avg_logprob')} AS mean_logprob,
+           min(avg_logprob) AS min_logprob,
+           max(avg_logprob) AS max_logprob
+    FROM t GROUP BY lang, t
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, arXiv:1911.00359
+    sec 4.4): split each language's documents into head/middle/tail
+    TERCILES by language-model score — head (best-scoring third) trains
+    the main run, tail is held for ablations — using the self-trained
+    bigram LM of q_bigram_logprob as the scorer (its per-doc avg_logprob
+    is hash-checked, so bucket membership is engine-stable; higher
+    logprob = lower perplexity = better). Docs with <2 tokens have no
+    LM score and drop out, as in q_bigram_logprob.
+
+    Plan: the scored relation reuses the persisted bigram model (one
+    extra broadcast join to attach lang), then a per-lang ntile(3)
+    window — a per-KEY sort whose state is O(docs per language), the
+    declared ground-truth pattern — and a (lang, bucket) aggregate.
+    The 100 TB path swaps the ntile for per-lang percentile_approx
+    boundaries (q_ccnet_buckets_approx below), exactly the
+    q_length_buckets -> _approx relationship."""
+    scored = q_bigram_logprob(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), "doc_id"
+    )
+    return (
+        j.withColumn("t", F.ntile(3).over(w))
+        .groupBy("lang", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(F.col("avg_logprob")).alias("mean_logprob"),
+            F.min("avg_logprob").alias("min_logprob"),
+            F.max("avg_logprob").alias("max_logprob"),
+        )
+        .select(
+            "lang",
+            F.expr(_CCNET_BUCKET).alias("bucket"),
+            "n_docs",
+            "mean_logprob",
+            "min_logprob",
+            "max_logprob",
+        )
+    )
+
+
+@query("q_ccnet_buckets_approx")  # rows-only: sketch boundaries are engine-specific
+def q_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet quality bucketing, 100 TB path: per-language tercile
+    boundaries from ONE grouped percentile_approx sketch (mergeable
+    per-partition state — no per-lang sort, state O(|langs|), not
+    O(docs per language)), broadcast back onto the scored relation by a
+    lang equi-join, each doc's bucket assigned by range comparison
+    inside whole-stage codegen. Ties at a boundary land in the better
+    bucket (range semantics) where the exact ntile splits them for
+    equal counts — the same declared delta as q_length_buckets_approx;
+    the planted test pins conservation + tolerance vs the exact twin."""
+    scored = q_bigram_logprob(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scored.join(docs, "doc_id")
+    bounds = j.groupBy("lang").agg(
+        F.percentile_approx("avg_logprob", [1 / 3, 2 / 3], 10000).alias("bs")
+    ).select(
+        "lang",
+        F.element_at("bs", 1).alias("b1"),  # 33rd pct (ascending score)
+        F.element_at("bs", 2).alias("b2"),  # 66th pct
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("b2"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("b1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        j.join(F.broadcast(bounds), "lang")
+        .select("lang", bucket.alias("bucket"), "avg_logprob")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(F.col("avg_logprob")).alias("mean_logprob"),
+            F.min("avg_logprob").alias("min_logprob"),
+            F.max("avg_logprob").alias("max_logprob"),
         )
     )
 

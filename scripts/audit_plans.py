@@ -62,6 +62,12 @@ SMJ_OK = {
     "q_funnel_stages",
     "q_bigram_logprob",
     "q_snapshot_diff",
+    # the CCNet pair attaches lang to the bigram-LM scores: scored docs
+    # ⋈ (doc_id, lang) — both corpus-sized id relations, broadcast
+    # impossible at scale; the doc_id-keyed SMJ is the intended plan
+    # (the boundary relation in the approx twin IS broadcast).
+    "q_ccnet_buckets",
+    "q_ccnet_buckets_approx",
     # q_semdedup's within-cell pair stage self-joins the corpus on the
     # (cell, sub-split) block key — both sides fact-sized, broadcast
     # impossible; the blocked SMJ/shuffle join IS the plan, with the

@@ -87,6 +87,11 @@ AUDIT = [
     ("q_tpch_market_share", 1.35, "7-relation tree, all dims broadcast; one fact-keyed shuffle"),
     ("q_hard_negatives_lsh", 1.35, "label-blind sign-bucket candidates; label filter at re-rank"),
     ("q_bitext_mine_lsh", 1.35, "sign-bucket candidates + margin windows keyed by src/tgt id"),
+    # r6 VERDICT item 2: the two driver-run outliers join the audit so
+    # their growth exponents are on record alongside the OUTLIERS_AB
+    # controlled-cost attribution
+    ("q_funnel_stages", 1.35, "per-stage min-after-previous aggs, user_id-keyed joins — linear"),
+    ("q_fingerprint_winnow", 1.35, "rolling-min window over in-scan shingle positions, one exchange"),
     # declared super-linear ground-truth twins: audited against their claim
     ("q_knn_join", 2.2, "GUARDED all-pairs exact twin: |A|·|B| ~ n^2"),
     ("q_dedup_ngram_jaccard", 2.2, "exact pair ground truth (df_cap-guarded)"),

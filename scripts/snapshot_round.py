@@ -14,7 +14,18 @@ verdict asked for: run it as the LAST step of every round. It
    CORRECTNESS_r*.json, BENCH_FULL.json, ORACLE_LOCAL.json,
    GUARDS_AB.json, SCALING.md, PLANS.md);
 3. commits, so `git status` is clean at snapshot and
-   `git log -1 -- ORACLE_LOCAL.json` equals the round's final commit.
+   `git log -1 -- ORACLE_LOCAL.json` equals the round's final commit;
+4. verifies STAMP EXACTNESS (r6 VERDICT item 3): the committed
+   artifact's `tree_commit` must equal the snapshot commit's PARENT
+   and its `tree_dirty` must be false. The stamp cannot equal the
+   snapshot commit's own hash — the stamp is inside the committed
+   tree, so the commit hash depends on the stamp and the only
+   satisfying value is a SHA fixed point. Parent-equality is the
+   strongest checkable invariant: the snapshot commit adds ONLY
+   artifacts, so the code tree the stamp names and the code tree the
+   snapshot commit carries are identical. Check with:
+   `git show HEAD:ORACLE_LOCAL.json | jq -r .tree_commit` ==
+   `git rev-parse --short HEAD~1` (and tree_dirty == false).
 
 Refuses to run on a dirty tree with non-artifact changes (commit your
 code first — the artifact commit must describe exactly one tree).
@@ -43,6 +54,7 @@ ARTIFACTS = (
     "BENCH_FULL.json",
     "ORACLE_LOCAL.json",
     "GUARDS_AB.json",
+    "OUTLIERS_AB.json",
     "SCALING.md",
     "PLANS.md",
 )
@@ -147,7 +159,37 @@ def main() -> int:
         return 0
     _git("commit", "-m", "Snapshot round artifacts: bench + oracle mirror at HEAD")
     print(_git("log", "-1", "--oneline").strip())
-    return 0
+    return verify_stamp_exactness()
+
+
+def verify_stamp_exactness() -> int:
+    """Post-commit stamp check (r6 VERDICT item 3): the artifacts just
+    committed must be stamped at the snapshot commit's parent with a
+    clean tree — i.e. they describe exactly the code tree this commit
+    carries. See the module docstring for why parent-equality (not
+    self-equality, a SHA fixed point) is the exact invariant."""
+    parent = _git("rev-parse", "HEAD~1").strip()
+    ok = True
+    for name in ("BENCH_FULL.json", "ORACLE_LOCAL.json"):
+        try:
+            stamp = json.loads(_git("show", f"HEAD:{name}"))
+        except (subprocess.CalledProcessError, ValueError):
+            print(f"stamp check: {name} missing/unparseable at HEAD")
+            ok = False
+            continue
+        commit, dirty = stamp.get("tree_commit"), stamp.get("tree_dirty")
+        if dirty:
+            print(f"stamp check: {name} stamped at a DIRTY tree")
+            ok = False
+        if not commit or not parent.startswith(commit):
+            print(
+                f"stamp check: {name} tree_commit={commit} != snapshot "
+                f"parent {parent[:12]} — artifacts describe a stale tree"
+            )
+            ok = False
+    if ok:
+        print(f"stamp check: OK (artifacts stamped at parent {parent[:12]})")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -149,6 +149,16 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (32, [float("nan")] + [1.0] * 63, 0),
         (33, [float("inf")] + [1.0] * 63, 1),
     ]
+    embs += [
+        # poisoned DIMENSION (r6 VERDICT item 1): a label-5 group whose
+        # dim 0 carries |x| >= the dsum bound (1e13) while the other 63
+        # dims stay ordinary — davg goes exact-or-NULL on dim 0 ONLY, so
+        # the centroid CSV must render a positional "null" token in BOTH
+        # engines instead of dropping the element and shifting every
+        # later dimension (the latent hash-fail the r6 verdict left open)
+        (34, [2.0e14] + [float(i) / 64 for i in range(1, 64)], 5),
+        (35, [-3.0e14] + [float(i) / 32 for i in range(1, 64)], 5),
+    ]
     spark.createDataFrame(
         embs, "vec_id long, embedding array<float>, label int"
     ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
@@ -186,6 +196,57 @@ def test_corrupt_vectors_are_excluded_not_fatal(spark, adv_dir):
     assert quant[32] == (None, None)
     assert quant[33] == (None, None)
     assert quant[3][0] is not None and quant[3][1] > 0
+
+
+def test_embed_centroids_null_token_parity_with_oracle(spark, adv_dir):
+    """r6 VERDICT item 1, pinned end-to-end on a fixture that actually
+    fires it: the label-5 vectors carry |x| >= the dsum bound in dim 0,
+    so davg poisons that dimension to NULL and the centroid CSV must
+    render a positional "null" token in BOTH engines. DuckDB's
+    printf('%.6f', NULL) yields a NULL list element that array_to_string
+    silently DROPS — the oracle's COALESCE(..., 'null') is what keeps
+    the vectors aligned; without it every dimension after the poisoned
+    one shifts left and the value hash diverges. The clean sf fixtures
+    never reach the bound, so this is the only differential check that
+    exercises the exact-or-NULL rendering path."""
+    import duckdb
+
+    from bitcoinminingetl_spark.functions.numeric import GUARDS
+    from tests.test_oracle import _canon_rows
+
+    spec = REGISTRY["q_embed_centroids"]
+    sdf = spec.fn(spark, adv_dir)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = sdf.collect()
+
+    con = duckdb.connect()
+    try:
+        # Spark writes the fixture as a part-file directory, so the view
+        # needs the glob form (the driver's testdata is single-file)
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{adv_dir}/embeddings.parquet/*.parquet'"
+        )
+        res = con.execute(spec.oracle)
+        o_cols = [d[0].lower() for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        con.close()
+
+    assert sorted(s_cols) == sorted(o_cols)
+    assert len(s_rows) == len(o_rows)
+    assert _canon_rows(s_cols, [tuple(r) for r in s_rows]) == _canon_rows(
+        o_cols, o_rows
+    )
+
+    # non-vacuity: with guards on, the poisoned dimension really rendered
+    # as a "null" token at position 0 and ONLY there (no positional shift)
+    csv5 = next(r.centroid_csv for r in s_rows if r.label == 5)
+    parts = csv5.split(",")
+    assert len(parts) == 64
+    if GUARDS:
+        assert parts[0] == "null"
+        assert "null" not in parts[1:]
 
 
 def test_null_text_yields_null_counts_not_crash(spark, adv_dir):

@@ -1921,6 +1921,76 @@ def test_length_buckets_planted(spark, tmp_path):
     assert sum(r.n_docs for r in out2) == 16
 
 
+def test_length_buckets_approx_tolerance_vs_ntile(spark, sf_dir):
+    """The sketch-boundary scale twin must agree with the exact global-
+    ntile ground truth up to its declared semantics delta (ties stay in
+    one range bucket instead of being split for equal counts): doc and
+    token totals conserved exactly, pad lengths monotone across buckets,
+    total padded tokens within 25% of the ntile answer AND strictly
+    better than the single-global-bucket baseline the operator exists to
+    beat."""
+    exact = sorted(
+        REGISTRY["q_length_buckets"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    approx = sorted(
+        REGISTRY["q_length_buckets_approx"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n_docs for r in approx) == sum(r.n_docs for r in exact)
+    assert sum(r.real_tokens for r in approx) == sum(
+        r.real_tokens for r in exact
+    )
+    pads = [r.pad_len for r in approx]
+    assert pads == sorted(pads)  # contiguous ranges: max monotone
+    exact_padded = sum(r.padded_tokens for r in exact)
+    approx_padded = sum(r.padded_tokens for r in approx)
+    assert approx_padded <= 1.25 * exact_padded
+    n = sum(r.n_docs for r in exact)
+    global_padded = n * max(r.pad_len for r in exact)
+    assert approx_padded < global_padded
+
+
+def test_ccnet_buckets_exact_and_approx(spark, sf_dir):
+    """CCNet terciles: per language the exact ntile buckets are
+    near-equal-count (±1), score-ordered (every head score >= every
+    middle score >= every tail score — equality only on ties), and the
+    sketch-boundary twin conserves totals and stays within tolerance of
+    the exact counts (its declared delta: boundary ties land in the
+    better bucket instead of being split)."""
+    from collections import defaultdict
+
+    exact = REGISTRY["q_ccnet_buckets"].fn(spark, sf_dir).collect()
+    approx = REGISTRY["q_ccnet_buckets_approx"].fn(spark, sf_dir).collect()
+
+    def by_lang(rows):
+        out = defaultdict(dict)
+        for r in rows:
+            out[r.lang][r.bucket] = r
+        return out
+
+    ex, ap = by_lang(exact), by_lang(approx)
+    assert set(ex) == set(ap)
+    for lang, bs in ex.items():
+        assert set(bs) <= {"head", "middle", "tail"}
+        counts = [b.n_docs for b in bs.values()]
+        assert max(counts) - min(counts) <= 1  # ntile near-equal
+        if {"head", "middle", "tail"} <= set(bs):
+            assert bs["head"].min_logprob >= bs["middle"].max_logprob
+            assert bs["middle"].min_logprob >= bs["tail"].max_logprob
+    for lang in ex:
+        n_ex = sum(r.n_docs for r in ex[lang].values())
+        n_ap = sum(r.n_docs for r in ap[lang].values())
+        assert n_ex == n_ap  # conservation: every scored doc bucketed once
+        for bucket, r in ap[lang].items():
+            e = ex[lang].get(bucket)
+            assert e is not None
+            assert abs(r.n_docs - e.n_docs) <= max(3, 0.2 * e.n_docs)
+        ordered = [ap[lang][b] for b in ("head", "middle", "tail") if b in ap[lang]]
+        for hi, lo in zip(ordered, ordered[1:]):
+            assert hi.min_logprob >= lo.max_logprob
+
+
 def _retrieval_eval_fixture(spark, path, reverse):
     """10 docs whose BM25 ranking is doc 1..10 (tf of 'spark' decreasing,
     constant dl) and whose semantic ranking either agrees (doc 1..10) or

@@ -120,6 +120,16 @@ def test_equiheight_approx_no_global_sort(spark, sf_dir):
     assert "ntile(" not in plan  # note: "percentile_approx(" is expected
 
 
+def test_length_buckets_approx_no_global_sort(spark, sf_dir):
+    """The 100 TB length-bucketing twin must not smuggle in the global
+    ntile sort it replaces: no Window, no ntile; sketch boundaries ride
+    a single-row BroadcastExchange onto the map-side bucket assignment."""
+    plan = _plan(spark, sf_dir, "q_length_buckets_approx")
+    assert "Window" not in plan
+    assert "ntile(" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_surrogate_key_dist_parallel_rank(spark, sf_dir):
     """The distributed surrogate key ranks within sketch buckets via a
     parallel hash exchange on the bucket id — the full-data window is

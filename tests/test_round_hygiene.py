@@ -114,6 +114,40 @@ def test_artifact_name_set_is_shared():
     assert ARTIFACT_PREFIXES == ("BENCH_r", "CORRECTNESS_r")
 
 
+def test_every_query_has_oracle_or_planted_test():
+    """Driver-window rotation insurance (r6 VERDICT stretch 8): the
+    driver hash-checks only the ~50 alphabetically-first queries, so a
+    window shift moves queries in and out of the strong gate. This
+    asserts the invariant that makes any shift safe — EVERY registered
+    query either carries a DuckDB oracle (hash-checked by test_oracle.py
+    and the driver) or is named in a test file (planted/property test).
+    Applied to the full registry, not just today's window, so next
+    round's rotation cannot surface an unchecked query."""
+    from bitcoinminingetl_spark.registry import load_all
+
+    # lifecycle queries whose correctness tests exercise the underlying
+    # streaming building block (differential-vs-batch) rather than the
+    # registry wrapper; the alias is the tested function's name
+    aliases = {
+        "q_streaming_window_avg": "windowed_metric_averages",
+        "q_streaming_incremental_dedup": "run_incremental_dedup",
+    }
+    test_src = "\n".join(
+        p.read_text() for p in (REPO / "tests").glob("test_*.py")
+    )
+    registry = load_all()
+    unchecked = [
+        n
+        for n, s in sorted(registry.items())
+        if s.oracle is None
+        and n not in test_src
+        and aliases.get(n, "\x00") not in test_src
+    ]
+    assert not unchecked, (
+        f"rows-only queries with neither oracle nor planted test: {unchecked}"
+    )
+
+
 def test_ab_combine_excludes_lifecycle_and_validates_arms(tmp_path, monkeypatch):
     import scripts.bench_ab_guards as ab
 
