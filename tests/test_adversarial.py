@@ -64,6 +64,15 @@ def adv_dir(spark, tmp_path_factory) -> str:
     for i in range(8):  # magnitudes past the dsum quantization bound (1e13)
         ev.append((600 + i, _T0 + datetime.timedelta(minutes=3 * i), 7, "huge",
                    -1e15 if i % 2 else 1e15, None))
+    # NaN VALUE stream: a corrupt sensor/parse emitting IEEE NaN — the
+    # events-side twin of the NaN embedding component. Spark's guarded
+    # aggregates poison on it (NaN compares greater than the dsum
+    # bound); DuckDB 1.0's TRY_CAST(nan AS DECIMAL) RAISES instead of
+    # NULLing, which the _nan_masked() wrapper in every oracle rounder
+    # exists to absorb — this stream keeps that path permanently hot.
+    for i, v in enumerate([1.0, float("nan"), 2.0]):
+        ev.append((650 + i, _T0 + datetime.timedelta(minutes=i), 8, "nanv",
+                   v, None))
     # partial-null stream: value NULL on a subset while user_id varies —
     # correlation moments must be pairwise-complete (the unpaired uid=100
     # row would deflate a naive stddev(user_id) by ~50x)
@@ -359,6 +368,9 @@ def test_unrepresentable_sums_poison_to_null(spark, adv_dir):
     assert huge and all(r.avg_value is None for r in huge)
     const = [r for r in ohlc if r.event_type == "const"]
     assert const and all(r.avg_value == 5.0 for r in const)
+    # NaN poisons like an over-bound magnitude: exact-or-NULL, no crash
+    nanv = [r for r in ohlc if r.event_type == "nanv"]
+    assert nanv and all(r.avg_value is None for r in nanv)
 
     prof = REGISTRY["q_dq_profile"].fn(spark, adv_dir).collect()[0]
     assert prof.sum_value is None         # control total unrepresentable

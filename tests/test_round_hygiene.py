@@ -114,6 +114,36 @@ def test_artifact_name_set_is_shared():
     assert ARTIFACT_PREFIXES == ("BENCH_r", "CORRECTNESS_r")
 
 
+def test_stamp_exactness_verifier(monkeypatch):
+    """r6 VERDICT item 3: the committed artifact's tree_commit must
+    equal the snapshot commit's PARENT with a clean tree (self-equality
+    is a SHA fixed point — the stamp lives inside the committed tree).
+    The verifier must pass exactly that case and fail stale or dirty
+    stamps."""
+    import scripts.snapshot_round as sr
+
+    def fake_git(stamp):
+        def _git(*args):
+            if args[:2] == ("rev-parse", "HEAD~1"):
+                return "abc1234def5678\n"
+            if args[0] == "show":
+                return json.dumps(stamp)
+            raise AssertionError(args)
+        return _git
+
+    good = {"tree_commit": "abc1234", "tree_dirty": False}
+    monkeypatch.setattr(sr, "_git", fake_git(good))
+    assert sr.verify_stamp_exactness() == 0
+
+    for bad in (
+        {"tree_commit": "abc1234", "tree_dirty": True},       # dirty tree
+        {"tree_commit": "0ld5tale", "tree_dirty": False},     # stale stamp
+        {"tree_dirty": False},                                # no stamp
+    ):
+        monkeypatch.setattr(sr, "_git", fake_git(bad))
+        assert sr.verify_stamp_exactness() == 1
+
+
 def test_every_query_has_oracle_or_planted_test():
     """Driver-window rotation insurance (r6 VERDICT stretch 8): the
     driver hash-checks only the ~50 alphabetically-first queries, so a
