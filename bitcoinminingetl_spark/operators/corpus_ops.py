@@ -1825,3 +1825,101 @@ def q_length_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_ratio"),
         )
     )
+
+
+# Token-budget epoch math (Muennighoff et al. 2023, arXiv:2305.16264):
+# value per repeated epoch decays fast and is roughly spent after ~4
+# epochs, so the mix planner flags any source whose temperature share
+# forces more than _MIX_MAX_EPOCHS passes over it.
+_MIX_BUDGET_MULT = 4  # training budget = 4x the corpus token count
+_MIX_MAX_EPOCHS = 4.0
+
+
+@query(
+    "q_mix_epochs",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *, {roundn_sql(f'pow(n_tokens, {_TEMP_ALPHA})', 6)} AS w
+        FROM src
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_n,
+               CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS tot_w
+        FROM w
+    )
+    SELECT source, n_docs, n_tokens,
+           {roundn_sql('w / tot_w', 6)} AS temp_share,
+           {roundn_sql(f'{_MIX_BUDGET_MULT} * tot_n * (w / tot_w)', 6)}
+               AS budget_tokens,
+           CASE WHEN n_tokens > 0 THEN
+               {roundn_sql(
+                   f'{_MIX_BUDGET_MULT} * tot_n * (w / tot_w) / n_tokens', 6
+               )}
+           END AS epochs,
+           CASE WHEN n_tokens > 0 THEN
+               {roundn_sql(
+                   f'{_MIX_BUDGET_MULT} * tot_n * (w / tot_w) / n_tokens', 6
+               )} > {_MIX_MAX_EPOCHS}
+           END AS over_repeat_limit
+    FROM w, tot
+    """,
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH ALLOCATION UNDER A TOKEN BUDGET: q_mix_temperature's
+    temperature shares decide how the training budget (here 4x the
+    corpus token count, _MIX_BUDGET_MULT) splits across sources;
+    this query converts each source's share into the number of EPOCHS
+    over that source (budget_tokens / n_tokens) and flags sources pushed
+    past the ~4-epoch repetition limit of Muennighoff et al. 2023
+    (arXiv:2305.16264) — the data-constrained-scaling rule that repeated
+    tokens stop buying loss after about four passes, which is exactly
+    what temperature up-sampling of tiny sources silently violates.
+
+    Scale shape: identical to q_mix_temperature — ONE grouped aggregate
+    over the corpus, then all budget math on the ||sources||-row
+    relation via the share-of-total window (no broadcast-total crossJoin
+    double scan). Epoch counts are ratios of engine-stable quantities
+    (exact integer token counts, 6-dp-quantized pow), so the flag's
+    comparison is deterministic cross-engine."""
+    toks = F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    src = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks.cast("long")).alias("n_tokens"),
+        )
+        .withColumn(
+            "w",
+            roundn(F.pow(F.col("n_tokens"), F.lit(_TEMP_ALPHA)), 6, guard=False),
+        )
+    )
+    w_all = Window.partitionBy()
+    src = src.withColumn(
+        "tot_n", F.sum("n_tokens").over(w_all).cast("double")
+    ).withColumn(
+        "tot_w",
+        F.sum(F.col("w").cast("decimal(18,6)")).over(w_all).cast("double"),
+    )
+    budget_tokens = _MIX_BUDGET_MULT * F.col("tot_n") * (
+        F.col("w") / F.col("tot_w")
+    )
+    epochs = roundn(
+        budget_tokens / F.col("n_tokens"), 6, guard=False
+    )
+    return src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        roundn(F.col("w") / F.col("tot_w"), 6, guard=False).alias("temp_share"),
+        roundn(budget_tokens, 6, guard=False).alias("budget_tokens"),
+        F.when(F.col("n_tokens") > 0, epochs).alias("epochs"),
+        F.when(F.col("n_tokens") > 0, epochs > _MIX_MAX_EPOCHS).alias(
+            "over_repeat_limit"
+        ),
+    )

@@ -1886,6 +1886,22 @@ def test_mix_temperature_planted(spark, tmp_path):
     assert out["empty"].raw_share == 0.0 and out["empty"].temp_share == 0.0
     assert out["empty"].boost is None
 
+    # Epoch allocation on the same fixture: the budget is 4x total
+    # tokens, so the damped big source trains UNDER 4 epochs and the
+    # boosted small one blows past the ~4-epoch repetition limit
+    # (100:4 raw -> 25^0.3 ~ 2.6x tempered means small's epoch count is
+    # ~2.6x big's around the 4-epoch mean). Budgets must conserve: the
+    # per-source token budgets sum back to 4x the corpus.
+    ep = {r.source: r for r in REGISTRY["q_mix_epochs"].fn(spark, str(tmp_path)).collect()}
+    assert set(ep) == {"big", "small", "empty"}
+    assert ep["big"].epochs < 4.0 < ep["small"].epochs
+    assert ep["small"].over_repeat_limit is True
+    assert ep["big"].over_repeat_limit is False
+    total_tokens = sum(r.n_tokens for r in ep.values())
+    budget = sum(r.budget_tokens for r in ep.values())
+    assert abs(budget - 4 * total_tokens) < 1e-3 * total_tokens
+    assert ep["empty"].epochs is None and ep["empty"].over_repeat_limit is None
+
 
 def test_length_buckets_planted(spark, tmp_path):
     """Bucketing by length strictly reduces padding waste on a bimodal

@@ -120,6 +120,19 @@ def test_equiheight_approx_no_global_sort(spark, sf_dir):
     assert "ntile(" not in plan  # note: "percentile_approx(" is expected
 
 
+def test_ccnet_buckets_approx_no_per_lang_sort(spark, sf_dir):
+    """The CCNet scale twin must not smuggle in the per-language ntile
+    sort it replaces: no Window/ntile; the per-lang tercile boundaries
+    ride a BroadcastExchange onto the scored relation."""
+    plan = _plan(spark, sf_dir, "q_ccnet_buckets_approx")
+    # the inherited bigram-LM subplan legitimately carries a Window
+    # partitioned by w1 (the vocab-sized c(w1) marginal); what must NOT
+    # appear is a doc-sized window partitioned by lang, or any ntile
+    assert "windowspecdefinition(lang" not in plan
+    assert "ntile(" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_length_buckets_approx_no_global_sort(spark, sf_dir):
     """The 100 TB length-bucketing twin must not smuggle in the global
     ntile sort it replaces: no Window, no ntile; sketch boundaries ride

@@ -89,8 +89,22 @@ def test_skip_bench_refuses_when_code_changed_since_stamp(tmp_path, monkeypatch)
 
 
 def test_bench_stamps_run_configuration():
-    """BENCH_FULL.json must carry the knobs that alter what it measured."""
-    full = json.loads((REPO / "BENCH_FULL.json").read_text())
+    """The COMMITTED BENCH_FULL.json must carry the knobs that alter
+    what it measured, and must be a canonical guards-on/oracle-on run.
+    Gates HEAD's artifact, not the working tree: mid-round the tree
+    legitimately holds a verify or A/B arm's overwrite (oracle skipped,
+    sometimes guards off), which snapshot_round regenerates before the
+    round commits — only the committed artifact is the judged one."""
+    import subprocess
+
+    proc = subprocess.run(
+        ["git", "show", "HEAD:BENCH_FULL.json"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    full = json.loads(
+        proc.stdout if proc.returncode == 0
+        else (REPO / "BENCH_FULL.json").read_text()
+    )
     # the canonical committed artifact must be a guards-on, oracle-on run
     # (older artifacts predate the stamp; once regenerated these are hard)
     if "numeric_guards" in full:
