@@ -185,6 +185,7 @@ def main() -> None:
         from bitcoinminingetl_spark.operators import corpus_ops as _corpus
         from bitcoinminingetl_spark.operators import dedup as _dedup
         from bitcoinminingetl_spark.operators import scans as _scans
+        from bitcoinminingetl_spark.operators import text as _text
 
         def _mat(build):  # materialize a persist-backed relation fully
             return lambda: (
@@ -241,6 +242,12 @@ def main() -> None:
             (
                 "partitioned_events_layout",
                 lambda: _scans._partitioned_events(spark, sf_dir),
+            ),
+            # per-doc LM score table shared by the CCNet bucket pair
+            # (bigram probe join runs once for the family, not per query)
+            (
+                "ccnet_scored",
+                _mat(lambda: _text.ccnet_scored(spark, sf_dir)),
             ),
         ):
             t0 = time.perf_counter()

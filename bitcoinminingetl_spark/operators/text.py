@@ -788,6 +788,32 @@ _CCNET_BUCKET = (
     "CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
 )
 
+_CCNET_SCORED_CACHE: dict = {}
+
+
+def ccnet_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist-once per (session, corpus) LM-scored doc relation
+    (doc_id, n_bigrams, avg_logprob, lang) shared by the CCNet bucket
+    pair. Without it every consumer re-plans the full bigram probe join
+    — the corpus's dominant scoring stage — and q_ccnet_buckets_approx
+    alone would run it TWICE (once under the per-lang boundary
+    aggregate, once under the bucketing join). |docs|-row, 4 narrow
+    columns: exactly the per-doc score table a production pipeline
+    materializes once per corpus snapshot. Prebuilt by bench.py's
+    shared-infra step so its one-time cost is attributed to the family,
+    not to whichever bucket query runs first."""
+    def build() -> DataFrame:
+        return q_bigram_logprob(spark, sf_dir).join(
+            table(spark, sf_dir, "documents").select("doc_id", "lang"),
+            "doc_id",
+        )
+
+    return lru_persisted(
+        _CCNET_SCORED_CACHE,
+        f"{spark.sparkContext.applicationId}:{sf_dir}:ccnet_scored",
+        build,
+    )
+
 
 @query(
     "q_ccnet_buckets",
@@ -822,16 +848,14 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     logprob = lower perplexity = better). Docs with <2 tokens have no
     LM score and drop out, as in q_bigram_logprob.
 
-    Plan: the scored relation reuses the persisted bigram model (one
-    extra broadcast join to attach lang), then a per-lang ntile(3)
-    window — a per-KEY sort whose state is O(docs per language), the
-    declared ground-truth pattern — and a (lang, bucket) aggregate.
-    The 100 TB path swaps the ntile for per-lang percentile_approx
-    boundaries (q_ccnet_buckets_approx below), exactly the
-    q_length_buckets -> _approx relationship."""
-    scored = q_bigram_logprob(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    j = scored.join(docs, "doc_id")
+    Plan: the scored relation is the persist-once ccnet_scored table
+    (bigram scores ⋈ lang, shared with the approx twin), then a
+    per-lang ntile(3) window — a per-KEY sort whose state is O(docs per
+    language), the declared ground-truth pattern — and a (lang, bucket)
+    aggregate. The 100 TB path swaps the ntile for per-lang
+    percentile_approx boundaries (q_ccnet_buckets_approx below),
+    exactly the q_length_buckets -> _approx relationship."""
+    j = ccnet_scored(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy(
         F.col("avg_logprob").desc(), "doc_id"
     )
@@ -865,10 +889,12 @@ def q_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside whole-stage codegen. Ties at a boundary land in the better
     bucket (range semantics) where the exact ntile splits them for
     equal counts — the same declared delta as q_length_buckets_approx;
-    the planted test pins conservation + tolerance vs the exact twin."""
-    scored = q_bigram_logprob(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    j = scored.join(docs, "doc_id")
+    the planted test pins conservation + tolerance vs the exact twin.
+    Both the boundary aggregate and the bucketing join consume the
+    persist-once ccnet_scored relation, so the LM probe join (the
+    dominant stage) runs ONCE for the whole bucket family rather than
+    once per consumer leg."""
+    j = ccnet_scored(spark, sf_dir)
     bounds = j.groupBy("lang").agg(
         F.percentile_approx("avg_logprob", [1 / 3, 2 / 3], 10000).alias("bs")
     ).select(

@@ -16,9 +16,16 @@ rather than masquerading as a per-query regression.
 
 Output: OUTLIERS_AB.json at the repo root with per-query
 {reps, min, median} plus the r6 driver/committed readings for the
-side-by-side. A min-of-reps within ~25% of the committed-bench reading
-attributes the driver number to environment noise; a min tracking the
-driver reading would be a real plan regression to trim.
+side-by-side. SCOPE OF THE VERDICT: this harness adjudicates exactly one
+claim — does the DRIVER reading reproduce under controlled conditions?
+A min-of-reps well below it (<= 0.75x) even in this harness's HARSHER
+minimal context (no 200-query warm ramp, so its floor sits structurally
+above the full-bench numbers) means the driver reading was never plan
+cost. It does NOT certify the absence of a regression against the
+committed full-bench baseline — the two contexts are not comparable
+query-for-query; regression-vs-committed is tracked by the snapshot
+bench and the interleaved full-bench GUARDS_AB design, whose minima are
+embedded here as guards_ab_min_r6 for the side-by-side.
 
 Usage (one-shot):   python scripts/bench_ab_outliers.py [reps=4]
 Usage (stepwise):   python scripts/bench_ab_outliers.py run <rep>
@@ -148,10 +155,11 @@ def combine() -> int:
             # was never plan cost; tracking or exceeding it would be a
             # real regression.
             queries[name]["attribution"] = (
-                "driver reading not reproducible -> environment noise "
-                "(full-bench-context floor: guards_ab_min_r6)"
+                "driver reading not reproducible -> environment noise for "
+                "the adjudicated reading (regression-vs-committed is the "
+                "snapshot bench's job; full-bench floor: guards_ab_min_r6)"
                 if min(ts) <= 0.75 * ctx["driver_r6"]
-                else "REAL REGRESSION — trim the plan"
+                else "driver reading REPRODUCES — real plan cost, trim it"
             )
     out = {
         "metric": "outliers_ab",

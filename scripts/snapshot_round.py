@@ -16,16 +16,17 @@ verdict asked for: run it as the LAST step of every round. It
 3. commits, so `git status` is clean at snapshot and
    `git log -1 -- ORACLE_LOCAL.json` equals the round's final commit;
 4. verifies STAMP EXACTNESS (r6 VERDICT item 3): the committed
-   artifact's `tree_commit` must equal the snapshot commit's PARENT
-   and its `tree_dirty` must be false. The stamp cannot equal the
-   snapshot commit's own hash — the stamp is inside the committed
-   tree, so the commit hash depends on the stamp and the only
-   satisfying value is a SHA fixed point. Parent-equality is the
-   strongest checkable invariant: the snapshot commit adds ONLY
-   artifacts, so the code tree the stamp names and the code tree the
-   snapshot commit carries are identical. Check with:
-   `git show HEAD:ORACLE_LOCAL.json | jq -r .tree_commit` ==
-   `git rev-parse --short HEAD~1` (and tree_dirty == false).
+   artifact's `tree_commit` must name a clean tree whose CODE equals
+   the snapshot commit's — its diff to HEAD contains only artifact
+   files. The stamp cannot equal the snapshot commit's own hash: the
+   stamp is inside the committed tree, so the commit hash depends on
+   the stamp and the only satisfying value is a SHA fixed point.
+   In the regenerate path the stamp is simply the snapshot's parent —
+   check with `git show HEAD:ORACLE_LOCAL.json | jq -r .tree_commit`
+   == `git rev-parse --short HEAD~1` (and tree_dirty == false); the
+   --skip-bench path additionally tolerates artifact-only commits
+   (e.g. driver-written BENCH_r*/CORRECTNESS_r*) between the stamp
+   and the snapshot, the same admission its fitness gate applies.
 
 Refuses to run on a dirty tree with non-artifact changes (commit your
 code first — the artifact commit must describe exactly one tree).
@@ -155,8 +156,10 @@ def main() -> int:
     to_add = [n for n in sorted(artifact_names) if (REPO / n).exists()]
     _git("add", "-f", *to_add)
     if not _git("status", "--porcelain").strip():
+        # still verify: a rerun after a failed stamp check must not
+        # flip to success with the same stale artifact committed
         print("nothing to commit; artifacts already current")
-        return 0
+        return verify_stamp_exactness()
     _git("commit", "-m", "Snapshot round artifacts: bench + oracle mirror at HEAD")
     print(_git("log", "-1", "--oneline").strip())
     return verify_stamp_exactness()
@@ -164,11 +167,19 @@ def main() -> int:
 
 def verify_stamp_exactness() -> int:
     """Post-commit stamp check (r6 VERDICT item 3): the artifacts just
-    committed must be stamped at the snapshot commit's parent with a
-    clean tree — i.e. they describe exactly the code tree this commit
-    carries. See the module docstring for why parent-equality (not
-    self-equality, a SHA fixed point) is the exact invariant."""
-    parent = _git("rev-parse", "HEAD~1").strip()
+    committed must be stamped at a clean tree whose CODE is identical to
+    the snapshot commit's — i.e. tree_commit is the snapshot's parent
+    (the regenerate path), or an ancestor separated from HEAD only by
+    artifact commits (the --skip-bench path, same admission criterion as
+    _skip_bench_objection: e.g. a driver-written BENCH_r*/CORRECTNESS_r*
+    commit landing between bench and snapshot). Self-equality is
+    unattainable — the stamp lives inside the committed tree, so the
+    commit hash depends on it (a SHA fixed point); artifact-only
+    separation is the exact invariant that matters: the code tree the
+    stamp names and the code tree the snapshot carries are the same."""
+    artifact_names = set(ARTIFACTS)
+    for g in ARTIFACT_GLOBS:
+        artifact_names |= {p.name for p in REPO.glob(g)}
     ok = True
     for name in ("BENCH_FULL.json", "ORACLE_LOCAL.json"):
         try:
@@ -181,14 +192,29 @@ def verify_stamp_exactness() -> int:
         if dirty:
             print(f"stamp check: {name} stamped at a DIRTY tree")
             ok = False
-        if not commit or not parent.startswith(commit):
+        if not commit:
+            print(f"stamp check: {name} carries no tree_commit")
+            ok = False
+            continue
+        try:
+            changed = _git("diff", "--name-only", f"{commit}..HEAD").splitlines()
+        except subprocess.CalledProcessError:
+            print(f"stamp check: {name} tree_commit={commit} not in history")
+            ok = False
+            continue
+        code_changed = [
+            f for f in changed
+            if f not in artifact_names and not f.startswith(ARTIFACT_PREFIXES)
+        ]
+        if code_changed:
             print(
-                f"stamp check: {name} tree_commit={commit} != snapshot "
-                f"parent {parent[:12]} — artifacts describe a stale tree"
+                f"stamp check: {name} tree_commit={commit} is separated "
+                f"from the snapshot by CODE changes: {code_changed[:5]} — "
+                "artifacts describe a stale tree"
             )
             ok = False
     if ok:
-        print(f"stamp check: OK (artifacts stamped at parent {parent[:12]})")
+        print("stamp check: OK (artifact stamps and snapshot share one code tree)")
     return 0 if ok else 1
 
 
