@@ -126,6 +126,17 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (11, None, "en", "s1", 0),               # NULL text
         (12, "foo\x0bbar baz", "en", "s1", 11),  # vertical tab: Java \s
                                                  # has it, RE2 \s doesn't
+        # pathological token/encoding shapes a 100 TB web crawl contains:
+        (13, "x" * 30000, "en", "s2", 30000),    # ONE 30k-char token — no
+                                                 # whitespace, stresses regex
+                                                 # tokenizers + char n-grams
+        (14, "café " * 40 + "éé", "fr", "s2", 0),
+                                                 # combining accents (NFD)
+        (15, "مرحبا بالع"
+             "الم نص عربي",
+         "ar", "s1", 0),                         # RTL Arabic
+        (16, "a​b ‌c‍d test zw", "en", "s1", 0),
+                                                 # zero-width space/joiners
     ] + [
         (
             100 + i,
