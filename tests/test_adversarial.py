@@ -73,6 +73,12 @@ def adv_dir(spark, tmp_path_factory) -> str:
     for i, v in enumerate([1.0, float("nan"), 2.0]):
         ev.append((650 + i, _T0 + datetime.timedelta(minutes=i), 8, "nanv",
                    v, None))
+    # +/-Inf VALUE stream: the other non-finite — TRY_CASTs to NULL in
+    # both engines (unlike NaN, which raises in DuckDB), and max(abs)
+    # compares greater than the dsum bound, so guarded aggregates poison
+    for i, v in enumerate([1.0, float("inf"), float("-inf")]):
+        ev.append((660 + i, _T0 + datetime.timedelta(minutes=i), 8, "infv",
+                   v, None))
     # partial-null stream: value NULL on a subset while user_id varies —
     # correlation moments must be pairwise-complete (the unpaired uid=100
     # row would deflate a naive stddev(user_id) by ~50x)
@@ -379,9 +385,11 @@ def test_unrepresentable_sums_poison_to_null(spark, adv_dir):
     assert huge and all(r.avg_value is None for r in huge)
     const = [r for r in ohlc if r.event_type == "const"]
     assert const and all(r.avg_value == 5.0 for r in const)
-    # NaN poisons like an over-bound magnitude: exact-or-NULL, no crash
+    # NaN and +/-Inf poison like an over-bound magnitude: exact-or-NULL
     nanv = [r for r in ohlc if r.event_type == "nanv"]
     assert nanv and all(r.avg_value is None for r in nanv)
+    infv = [r for r in ohlc if r.event_type == "infv"]
+    assert infv and all(r.avg_value is None for r in infv)
 
     prof = REGISTRY["q_dq_profile"].fn(spark, adv_dir).collect()[0]
     assert prof.sum_value is None         # control total unrepresentable
