@@ -380,3 +380,70 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(F.avg(F.col("d_hi") - F.col("d_lo")), 2).alias("avg_day_span"),
         roundn(F.avg(F.col("q_hi") - F.col("q_lo")), 2).alias("avg_qty_span"),
     )
+
+
+# Compaction planning: files below this fraction of the target are the
+# "small files" OPTIMIZE exists to merge; bins aim at the target size.
+_COMPACT_TARGET_BYTES = 128 * 1024 * 1024  # one ideal scan split
+
+
+@query("q_compaction_plan")  # rows-only: file sizes are write/engine state
+def q_compaction_plan(
+    spark: SparkSession, sf_dir: str, *, target_bytes: int | None = None
+) -> DataFrame:
+    """SMALL-FILE COMPACTION PLAN — the maintenance job every long-lived
+    100 TB table needs (Delta/Iceberg OPTIMIZE's planning step): streaming
+    ingest and per-partition writes accumulate files far below the ideal
+    scan split, and scan cost degrades from data-bound to
+    file-open-bound. This query reads the date-partitioned events layout
+    THROUGH Spark's hidden ``_metadata`` struct (file_path/file_size —
+    per-file stats for free on any parquet scan, no driver-side
+    listing), reduces to one row per physical file, and next-fit
+    bin-packs each partition's files into merge groups aimed at the
+    128 MiB target: bin = floor(running-bytes-before / target) over a
+    per-partition cumulative window. Output per (ds, bin): file count,
+    byte and row totals, and whether the bin is worth rewriting
+    (more than one file in it).
+
+    Scale shape: the per-file relation is |files| rows — orders of
+    magnitude below the data — produced by a (ds, file) hash aggregate
+    whose map side collapses each scan task to one row. The cumulative
+    window partitions by ds (compaction never merges across partition
+    directories, exactly like OPTIMIZE), so window state is O(files per
+    partition), and the final plan aggregate is a (ds, bin) rollup.
+    The REWRITE step this plans for is a per-bin coalesced read-write —
+    one pass over just the small files."""
+    target = target_bytes or _COMPACT_TARGET_BYTES
+    path = _partitioned_events(spark, sf_dir)
+    per_file = (
+        spark.read.parquet(path)
+        .select(
+            # partition-dir values read back type-inferred (DATE here);
+            # the plan's ds is a directory NAME, so pin it to string
+            F.col("ds").cast("string").alias("ds"),
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.file_size").alias("bytes"),
+        )
+        .groupBy("ds", "file")
+        .agg(F.max("bytes").alias("bytes"), F.count(F.lit(1)).alias("rows"))
+    )
+    w = Window.partitionBy("ds").orderBy("file")
+    binned = per_file.withColumn(
+        "bin",
+        F.floor(
+            (F.coalesce(
+                F.sum("bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ))
+            / F.lit(target)
+        ).cast("long"),
+    )
+    return (
+        binned.groupBy("ds", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.sum("rows").cast("long").alias("total_rows"),
+            (F.count(F.lit(1)) > 1).alias("rewrite_worthwhile"),
+        )
+    )

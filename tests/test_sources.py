@@ -89,6 +89,56 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == rows_before
 
 
+def test_compaction_plan_bins_small_files(spark, sf_dir, tmp_path):
+    """q_compaction_plan (the PLANNING twin of compact_small_files'
+    rewrite): on a deliberately fragmented date-partitioned layout it
+    must (a) conserve rows, (b) never merge across ds partitions,
+    (c) collapse every partition to ONE worthwhile bin under a huge
+    target, and (d) under a tiny target respect the next-fit bound —
+    each bin's bytes stay below target + one largest file."""
+    from bitcoinminingetl_spark.operators import scans
+
+    frag = str(tmp_path / "frag_by_day")
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+        .filter(F.col("ds").isin("2024-01-05", "2024-01-06"))
+    )
+    for i in range(4):  # micro-batch appends: 4 x 3 tiny files per ds
+        ev.filter(F.col("event_id") % 4 == i).repartition(3).write.mode(
+            "append"
+        ).partitionBy("ds").parquet(frag)
+    fake_sf = str(tmp_path / "fake_sf")
+    scans._PARTITIONED_LAYOUTS[fake_sf] = frag
+    try:
+        total_rows = spark.read.parquet(frag).count()
+
+        plan = scans.q_compaction_plan(
+            spark, fake_sf, target_bytes=1 << 40
+        ).collect()
+        assert {r.ds for r in plan} == {"2024-01-05", "2024-01-06"}
+        assert all(r.bin == 0 for r in plan)  # one bin per partition
+        assert all(r.n_files > 1 and r.rewrite_worthwhile for r in plan)
+        assert sum(r.total_rows for r in plan) == total_rows
+
+        tiny = 4096
+        plan2 = scans.q_compaction_plan(
+            spark, fake_sf, target_bytes=tiny
+        ).collect()
+        assert sum(r.total_rows for r in plan2) == total_rows
+        per_file_max = (
+            spark.read.parquet(frag)
+            .select(F.col("_metadata.file_size").alias("b"))
+            .agg(F.max("b"))
+            .collect()[0][0]
+        )
+        assert len(plan2) > len(plan)  # tiny target -> more bins
+        assert all(r.total_bytes < tiny + per_file_max for r in plan2)
+    finally:
+        scans._PARTITIONED_LAYOUTS.pop(fake_sf, None)
+
+
 def test_zorder_layout_prunes_multi_column(spark, sf_dir, tmp_path):
     """Z-ordered files carry tight min/max envelopes on BOTH clustered
     columns: a two-predicate filter touches fewer files than on a
