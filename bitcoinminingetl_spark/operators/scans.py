@@ -382,8 +382,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Compaction planning: files below this fraction of the target are the
-# "small files" OPTIMIZE exists to merge; bins aim at the target size.
+# Compaction planning: files below the target are the "small files"
+# OPTIMIZE exists to merge; bins aim at the target size.
 _COMPACT_TARGET_BYTES = 128 * 1024 * 1024  # one ideal scan split
 
 
@@ -405,6 +405,11 @@ def q_compaction_plan(
     byte and row totals, and whether the bin is worth rewriting
     (more than one file in it).
 
+    Only files BELOW the target size are candidates — an
+    already-target-sized file is exactly what OPTIMIZE planning exists
+    to skip, and sweeping it into a bin would direct a pointless
+    rewrite of data that is already laid out right.
+
     Scale shape: the per-file relation is |files| rows — orders of
     magnitude below the data — produced by a (ds, file) hash aggregate
     whose map side collapses each scan task to one row. The cumulative
@@ -412,8 +417,17 @@ def q_compaction_plan(
     directories, exactly like OPTIMIZE), so window state is O(files per
     partition), and the final plan aggregate is a (ds, bin) rollup.
     The REWRITE step this plans for is a per-bin coalesced read-write —
-    one pass over just the small files."""
-    target = target_bytes or _COMPACT_TARGET_BYTES
+    one pass over just the small files.
+
+    Known limitation, by construction: ``_metadata`` is a row-level
+    column, so ZERO-ROW parquet files never reach the aggregate and are
+    invisible to this plan. The rewrite twin
+    (sources/sink.compact_small_files) works from a directory listing
+    and does sweep them; a listing-based inventory is the fix if empty
+    files ever dominate a layout."""
+    if target_bytes is not None and target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    target = _COMPACT_TARGET_BYTES if target_bytes is None else target_bytes
     path = _partitioned_events(spark, sf_dir)
     per_file = (
         spark.read.parquet(path)
@@ -426,6 +440,7 @@ def q_compaction_plan(
         )
         .groupBy("ds", "file")
         .agg(F.max("bytes").alias("bytes"), F.count(F.lit(1)).alias("rows"))
+        .filter(F.col("bytes") < target)  # small files only — see above
     )
     w = Window.partitionBy("ds").orderBy("file")
     binned = per_file.withColumn(

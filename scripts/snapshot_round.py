@@ -42,6 +42,7 @@ Usage: python scripts/snapshot_round.py [--skip-bench]
 from __future__ import annotations
 
 import json
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -69,7 +70,34 @@ def _git(*args: str) -> str:
     ).stdout
 
 
-def _skip_bench_objection(artifact_names: set[str]) -> str | None:
+def _is_artifact(path: str) -> bool:
+    """True iff a repo-relative path names a round artifact. Full-glob
+    matching, not a bare prefix test: BENCH_refactor.py must NOT count
+    as an artifact just because it starts with BENCH_r — only
+    BENCH_r*.json / CORRECTNESS_r*.json and the fixed names do."""
+    import fnmatch
+
+    return path in ARTIFACTS or any(
+        fnmatch.fnmatch(path, g) for g in ARTIFACT_GLOBS
+    )
+
+
+def _code_changed_since(commit: str) -> list[str] | None:
+    """Non-artifact paths in diff(commit..HEAD), or None if the commit
+    is not in this repo's history. Shared by the --skip-bench fitness
+    gate and the post-commit stamp verifier so the two cannot drift.
+    Full repo-relative paths on purpose: basename matching would let a
+    nested file sharing an artifact's name (docs/PLANS.md) slip past."""
+    if not re.fullmatch(r"[0-9a-f]{7,40}", commit or ""):
+        return None  # symbolic refs (HEAD, branch names) name no fixed tree
+    try:
+        changed = _git("diff", "--name-only", f"{commit}..HEAD").splitlines()
+    except subprocess.CalledProcessError:
+        return None
+    return [f for f in changed if not _is_artifact(f)]
+
+
+def _skip_bench_objection() -> str | None:
     """Reason BENCH_FULL.json is unfit to commit as the canonical round
     artifact, or None if it is fit. Catches the A/B trap: every
     bench_ab_guards.py rep overwrites BENCH_FULL.json with
@@ -97,18 +125,9 @@ def _skip_bench_objection(artifact_names: set[str]) -> str | None:
     commit = stamp.get("tree_commit")
     if not commit:
         return "carries no tree_commit stamp"
-    try:
-        changed = _git("diff", "--name-only", f"{commit}..HEAD").splitlines()
-    except subprocess.CalledProcessError:
-        return f"tree_commit {commit} not in this repo's history"
-    # full repo-relative paths, the same semantics as bench.py's
-    # tree_dirty stamp and main()'s dirty gate — basename matching would
-    # let a nested file that happens to share an artifact's name (e.g.
-    # docs/PLANS.md) slip past the code-changed refusal
-    code_changed = [
-        f for f in changed
-        if f not in artifact_names and not f.startswith(ARTIFACT_PREFIXES)
-    ]
+    code_changed = _code_changed_since(commit)
+    if code_changed is None:
+        return f"tree_commit {commit} is not a concrete commit in this repo"
     if code_changed:
         return (f"code changed since it was generated at {commit}: "
                 + ", ".join(code_changed[:5]))
@@ -118,21 +137,17 @@ def _skip_bench_objection(artifact_names: set[str]) -> str | None:
 def main() -> int:
     skip_bench = "--skip-bench" in sys.argv
 
-    artifact_names = set(ARTIFACTS)
-    for g in ARTIFACT_GLOBS:
-        artifact_names |= {p.name for p in REPO.glob(g)}
-
     dirty = [
         line[3:]
         for line in _git("status", "--porcelain").splitlines()
-        if line[3:] not in artifact_names
+        if not _is_artifact(line[3:])
     ]
     if dirty:
         print("refusing: non-artifact changes uncommitted:", *dirty, sep="\n  ")
         return 1
 
     if skip_bench:
-        err = _skip_bench_objection(artifact_names)
+        err = _skip_bench_objection()
         if err:
             print(f"refusing --skip-bench: {err}\n"
                   "run without --skip-bench to regenerate canonical artifacts")
@@ -148,11 +163,14 @@ def main() -> int:
         # same fitness gate as --skip-bench: catches a mirror failure
         # inside the run just made (bench exits 0 with a warning), or a
         # guards-off/skip-oracle env contaminating the snapshot shell
-        err = _skip_bench_objection(artifact_names)
+        err = _skip_bench_objection()
         if err:
             print(f"refusing to commit the run just made: {err}")
             return 1
 
+    artifact_names = set(ARTIFACTS)
+    for g in ARTIFACT_GLOBS:
+        artifact_names |= {p.name for p in REPO.glob(g)}
     to_add = [n for n in sorted(artifact_names) if (REPO / n).exists()]
     _git("add", "-f", *to_add)
     if not _git("status", "--porcelain").strip():
@@ -177,9 +195,6 @@ def verify_stamp_exactness() -> int:
     commit hash depends on it (a SHA fixed point); artifact-only
     separation is the exact invariant that matters: the code tree the
     stamp names and the code tree the snapshot carries are the same."""
-    artifact_names = set(ARTIFACTS)
-    for g in ARTIFACT_GLOBS:
-        artifact_names |= {p.name for p in REPO.glob(g)}
     ok = True
     for name in ("BENCH_FULL.json", "ORACLE_LOCAL.json"):
         try:
@@ -196,16 +211,14 @@ def verify_stamp_exactness() -> int:
             print(f"stamp check: {name} carries no tree_commit")
             ok = False
             continue
-        try:
-            changed = _git("diff", "--name-only", f"{commit}..HEAD").splitlines()
-        except subprocess.CalledProcessError:
-            print(f"stamp check: {name} tree_commit={commit} not in history")
+        code_changed = _code_changed_since(commit)
+        if code_changed is None:
+            print(
+                f"stamp check: {name} tree_commit={commit} is not a "
+                "concrete commit in this repo"
+            )
             ok = False
             continue
-        code_changed = [
-            f for f in changed
-            if f not in artifact_names and not f.startswith(ARTIFACT_PREFIXES)
-        ]
         if code_changed:
             print(
                 f"stamp check: {name} tree_commit={commit} is separated "

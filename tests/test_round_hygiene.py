@@ -29,7 +29,7 @@ def _stamp(**over):
         "oracle_skipped": False,
         "oracle_mirror_ok": True,
         "tree_dirty": False,
-        "tree_commit": "HEAD",
+        "tree_commit": "abc1234",
     }
     base.update(over)
     return base
@@ -39,11 +39,11 @@ def _objection(tmp_path, monkeypatch, stamp) -> str | None:
     import scripts.snapshot_round as sr
 
     monkeypatch.setattr(sr, "REPO", tmp_path)
-    # resolve the literal "HEAD" stamp to the real repo's head so the
-    # diff-since-generation check sees zero code changes
+    # hex stamp + empty diff: the diff-since-generation check sees zero
+    # code changes (symbolic stamps like "HEAD" are rejected by design)
     monkeypatch.setattr(sr, "_git", lambda *a: "")
     (tmp_path / "BENCH_FULL.json").write_text(json.dumps(stamp))
-    return sr._skip_bench_objection(set(ARTIFACTS))
+    return sr._skip_bench_objection()
 
 
 def test_skip_bench_accepts_canonical_stamp(tmp_path, monkeypatch):
@@ -66,9 +66,9 @@ def test_skip_bench_refuses_missing_or_bad_artifact(tmp_path, monkeypatch):
     import scripts.snapshot_round as sr
 
     monkeypatch.setattr(sr, "REPO", tmp_path)
-    assert "missing" in sr._skip_bench_objection(set(ARTIFACTS))
+    assert "missing" in sr._skip_bench_objection()
     (tmp_path / "BENCH_FULL.json").write_text("{not json")
-    assert "unparseable" in sr._skip_bench_objection(set(ARTIFACTS))
+    assert "unparseable" in sr._skip_bench_objection()
 
 
 def test_skip_bench_refuses_when_code_changed_since_stamp(tmp_path, monkeypatch):
@@ -79,13 +79,13 @@ def test_skip_bench_refuses_when_code_changed_since_stamp(tmp_path, monkeypatch)
         sr, "_git", lambda *a: "bitcoinminingetl_spark/operators/joins.py\nBENCH_r06.json\n"
     )
     (tmp_path / "BENCH_FULL.json").write_text(json.dumps(_stamp(tree_commit="abc1234")))
-    obj = sr._skip_bench_objection(set(ARTIFACTS))
+    obj = sr._skip_bench_objection()
     assert obj is not None and "joins.py" in obj
     # artifact-only history since the stamp is fine (that's the normal
     # flow: bench runs, snapshot commits the artifacts, stamp now lags
     # HEAD by exactly that artifact commit)
     monkeypatch.setattr(sr, "_git", lambda *a: "BENCH_r06.json\nORACLE_LOCAL.json\n")
-    assert sr._skip_bench_objection(set(ARTIFACTS)) is None
+    assert sr._skip_bench_objection() is None
 
 
 def test_bench_stamps_run_configuration():
@@ -174,6 +174,28 @@ def test_stamp_exactness_verifier(monkeypatch):
     # no stamp at all
     monkeypatch.setattr(sr, "_git", fake_git({"tree_dirty": False}, []))
     assert sr.verify_stamp_exactness() == 1
+    # symbolic-ref stamp: "HEAD" resolves to whatever is current, so it
+    # names no fixed tree — must be rejected, not vacuously diffed
+    monkeypatch.setattr(
+        sr, "_git", fake_git({"tree_commit": "HEAD", "tree_dirty": False}, [])
+    )
+    assert sr.verify_stamp_exactness() == 1
+
+
+def test_artifact_classifier_is_glob_not_prefix():
+    """BENCH_refactor.py must NOT count as an artifact just because it
+    starts with BENCH_r — only BENCH_r*.json / CORRECTNESS_r*.json and
+    the fixed artifact names do (a prefix test would let a code file
+    slip through every artifact-only gate)."""
+    import scripts.snapshot_round as sr
+
+    assert sr._is_artifact("BENCH_r07.json")
+    assert sr._is_artifact("CORRECTNESS_r07.json")
+    assert sr._is_artifact("ORACLE_LOCAL.json")
+    assert not sr._is_artifact("BENCH_refactor.py")
+    assert not sr._is_artifact("CORRECTNESS_report.md")
+    assert not sr._is_artifact("docs/PLANS.md")  # full-path semantics
+    assert not sr._is_artifact("bitcoinminingetl_spark/operators/joins.py")
 
 
 def test_every_query_has_oracle_or_planted_test():
@@ -196,8 +218,12 @@ def test_every_query_has_oracle_or_planted_test():
     }
     import re
 
+    # exclude THIS file: the aliases dict above would otherwise
+    # self-match and certify its own entries with zero actual coverage
     test_src = "\n".join(
-        p.read_text() for p in (REPO / "tests").glob("test_*.py")
+        p.read_text()
+        for p in (REPO / "tests").glob("test_*.py")
+        if p.name != "test_round_hygiene.py"
     )
 
     def named(token: str) -> bool:

@@ -122,19 +122,40 @@ def test_compaction_plan_bins_small_files(spark, sf_dir, tmp_path):
         assert all(r.n_files > 1 and r.rewrite_worthwhile for r in plan)
         assert sum(r.total_rows for r in plan) == total_rows
 
-        tiny = 4096
+        sizes = sorted(
+            r.b
+            for r in spark.read.parquet(frag)
+            .select(
+                F.col("_metadata.file_path").alias("f"),
+                F.col("_metadata.file_size").alias("b"),
+            )
+            .groupBy("f")
+            .agg(F.max("b").alias("b"))
+            .collect()
+        )
+        # target just above the median file: at least half the files are
+        # candidates, the rest are ALREADY compacted and must be excluded
+        tiny = sizes[len(sizes) // 2] + 1
+        small = [s for s in sizes if s < tiny]
         plan2 = scans.q_compaction_plan(
             spark, fake_sf, target_bytes=tiny
         ).collect()
-        assert sum(r.total_rows for r in plan2) == total_rows
-        per_file_max = (
-            spark.read.parquet(frag)
-            .select(F.col("_metadata.file_size").alias("b"))
-            .agg(F.max("b"))
-            .collect()[0][0]
-        )
+        assert plan2
         assert len(plan2) > len(plan)  # tiny target -> more bins
-        assert all(r.total_bytes < tiny + per_file_max for r in plan2)
+        assert sum(r.n_files for r in plan2) == len(small)  # big files skipped
+        assert all(r.total_bytes < tiny + max(small) for r in plan2)
+
+        # a target at the smallest file size leaves NO candidates
+        assert (
+            scans.q_compaction_plan(
+                spark, fake_sf, target_bytes=sizes[0]
+            ).count()
+            == 0
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="positive"):
+            scans.q_compaction_plan(spark, fake_sf, target_bytes=0)
     finally:
         scans._PARTITIONED_LAYOUTS.pop(fake_sf, None)
 
