@@ -1408,6 +1408,79 @@ def q_anonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-anonymity threshold: an equivalence class of quasi-identifiers with
+# fewer than this many rows is a re-identification risk (the release
+# gate refuses, generalizes, or suppresses those rows).
+_K_ANON = 5
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH cls AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_bucket,
+               TRY_CAST(floor(value / 10) AS BIGINT) AS value_band,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(min(c) AS BIGINT) AS k_anonymity,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(count(CASE WHEN c < {_K_ANON} THEN 1 END) AS BIGINT)
+               AS n_violating,
+           CAST(coalesce(sum(CASE WHEN c < {_K_ANON} THEN c END), 0)
+                AS BIGINT) AS rows_at_risk,
+           {roundn_sql(
+               f'coalesce(sum(CASE WHEN c < {_K_ANON} THEN c END), 0)'
+               ' * 1.0 / sum(c)', 6)} AS risk_share,
+           CAST(max(c) AS BIGINT) AS largest_class
+    FROM cls
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT (Sweeney 2002) — the release gate that
+    complements q_anonymize_keys' pseudonymization and q_pii_redact's
+    scrubbing: pseudonymized data still re-identifies people when a
+    combination of innocuous QUASI-IDENTIFIERS (here event_type x hour
+    bucket x value decile band) is unique or near-unique. The audit
+    reports the dataset's k (the smallest equivalence-class size), how
+    many classes fall under the k={_K_ANON} threshold, and the row count
+    / share at risk — the numbers that decide between releasing,
+    generalizing a quasi-identifier (coarser hour bucket, wider band),
+    or suppressing the violating rows.
+
+    Plan: two hash aggregates — quasi-key classes with map-side
+    partials, then a single-row global summary over the |classes|-row
+    relation. One corpus scan, no join, no window, no Python; the
+    second exchange carries |classes| partial rows. try_cast keeps a
+    NaN/Inf value from killing the band projection under ANSI (the
+    non-finite band reads NULL — its own class, the standard
+    treatment)."""
+    cls = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+            F.floor(F.col("value") / 10).try_cast("long").alias("value_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    at_risk = F.coalesce(
+        F.sum(F.when(F.col("c") < _K_ANON, F.col("c"))), F.lit(0)
+    )
+    return cls.agg(
+        F.min("c").cast("long").alias("k_anonymity"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.count(F.when(F.col("c") < _K_ANON, 1)).cast("long").alias(
+            "n_violating"
+        ),
+        at_risk.cast("long").alias("rows_at_risk"),
+        roundn(at_risk * 1.0 / F.sum("c"), 6, guard=False).alias("risk_share"),
+        F.max("c").cast("long").alias("largest_class"),
+    )
+
+
 _DSIR_TARGET_SOURCES = ("src0", "src1")  # the "high-quality domain" stand-in
 
 

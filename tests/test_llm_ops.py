@@ -1903,6 +1903,37 @@ def test_mix_temperature_planted(spark, tmp_path):
     assert ep["empty"].epochs is None and ep["empty"].over_repeat_limit is None
 
 
+def test_k_anonymity_planted(spark, tmp_path):
+    """Threshold semantics on a controlled release: a singleton
+    quasi-class drives k to 1 and lands its row at risk; a class at
+    exactly k rows is NOT violating (strict <); a uniform release with
+    every class at k is perfectly anonymous (0 violations)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # class A: 5 rows (exactly k -> safe), same type/hour/band
+    for i in range(5):
+        rows.append((i, t0, 1, "click", 15.0, None))
+    # class B: singleton (violating)
+    rows.append((10, t0, 2, "view", 95.0, None))
+    # class C: 2 rows (violating)
+    rows.append((11, t0, 3, "purchase", 42.0, None))
+    rows.append((12, t0, 4, "purchase", 45.0, None))  # same band (4x)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["q_k_anonymity"].fn(spark, str(tmp_path)).collect()[0]
+    assert out.k_anonymity == 1
+    assert out.n_classes == 3
+    assert out.n_violating == 2          # singleton + pair; the 5-class is safe
+    assert out.rows_at_risk == 3
+    assert abs(out.risk_share - 3 / 8) < 1e-6
+    assert out.largest_class == 5
+
+
 def test_length_buckets_planted(spark, tmp_path):
     """Bucketing by length strictly reduces padding waste on a bimodal
     length distribution, and a constant-length corpus wastes nothing."""

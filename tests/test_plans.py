@@ -568,6 +568,29 @@ def test_mix_temperature_one_corpus_pass(spark, sf_dir):
     assert plan.count("Scan parquet") == 1  # the fix this test pins
 
 
+def test_k_anonymity_two_aggregates_one_scan(spark, sf_dir):
+    """The audit is two hash aggregates (quasi-key classes with map-side
+    partials, then a 1-row summary over the |classes| relation) — one
+    corpus scan, no join, no window, no Python."""
+    plan = _plan(spark, sf_dir, "q_k_anonymity")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_mix_epochs_one_corpus_pass(spark, sf_dir):
+    """Same doctrine as q_mix_temperature (whose shape it extends): one
+    source-keyed grouped aggregate over the corpus, all budget/epoch
+    math on the ||sources||-row relation via the share-of-total window —
+    exactly one corpus scan, no join, no Python."""
+    plan = _plan(spark, sf_dir, "q_mix_epochs")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
 def test_length_buckets_single_ntile_window(spark, sf_dir):
     """The audit is one global ntile window (the declared equiheight
     ground-truth pattern) followed by one grouped aggregate — no joins,
