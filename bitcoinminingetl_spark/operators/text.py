@@ -1481,6 +1481,76 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# l-diversity threshold: a quasi-class whose SENSITIVE attribute takes
+# fewer than this many distinct values allows attribute inference even
+# when the class is k-anonymous (everyone in it shares the secret).
+_L_DIV = 3
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+    WITH cls AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_bucket,
+               TRY_CAST(floor(value / 10) AS BIGINT) AS value_band,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS l
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(min(l) AS BIGINT) AS l_diversity,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(count(CASE WHEN l < {_L_DIV} THEN 1 END) AS BIGINT)
+               AS n_homogeneous,
+           CAST(coalesce(sum(CASE WHEN l < {_L_DIV} THEN c END), 0)
+                AS BIGINT) AS rows_at_risk,
+           {roundn_sql(
+               f'coalesce(sum(CASE WHEN l < {_L_DIV} THEN c END), 0)'
+               ' * 1.0 / sum(c)', 6)} AS risk_share
+    FROM cls
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY AUDIT (Machanavajjhala et al. 2006) — k-anonymity's
+    standard companion: a quasi-identifier class can satisfy k and still
+    leak, because if everyone in the class shares one SENSITIVE value
+    (here user_id as the sensitive attribute stand-in), membership alone
+    reveals it — the homogeneity attack. The audit reports the dataset's
+    l (minimum distinct sensitive values per class), the homogeneous
+    classes under l={_L_DIV}, and the rows/share exposed. Same quasi
+    keys as q_k_anonymity so the two reports read side by side.
+
+    Plan: identical shape to q_k_anonymity plus a COUNT(DISTINCT) inside
+    the class aggregate — Spark plans it as the standard two-phase
+    distinct expansion on the quasi keys, still one corpus scan, no
+    join, no window, no Python."""
+    cls = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+            F.floor(F.col("value") / 10).try_cast("long").alias("value_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.count_distinct("user_id").alias("l"),
+        )
+    )
+    at_risk = F.coalesce(
+        F.sum(F.when(F.col("l") < _L_DIV, F.col("c"))), F.lit(0)
+    )
+    return cls.agg(
+        F.min("l").cast("long").alias("l_diversity"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.count(F.when(F.col("l") < _L_DIV, 1)).cast("long").alias(
+            "n_homogeneous"
+        ),
+        at_risk.cast("long").alias("rows_at_risk"),
+        roundn(at_risk * 1.0 / F.sum("c"), 6, guard=False).alias("risk_share"),
+    )
+
+
 _DSIR_TARGET_SOURCES = ("src0", "src1")  # the "high-quality domain" stand-in
 
 

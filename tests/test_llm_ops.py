@@ -1933,6 +1933,17 @@ def test_k_anonymity_planted(spark, tmp_path):
     assert abs(out.risk_share - 3 / 8) < 1e-6
     assert out.largest_class == 5
 
+    # l-diversity on the same release: class A is k-anonymous (5 rows)
+    # but HOMOGENEOUS — every row shares user_id 1, so membership reveals
+    # the sensitive value; classes B/C are singletons/pairs of distinct
+    # users. All three classes fall under l=3.
+    ld = REGISTRY["q_l_diversity"].fn(spark, str(tmp_path)).collect()[0]
+    assert ld.l_diversity == 1
+    assert ld.n_classes == 3
+    assert ld.n_homogeneous == 3      # the k-safe class is still exposed
+    assert ld.rows_at_risk == 8
+    assert abs(ld.risk_share - 1.0) < 1e-6
+
 
 def test_length_buckets_planted(spark, tmp_path):
     """Bucketing by length strictly reduces padding waste on a bimodal
