@@ -1551,6 +1551,138 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# t-closeness threshold: a quasi-class whose sensitive-value
+# distribution sits farther than this (total variation distance) from
+# the global distribution leaks attribute skew even when k and l hold.
+_T_CLOSE = 0.5
+
+
+@query(
+    "q_t_closeness",
+    oracle=f"""
+    WITH base AS (
+        SELECT date_trunc('hour', ts) AS hour_bucket,
+               TRY_CAST(floor(value / 10) AS BIGINT) AS value_band,
+               event_type
+        FROM events
+    ),
+    cell AS (
+        SELECT hour_bucket, value_band, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2, 3
+    ),
+    cls AS (
+        SELECT hour_bucket, value_band,
+               CAST(sum(n) AS BIGINT) AS c FROM cell GROUP BY 1, 2
+    ),
+    gmarg AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS g FROM cell GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cell),
+    -- TVD needs BOTH sides of every (class, sensitive-value) pair: a
+    -- value absent from a class contributes its full global share, so
+    -- the join is class x sensitive-domain, then cell counts attach left
+    tvd AS (
+        SELECT cls.hour_bucket, cls.value_band, cls.c,
+               sum(abs(coalesce(cell.n, 0) * 1.0 / cls.c
+                       - gmarg.g / tot.t)) / 2 AS tvd
+        FROM cls CROSS JOIN gmarg CROSS JOIN tot
+        LEFT JOIN cell ON cell.hour_bucket IS NOT DISTINCT FROM cls.hour_bucket
+                      AND cell.value_band IS NOT DISTINCT FROM cls.value_band
+                      AND cell.event_type = gmarg.event_type
+        GROUP BY 1, 2, 3
+    )
+    SELECT {roundn_sql('max(tvd)', 6)} AS t_closeness,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(count(CASE WHEN {roundn_sql('tvd', 6)} > {_T_CLOSE}
+                      THEN 1 END) AS BIGINT) AS n_skewed,
+           CAST(coalesce(sum(CASE WHEN {roundn_sql('tvd', 6)} > {_T_CLOSE}
+                             THEN c END), 0) AS BIGINT) AS rows_at_risk
+    FROM tvd
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS AUDIT (Li et al. 2007) — the third leg of the release
+    trio: a class can be k-anonymous AND l-diverse yet still leak when
+    its sensitive-value DISTRIBUTION is skewed far from the global one
+    (the skewness attack — "3 distinct diagnoses" means little if 98% of
+    the class shares one). Sensitive attribute here is event_type (small
+    domain, the textbook setting); quasi keys are hour bucket x value
+    band. Distance is total variation (the L1/EMD-with-uniform-ground
+    simplification): tvd(class) = ½ Σ_v |P(v|class) − P(v)|; the report
+    is the dataset's t (max tvd), classes past t={_T_CLOSE}, and rows
+    exposed. TVD rounds to 6 dp BEFORE the threshold compare on BOTH
+    engines so the flag cannot flip on an ulp.
+
+    Plan: one scan into a (quasi, sensitive) cell aggregate; class and
+    global marginals are rollups OF THE CELL RELATION (never the corpus
+    again); the class x sensitive-domain completion is a crossJoin
+    against the BROADCAST |domain|-row global relation — sanctioned, a
+    ~5-row dim, not the corpus (the broadcast-total rule applies to
+    corpus-sized sides only); cells attach by left join on the small
+    completed relation. Everything after the first aggregate is
+    |classes| x |domain| rows."""
+    base = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        F.floor(F.col("value") / 10).try_cast("long").alias("value_band"),
+        "event_type",
+    )
+    cell = base.groupBy("hour_bucket", "value_band", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cls = cell.groupBy("hour_bucket", "value_band").agg(
+        F.sum("n").alias("c")
+    )
+    glob = cell.groupBy("event_type").agg(F.sum("n").alias("g"))
+    tot = cell.agg(F.sum("n").cast("double").alias("t"))
+    # cls/glob/tot/cell all derive from one relation — rename the probe
+    # side's columns so the left join is unambiguous (self-join lineage)
+    cell_p = cell.select(
+        F.col("hour_bucket").alias("p_hb"),
+        F.col("value_band").alias("p_vb"),
+        F.col("event_type").alias("p_et"),
+        F.col("n").alias("p_n"),
+    )
+    completed = (
+        cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            cell_p,
+            [
+                F.col("hour_bucket").eqNullSafe(F.col("p_hb")),
+                F.col("value_band").eqNullSafe(F.col("p_vb")),
+                F.col("event_type") == F.col("p_et"),
+            ],
+            "left",
+        )
+        .select(
+            "hour_bucket",
+            "value_band",
+            "c",
+            (
+                F.abs(
+                    F.coalesce(F.col("p_n"), F.lit(0)) * 1.0 / F.col("c")
+                    - F.col("g") / F.col("t")
+                )
+            ).alias("term"),
+        )
+    )
+    tvd = completed.groupBy("hour_bucket", "value_band", "c").agg(
+        roundn(F.sum("term") / 2, 6, guard=False).alias("tvd")
+    )
+    at_risk = F.coalesce(
+        F.sum(F.when(F.col("tvd") > _T_CLOSE, F.col("c"))), F.lit(0)
+    )
+    return tvd.agg(
+        roundn(F.max("tvd"), 6, guard=False).alias("t_closeness"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.count(F.when(F.col("tvd") > _T_CLOSE, 1)).cast("long").alias(
+            "n_skewed"
+        ),
+        at_risk.cast("long").alias("rows_at_risk"),
+    )
+
+
 _DSIR_TARGET_SOURCES = ("src0", "src1")  # the "high-quality domain" stand-in
 
 

@@ -1944,6 +1944,17 @@ def test_k_anonymity_planted(spark, tmp_path):
     assert ld.rows_at_risk == 8
     assert abs(ld.risk_share - 1.0) < 1e-6
 
+    # t-closeness on the same release (sensitive = event_type; quasi =
+    # hour x band, so the three bands are the classes): the all-click
+    # 5-row class sits at tvd 0.375 from the global (5/8, 1/8, 2/8)
+    # distribution — under t=0.5, NOT skewed — while the singleton view
+    # (0.875) and the purchase pair (0.75) are flagged.
+    tc = REGISTRY["q_t_closeness"].fn(spark, str(tmp_path)).collect()[0]
+    assert abs(tc.t_closeness - 0.875) < 1e-6
+    assert tc.n_classes == 3
+    assert tc.n_skewed == 2
+    assert tc.rows_at_risk == 3
+
 
 def test_length_buckets_planted(spark, tmp_path):
     """Bucketing by length strictly reduces padding waste on a bimodal
