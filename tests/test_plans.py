@@ -579,6 +579,31 @@ def test_k_anonymity_two_aggregates_one_scan(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_l_diversity_one_scan(spark, sf_dir):
+    """Same shape as q_k_anonymity plus the two-phase COUNT(DISTINCT)
+    expansion — still one corpus scan, no join, no window, no Python."""
+    plan = _plan(spark, sf_dir, "q_l_diversity")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_t_closeness_cell_persisted_broadcast_completion(spark, sf_dir):
+    """The skewness audit's four consumers (class marginal, global
+    marginal, grand total, probe) must ALL read the persisted cell
+    relation — an unmaterialized cell subtree re-scans the corpus once
+    per consumer (4 parquet scans, the bug this pins against); the
+    class x sensitive-domain completion joins broadcast ~5-row dims —
+    no shuffle join of fact-sized relations, no Python."""
+    plan = _plan(spark, sf_dir, "q_t_closeness")
+    assert plan.count("InMemoryTableScan") == 4
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_mix_epochs_one_corpus_pass(spark, sf_dir):
     """Same doctrine as q_mix_temperature (whose shape it extends): one
     source-keyed grouped aggregate over the corpus, all budget/epoch
