@@ -92,6 +92,16 @@ AUDIT = [
     # controlled-cost attribution
     ("q_funnel_stages", 1.35, "per-stage min-after-previous aggs, user_id-keyed joins — linear"),
     ("q_fingerprint_winnow", 1.35, "rolling-min window over in-scan shingle positions, one exchange"),
+    # r7 widening: the round's new operators (all sub-second at sf0.1 —
+    # audited for growth shape, not absolute cost)
+    ("q_ccnet_buckets", 1.35, "persisted LM scores + per-lang ntile (declared ground truth)"),
+    ("q_ccnet_buckets_approx", 1.35, "per-lang sketch boundaries broadcast, map-side bucketing"),
+    ("q_length_buckets_approx", 1.35, "sketch boundaries broadcast, map-side bucketing"),
+    ("q_mix_epochs", 1.35, "one grouped agg + share-of-total window"),
+    ("q_compaction_plan", 1.35, "per-file _metadata agg + per-partition cumulative window"),
+    ("q_k_anonymity", 1.35, "two hash aggregates, one scan"),
+    ("q_l_diversity", 1.35, "quasi-class agg + two-phase COUNT(DISTINCT)"),
+    ("q_t_closeness", 1.35, "persisted cell relation + broadcast-dim completion"),
     # declared super-linear ground-truth twins: audited against their claim
     ("q_knn_join", 2.2, "GUARDED all-pairs exact twin: |A|·|B| ~ n^2"),
     ("q_dedup_ngram_jaccard", 2.2, "exact pair ground truth (df_cap-guarded)"),
