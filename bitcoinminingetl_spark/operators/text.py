@@ -13,7 +13,7 @@ and everything derived stays JVM-side.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1414,6 +1414,24 @@ def q_anonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K_ANON = 5
 
 
+def _value_band() -> Column:
+    """Decile band of the event value — the shared quasi-identifier
+    projection of the privacy-release trio (k-anonymity / l-diversity /
+    t-closeness). Non-finite values MUST be masked BEFORE floor: Spark's
+    floor(double) casts to long itself, coercing NaN to 0 and +/-Inf to
+    Long.MIN/MAX before a try_cast can NULL them, silently merging
+    corrupt-sensor rows into real bands — while the DuckDB oracle's
+    TRY_CAST(floor(value/10) AS BIGINT) NULLs both (r7 ADVICE, verified
+    by probe). Masked, the non-finite band reads NULL in BOTH engines:
+    its own equivalence class, the standard treatment."""
+    finite = ~F.isnan("value") & (F.abs(F.col("value")) != F.lit(float("inf")))
+    return (
+        F.when(finite, F.floor(F.col("value") / 10))
+        .try_cast("long")
+        .alias("value_band")
+    )
+
+
 @query(
     "q_k_anonymity",
     oracle=f"""
@@ -1453,16 +1471,17 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two hash aggregates — quasi-key classes with map-side
     partials, then a single-row global summary over the |classes|-row
     relation. One corpus scan, no join, no window, no Python; the
-    second exchange carries |classes| partial rows. try_cast keeps a
-    NaN/Inf value from killing the band projection under ANSI (the
-    non-finite band reads NULL — its own class, the standard
-    treatment)."""
+    second exchange carries |classes| partial rows. The band projection
+    masks non-finite values BEFORE floor (_value_band) so NaN/Inf read
+    NULL — their own class — in both engines instead of Spark-side
+    coercion to 0 / Long.MAX (r7 ADVICE fix, differentially pinned on
+    the adversarial fixture)."""
     cls = (
         table(spark, sf_dir, "events")
         .groupBy(
             "event_type",
             F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
-            F.floor(F.col("value") / 10).try_cast("long").alias("value_band"),
+            _value_band(),
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1530,7 +1549,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "event_type",
             F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
-            F.floor(F.col("value") / 10).try_cast("long").alias("value_band"),
+            _value_band(),
         )
         .agg(
             F.count(F.lit(1)).alias("c"),
@@ -1629,7 +1648,7 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     |classes| x |domain| rows."""
     base = table(spark, sf_dir, "events").select(
         F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
-        F.floor(F.col("value") / 10).try_cast("long").alias("value_band"),
+        _value_band(),
         "event_type",
     )
     cell = lru_persisted(

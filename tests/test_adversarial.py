@@ -394,3 +394,73 @@ def test_unrepresentable_sums_poison_to_null(spark, adv_dir):
     prof = REGISTRY["q_dq_profile"].fn(spark, adv_dir).collect()[0]
     assert prof.sum_value is None         # control total unrepresentable
     assert prof.n_rows > 0                # ...but the profile itself ran
+
+
+@pytest.mark.parametrize(
+    "name", ["q_k_anonymity", "q_l_diversity", "q_t_closeness"]
+)
+def test_privacy_trio_value_band_parity_with_oracle(spark, adv_dir, name):
+    """r7 ADVICE (high), pinned end-to-end on the fixture that fires it:
+    the nanv/infv streams carry IEEE NaN and +/-Inf values, and the
+    trio's shared value_band projection must read NULL for them in BOTH
+    engines. Pre-fix, Spark's floor(double) coerced NaN to band 0 and
+    +/-Inf to Long.MIN/MAX *before* try_cast could act (floor itself
+    casts to long), silently merging corrupt rows into real equivalence
+    classes while the DuckDB oracle NULLed them — a class-count and
+    hash divergence the clean sf fixtures (NaN-free) never exercised.
+    This differential check is what keeps the _value_band mask pinned."""
+    import duckdb
+
+    from tests.test_oracle import _canon_rows
+
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, adv_dir)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{adv_dir}/events.parquet/*.parquet'"
+        )
+        res = con.execute(spec.oracle)
+        o_cols = [d[0].lower() for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        con.close()
+
+    assert sorted(s_cols) == sorted(o_cols)
+    assert _canon_rows(s_cols, s_rows) == _canon_rows(o_cols, o_rows)
+
+    # non-vacuity: probe the projection directly on the nanv/infv rows —
+    # every non-finite value reads a NULL band (its own class), every
+    # finite co-stream value keeps its real band (NaN did NOT merge
+    # into [0,10), the pre-fix Spark behavior)
+    if name == "q_k_anonymity":
+        import pyspark.sql.functions as F
+
+        from bitcoinminingetl_spark.catalog import table as _table
+        from bitcoinminingetl_spark.operators.text import _value_band
+
+        got = (
+            _table(spark, adv_dir, "events")
+            .filter(F.col("event_type").isin("nanv", "infv"))
+            .select("value", _value_band())
+            .collect()
+        )
+        nonfinite = [
+            r.value_band
+            for r in got
+            if r.value is not None
+            and (r.value != r.value or abs(r.value) == float("inf"))
+        ]
+        assert nonfinite and all(b is None for b in nonfinite)
+        finite = [
+            r.value_band
+            for r in got
+            if r.value is not None
+            and r.value == r.value
+            and abs(r.value) != float("inf")
+        ]
+        assert finite and all(b == 0 for b in finite)
