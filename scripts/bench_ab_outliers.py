@@ -1,41 +1,54 @@
 """Controlled attribution of driver-bench outlier queries (r6 VERDICT
-item 2).
+item 2; de-hardcoded per r7 VERDICT item 2).
 
 The r6 driver bench read q_funnel_stages at 2.73 s (0.58 s in the
 committed bench at the SAME commit) and q_fingerprint_winnow at 3.35 s
 (1.22 s committed) — a 2.6-3.6x divergence between two runs of identical
 code, the exact confound scripts/bench_ab_guards.py was built to
 exclude for the guard doctrine. This script applies the same design to
-a target query list: N repetitions, each a FRESH subprocess/JVM (so JIT
+any round's outliers: N repetitions, each a FRESH subprocess/JVM (so JIT
 or block-manager state from one rep cannot leak into the next),
 bench.py's own warmup discipline (page-cache table reads + flagship
 JIT warm), per-query statistic min-of-reps (plan cost is a lower bound;
-noise only adds). Two stable control queries from the driver's wobble
-list ride along so a globally slow host reveals itself in the controls
-rather than masquerading as a per-query regression.
+noise only adds). Two stable control queries ride along so a globally
+slow host reveals itself in the controls rather than masquerading as a
+per-query regression.
+
+ROUND-PROOF INPUTS (r7 VERDICT item 2 — no hardcoded reading table):
+the driver readings come from `BENCH_r{N}.json` (`parsed.queries`, the
+round's headline set; N defaults to the highest round file present),
+the committed readings from `BENCH_FULL.json` (the canonical snapshot
+bench), and the interleaved full-bench floors from `GUARDS_AB.json`
+(min-of-reps, production `on` arm). Outliers are SELECTED from those
+artifacts: any driver headline reading >= OUTLIER_RATIO x its committed
+reading (and past an absolute floor so sub-100 ms jitter can't flag).
+Controls are the flagship plus the headline query whose driver/committed
+ratio is closest to 1 among non-trivial timings.
 
 Output: OUTLIERS_AB.json at the repo root with per-query
-{reps, min, median} plus the r6 driver/committed readings for the
-side-by-side. SCOPE OF THE VERDICT: this harness adjudicates exactly one
-claim — does the DRIVER reading reproduce under controlled conditions?
-A min-of-reps well below it (<= 0.75x) even in this harness's HARSHER
-minimal context (no 200-query warm ramp, so its floor sits structurally
-above the full-bench numbers) means the driver reading was never plan
-cost. It does NOT certify the absence of a regression against the
-committed full-bench baseline — the two contexts are not comparable
-query-for-query; regression-vs-committed is tracked by the snapshot
-bench and the interleaved full-bench GUARDS_AB design, whose minima are
-embedded here as guards_ab_min_r6 for the side-by-side.
+{reps, min, median} plus the round's driver/committed/guards readings
+for the side-by-side. SCOPE OF THE VERDICT: this harness adjudicates
+exactly one claim — does the DRIVER reading reproduce under controlled
+conditions? A min-of-reps well below it (<= 0.75x) even in this
+harness's HARSHER minimal context (no 200-query warm ramp, so its floor
+sits structurally above the full-bench numbers) means the driver
+reading was never plan cost. It does NOT certify the absence of a
+regression against the committed full-bench baseline — the two contexts
+are not comparable query-for-query; regression-vs-committed is tracked
+by the snapshot bench and the interleaved full-bench GUARDS_AB design,
+whose minima are embedded as guards_ab_min for the side-by-side.
 
-Usage (one-shot):   python scripts/bench_ab_outliers.py [reps=4]
-Usage (stepwise):   python scripts/bench_ab_outliers.py run <rep>
-                    python scripts/bench_ab_outliers.py combine
+Usage (one-shot):   python scripts/bench_ab_outliers.py [reps=4] [--round N]
+                    [--targets q_a,q_b]   (override auto-selection)
+Usage (stepwise):   python scripts/bench_ab_outliers.py run <rep> [--round N ...]
+                    python scripts/bench_ab_outliers.py combine [--round N ...]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import subprocess
 import sys
@@ -47,46 +60,100 @@ sys.path.insert(0, str(REPO))
 
 SCRATCH = REPO / "scratch_ab"
 
-# The two r6 driver-run outliers, then the controls (driver-window
-# queries whose committed/driver readings agreed within jitter).
-TARGETS = [
-    "q_funnel_stages",
-    "q_fingerprint_winnow",
-    "q_avg_grouped",   # control
-    "q_window_join",   # control (flagship)
-]
-
-# Controls ride along as stability references (a globally slow host
-# shows up here first); the adjudication logic applies to outliers only.
-CONTROLS = {"q_avg_grouped", "q_window_join"}
-
-# r6 readings being adjudicated: driver BENCH_r06 vs the committed
-# HEAD bench at the same code (f99af6b), plus the interleaved
-# full-bench min-of-reps from GUARDS_AB.json at the same code — the
-# strongest controlled full-context number available. This harness's
-# own reps run a MINIMAL context (fresh JVM, table+flagship warm only),
-# so its minima sit structurally ABOVE full-bench-context numbers:
-# bench.py amortizes JIT/codegen/Arrow-worker spin-up across 200+
-# queries before these two ever run. The claim under test is the
-# DRIVER reading; a controlled minimum well below it in the harsher
-# (minimal) context proves the driver number was not plan cost.
-R6_CONTEXT = {
-    "q_funnel_stages": {
-        "driver_r6": 2.73, "committed_r6": 0.58, "guards_ab_min_r6": 0.639,
-    },
-    "q_fingerprint_winnow": {
-        "driver_r6": 3.35, "committed_r6": 1.22, "guards_ab_min_r6": 1.019,
-    },
-    "q_avg_grouped": {
-        "driver_r6": 1.76, "committed_r6": 1.14, "guards_ab_min_r6": 1.26,
-    },
-    "q_window_join": {
-        "driver_r6": 0.604, "committed_r6": 0.487, "guards_ab_min_r6": 0.494,
-    },
-}
+FLAGSHIP = "q_window_join"
+# Selection thresholds: a driver headline reading flags as an outlier
+# when it is >= OUTLIER_RATIO x the committed reading AND the absolute
+# excess clears ABS_FLOOR_S (sub-100 ms deltas are pure timer jitter).
+OUTLIER_RATIO = 2.0
+ABS_FLOOR_S = 0.5
+# A control must itself be non-trivial or its ratio is timer noise.
+CONTROL_MIN_COMMITTED_S = 0.3
 
 
-def run_rep(rep: str) -> None:
+def latest_round(root: Path = REPO) -> int:
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("BENCH_r*.json")
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", p.name))
+    ]
+    if not rounds:
+        raise FileNotFoundError(f"no BENCH_r*.json under {root}")
+    return max(rounds)
+
+
+def load_context(round_n: int | None = None, root: Path = REPO) -> dict:
+    """Round context from the committed artifacts — driver headline
+    readings, committed canonical bench, and GUARDS_AB full-bench
+    floors (production `on` arm, min-of-reps). Returns
+    {round, driver: {q: s}, committed: {q: s}, guards_min: {q: s}}."""
+    n = latest_round(root) if round_n is None else round_n
+    bench_r = json.loads((root / f"BENCH_r{n:02d}.json").read_text())
+    driver = dict(bench_r.get("parsed", {}).get("queries", {}))
+    committed: dict[str, float] = {}
+    full_p = root / "BENCH_FULL.json"
+    if full_p.exists():
+        committed = dict(json.loads(full_p.read_text()).get("queries", {}))
+    guards_min: dict[str, float] = {}
+    guards_p = root / "GUARDS_AB.json"
+    if guards_p.exists():
+        guards_min = {
+            q: row["on"]
+            for q, row in json.loads(guards_p.read_text())
+            .get("queries", {})
+            .items()
+            if isinstance(row, dict) and "on" in row
+        }
+    return {
+        "round": n,
+        "driver": driver,
+        "committed": committed,
+        "guards_min": guards_min,
+    }
+
+
+def select_targets(ctx: dict) -> tuple[list[str], set[str]]:
+    """(targets, controls) from the round context. Outliers: driver
+    reading >= OUTLIER_RATIO x committed AND excess >= ABS_FLOOR_S.
+    Controls: the flagship + the closest-to-1-ratio non-trivial
+    headline query (ratios need both readings to exist)."""
+    ratios = {
+        q: (d / ctx["committed"][q], d, ctx["committed"][q])
+        for q, d in ctx["driver"].items()
+        if ctx["committed"].get(q)
+    }
+    outliers = sorted(
+        q
+        for q, (r, d, c) in ratios.items()
+        if r >= OUTLIER_RATIO and (d - c) >= ABS_FLOOR_S
+    )
+    controls = {FLAGSHIP} if FLAGSHIP in ctx["driver"] else set()
+    stable = [
+        q
+        for q, (r, d, c) in sorted(
+            ratios.items(), key=lambda kv: abs(kv[1][0] - 1.0)
+        )
+        if c >= CONTROL_MIN_COMMITTED_S and q not in outliers
+    ]
+    for q in stable:
+        if len(controls) >= 2:
+            break
+        controls.add(q)
+    targets = outliers + sorted(controls - set(outliers))
+    return targets, controls - set(outliers)
+
+
+def _context_row(ctx: dict, name: str) -> dict:
+    row = {}
+    if name in ctx["driver"]:
+        row[f"driver_r{ctx['round']}"] = ctx["driver"][name]
+    if name in ctx["committed"]:
+        row["committed"] = ctx["committed"][name]
+    if name in ctx["guards_min"]:
+        row["guards_ab_min"] = ctx["guards_min"][name]
+    return row
+
+
+def run_rep(rep: str, targets: list[str]) -> None:
     """One measurement rep: fresh session, bench.py warmups, one timed
     noop-sink materialization per target."""
     from bitcoinminingetl_spark.catalog import table
@@ -105,12 +172,12 @@ def run_rep(rep: str) -> None:
         "documents embeddings"
     ).split():
         table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
-    registry["q_window_join"].fn(spark, sf_dir).write.format("noop").mode(
+    registry[FLAGSHIP].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 
     timings: dict[str, float] = {}
-    for name in TARGETS:
+    for name in targets:
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -128,26 +195,36 @@ def run_rep(rep: str) -> None:
     print(f"rep {rep}: " + " ".join(f"{k}={v}" for k, v in timings.items()))
 
 
-def combine() -> int:
+def combine(
+    ctx: dict,
+    targets: list[str],
+    controls: set[str],
+    root: Path = REPO,
+    scratch: Path | None = None,
+) -> int:
+    scratch = SCRATCH if scratch is None else scratch
     reps = [
-        json.loads(p.read_text()) for p in sorted(SCRATCH.glob("outliers_*.json"))
+        json.loads(p.read_text())
+        for p in sorted(scratch.glob("outliers_*.json"))
     ]
     if len(reps) < 2:
-        print("need >= 2 completed reps (scratch_ab/outliers_*.json)")
+        print(f"need >= 2 completed reps ({scratch}/outliers_*.json)")
         return 1
+    driver_key = f"driver_r{ctx['round']}"
     queries = {}
-    for name in TARGETS:
+    for name in targets:
         ts = [r["queries"][name] for r in reps if name in r["queries"]]
+        if not ts:
+            continue
         queries[name] = {
             "reps": ts,
             "min": min(ts),
             "median": round(statistics.median(ts), 3),
-            **R6_CONTEXT.get(name, {}),
+            **_context_row(ctx, name),
         }
-        ctx = R6_CONTEXT.get(name, {})
-        if name in CONTROLS:
+        if name in controls:
             queries[name]["attribution"] = "control (stability reference)"
-        elif ctx:
+        elif driver_key in queries[name]:
             # The driver reading is the claim under test. This harness's
             # minimal context is structurally SLOWER than the driver's
             # full-bench context (no 200-query warm ramp), so a minimum
@@ -157,46 +234,97 @@ def combine() -> int:
             queries[name]["attribution"] = (
                 "driver reading not reproducible -> environment noise for "
                 "the adjudicated reading (regression-vs-committed is the "
-                "snapshot bench's job; full-bench floor: guards_ab_min_r6)"
-                if min(ts) <= 0.75 * ctx["driver_r6"]
+                "snapshot bench's job; full-bench floor: guards_ab_min)"
+                if min(ts) <= 0.75 * queries[name][driver_key]
                 else "driver reading REPRODUCES — real plan cost, trim it"
             )
     out = {
         "metric": "outliers_ab",
+        "round": ctx["round"],
         "reps": len(reps),
         "statistic": "min_of_reps",
         "design": "fresh subprocess/JVM per rep, bench.py warmup discipline",
+        "inputs": [
+            f"BENCH_r{ctx['round']:02d}.json",
+            "BENCH_FULL.json",
+            "GUARDS_AB.json",
+        ],
         "cpus": reps[0]["cpus"],
         "sf_dir": reps[0]["sf_dir"],
         "queries": queries,
     }
-    (REPO / "OUTLIERS_AB.json").write_text(json.dumps(out, indent=1))
+    (root / "OUTLIERS_AB.json").write_text(json.dumps(out, indent=1))
     for name, row in queries.items():
         print(
             f"{name}: min={row['min']} median={row['median']} reps={row['reps']}"
             + (f" -> {row['attribution']}" if "attribution" in row else "")
         )
-    print(f"wrote {REPO / 'OUTLIERS_AB.json'}")
+    print(f"wrote {root / 'OUTLIERS_AB.json'}")
     return 0
 
 
+def _parse_args(argv: list[str]) -> tuple[list[str], int | None, list[str] | None]:
+    """(positional, round_n, explicit_targets)."""
+    pos: list[str] = []
+    round_n: int | None = None
+    targets: list[str] | None = None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--round":
+            round_n = int(argv[i + 1])
+            i += 2
+        elif a == "--targets":
+            targets = [t for t in argv[i + 1].split(",") if t]
+            i += 2
+        else:
+            pos.append(a)
+            i += 1
+    return pos, round_n, targets
+
+
 def main() -> int:
-    if len(sys.argv) > 1 and sys.argv[1] == "run":
-        run_rep(sys.argv[2])
+    pos, round_n, explicit = _parse_args(sys.argv[1:])
+    ctx = load_context(round_n)
+    if explicit is not None:
+        targets, controls = explicit, set()
+        if FLAGSHIP not in targets:
+            targets = targets + [FLAGSHIP]
+            controls = {FLAGSHIP}
+    else:
+        targets, controls = select_targets(ctx)
+    if not targets:
+        print(
+            f"round {ctx['round']}: no outliers past "
+            f"{OUTLIER_RATIO}x/{ABS_FLOOR_S}s — nothing to adjudicate"
+        )
         return 0
-    if len(sys.argv) > 1 and sys.argv[1] == "combine":
-        return combine()
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    if pos and pos[0] == "run":
+        run_rep(pos[1], targets)
+        return 0
+    if pos and pos[0] == "combine":
+        return combine(ctx, targets, controls)
+    n = int(pos[0]) if pos else 4
+    print(
+        f"round {ctx['round']}: targets={targets} controls={sorted(controls)}"
+    )
     for p in SCRATCH.glob("outliers_*.json"):
         p.unlink()
+    extra = []
+    if round_n is not None:
+        extra += ["--round", str(round_n)]
+    if explicit is not None:
+        extra += ["--targets", ",".join(explicit)]
     for rep in range(n):
         proc = subprocess.run(
-            [sys.executable, __file__, "run", str(rep)], cwd=REPO, check=False
+            [sys.executable, __file__, "run", str(rep), *extra],
+            cwd=REPO,
+            check=False,
         )
         if proc.returncode != 0:
             print(f"rep {rep} failed")
             return 1
-    return combine()
+    return combine(ctx, targets, controls)
 
 
 if __name__ == "__main__":

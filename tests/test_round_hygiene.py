@@ -273,3 +273,90 @@ def test_ab_combine_excludes_lifecycle_and_validates_arms(tmp_path, monkeypatch)
 
     with pytest.raises(SystemExit, match="no completed 'off' runs"):
         combine({"on": [run_on], "off": []})
+
+
+def _write_round_artifacts(root: Path, n: int = 8) -> None:
+    (root / f"BENCH_r{n:02d}.json").write_text(json.dumps({
+        "parsed": {"queries": {
+            "q_slow_outlier": 3.0,     # 3x committed, +2.0 s -> outlier
+            "q_small_ratio": 0.35,     # 3.5x but only +0.25 s -> jitter
+            "q_window_join": 0.6,      # flagship control
+            "q_steady": 1.05,          # ratio 1.05 -> closest-to-1 control
+            "q_not_in_full": 2.0,      # no committed reading -> no ratio
+        }}
+    }))
+    (root / "BENCH_FULL.json").write_text(json.dumps({
+        "queries": {
+            "q_slow_outlier": 1.0,
+            "q_small_ratio": 0.1,
+            "q_window_join": 0.5,
+            "q_steady": 1.0,
+        }
+    }))
+    (root / "GUARDS_AB.json").write_text(json.dumps({
+        "queries": {"q_slow_outlier": {"on": 0.9, "off": 0.8}}
+    }))
+
+
+def test_outliers_ab_loads_round_artifacts_not_source(tmp_path):
+    """r7 VERDICT item 2: the outlier A/B harness must adjudicate any
+    round's readings from the committed artifacts (BENCH_r{N}.json /
+    BENCH_FULL.json / GUARDS_AB.json), with no hardcoded reading table
+    in source — a round-8 outlier must be runnable without a code edit."""
+    import scripts.bench_ab_outliers as ob
+
+    _write_round_artifacts(tmp_path, 8)
+    assert ob.latest_round(tmp_path) == 8
+
+    ctx = ob.load_context(root=tmp_path)
+    assert ctx["round"] == 8
+    assert ctx["driver"]["q_slow_outlier"] == 3.0
+    assert ctx["committed"]["q_slow_outlier"] == 1.0
+    assert ctx["guards_min"]["q_slow_outlier"] == 0.9
+
+    targets, controls = ob.select_targets(ctx)
+    # the real outlier flags; the +0.25 s jitter ratio does not; the
+    # flagship and the closest-to-1 query ride as controls
+    assert "q_slow_outlier" in targets
+    assert "q_small_ratio" not in targets
+    assert controls == {"q_window_join", "q_steady"}
+
+    # the harness source carries no frozen reading table
+    src = (REPO / "scripts" / "bench_ab_outliers.py").read_text()
+    assert "R6_CONTEXT" not in src
+
+
+def test_outliers_ab_combine_attributes_from_artifacts(tmp_path):
+    import scripts.bench_ab_outliers as ob
+
+    _write_round_artifacts(tmp_path, 8)
+    ctx = ob.load_context(root=tmp_path)
+    targets, controls = ob.select_targets(ctx)
+
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    for rep, t in enumerate([1.1, 1.0]):  # min 1.0 <= 0.75 * 3.0 -> noise
+        scratch.joinpath(f"outliers_{rep}.json").write_text(json.dumps({
+            "rep": rep, "sf_dir": "x", "cpus": 16,
+            "queries": {"q_slow_outlier": t, "q_window_join": 0.55,
+                        "q_steady": 1.0},
+        }))
+    assert ob.combine(ctx, targets, controls, root=tmp_path, scratch=scratch) == 0
+    out = json.loads((tmp_path / "OUTLIERS_AB.json").read_text())
+    assert out["round"] == 8
+    row = out["queries"]["q_slow_outlier"]
+    assert row["driver_r8"] == 3.0 and row["committed"] == 1.0
+    assert row["guards_ab_min"] == 0.9
+    assert "environment noise" in row["attribution"]
+    assert out["queries"]["q_window_join"]["attribution"].startswith("control")
+
+    # the REPRODUCES branch: minima tracking the driver reading
+    for rep in range(2):
+        scratch.joinpath(f"outliers_{rep}.json").write_text(json.dumps({
+            "rep": rep, "sf_dir": "x", "cpus": 16,
+            "queries": {"q_slow_outlier": 2.9, "q_window_join": 0.55,
+                        "q_steady": 1.0},
+        }))
+    ob.combine(ctx, targets, controls, root=tmp_path, scratch=scratch)
+    out = json.loads((tmp_path / "OUTLIERS_AB.json").read_text())
+    assert "REPRODUCES" in out["queries"]["q_slow_outlier"]["attribution"]
