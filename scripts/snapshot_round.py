@@ -63,6 +63,13 @@ ARTIFACTS = (
 ARTIFACT_PREFIXES = ("BENCH_r", "CORRECTNESS_r")
 ARTIFACT_GLOBS = tuple(p + "*.json" for p in ARTIFACT_PREFIXES)
 
+# Round documents the DRIVER/JUDGE write between rounds (verdict,
+# advice). They ride in the driver's round-close commit alongside the
+# artifacts it regenerates, and they alter nothing the bench measured —
+# so the stamp-exactness diff treats them as non-code. They are NOT in
+# ARTIFACTS: snapshot_round must never stage or commit them itself.
+JUDGE_DOCS = ("VERDICT.md", "ADVICE.md")
+
 
 def _git(*args: str) -> str:
     return subprocess.run(
@@ -74,27 +81,36 @@ def _is_artifact(path: str) -> bool:
     """True iff a repo-relative path names a round artifact. Full-glob
     matching, not a bare prefix test: BENCH_refactor.py must NOT count
     as an artifact just because it starts with BENCH_r — only
-    BENCH_r*.json / CORRECTNESS_r*.json and the fixed names do."""
+    BENCH_r*.json / CORRECTNESS_r*.json and the fixed names do.
+    Artifacts are repo-root-only, and fnmatch's * matches path
+    separators, so any nested path ('BENCH_r_dir/evil.json',
+    'docs/PLANS.md') is rejected outright before glob matching — the
+    same class of hole the glob rewrite closed for BENCH_refactor.py
+    (r7 ADVICE)."""
     import fnmatch
 
+    if "/" in path or "\\" in path:
+        return False
     return path in ARTIFACTS or any(
         fnmatch.fnmatch(path, g) for g in ARTIFACT_GLOBS
     )
 
 
-def _code_changed_since(commit: str) -> list[str] | None:
-    """Non-artifact paths in diff(commit..HEAD), or None if the commit
+def _code_changed_since(commit: str, at: str = "HEAD") -> list[str] | None:
+    """Non-artifact paths in diff(commit..at), or None if the commit
     is not in this repo's history. Shared by the --skip-bench fitness
-    gate and the post-commit stamp verifier so the two cannot drift.
+    gate and the stamp verifiers so the gates cannot drift.
     Full repo-relative paths on purpose: basename matching would let a
     nested file sharing an artifact's name (docs/PLANS.md) slip past."""
     if not re.fullmatch(r"[0-9a-f]{7,40}", commit or ""):
         return None  # symbolic refs (HEAD, branch names) name no fixed tree
     try:
-        changed = _git("diff", "--name-only", f"{commit}..HEAD").splitlines()
+        changed = _git("diff", "--name-only", f"{commit}..{at}").splitlines()
     except subprocess.CalledProcessError:
         return None
-    return [f for f in changed if not _is_artifact(f)]
+    return [
+        f for f in changed if not _is_artifact(f) and f not in JUDGE_DOCS
+    ]
 
 
 def _skip_bench_objection() -> str | None:
@@ -172,6 +188,13 @@ def main() -> int:
     for g in ARTIFACT_GLOBS:
         artifact_names |= {p.name for p in REPO.glob(g)}
     to_add = [n for n in sorted(artifact_names) if (REPO / n).exists()]
+    # PRE-commit gate (r7 ADVICE): verify the stamps on the working-tree
+    # contents BEFORE creating the snapshot commit — a failed post-hoc
+    # check would exit 1 but leave an invalid commit in history for any
+    # unattended caller that ignores the exit code
+    if verify_stamp_staged() != 0:
+        print("refusing to commit: staged artifacts fail the stamp check")
+        return 1
     _git("add", "-f", *to_add)
     if not _git("status", "--porcelain").strip():
         # still verify: a rerun after a failed stamp check must not
@@ -183,52 +206,87 @@ def main() -> int:
     return verify_stamp_exactness()
 
 
-def verify_stamp_exactness() -> int:
-    """Post-commit stamp check (r6 VERDICT item 3): the artifacts just
-    committed must be stamped at a clean tree whose CODE is identical to
-    the snapshot commit's — i.e. tree_commit is the snapshot's parent
-    (the regenerate path), or an ancestor separated from HEAD only by
-    artifact commits (the --skip-bench path, same admission criterion as
+def _stamp_problems(name: str, raw: str | None, at: str) -> list[str]:
+    """Objections to one artifact's stamp, with the code-diff taken
+    against `at`. Shared by the pre-commit (working tree vs current
+    HEAD = the snapshot's parent-to-be) and post-commit (HEAD contents
+    vs HEAD) verifiers so the two cannot drift."""
+    if raw is None:
+        return [f"{name} missing/unparseable at {at}"]
+    try:
+        stamp = json.loads(raw)
+    except ValueError:
+        return [f"{name} missing/unparseable at {at}"]
+    problems = []
+    commit, dirty = stamp.get("tree_commit"), stamp.get("tree_dirty")
+    if dirty:
+        problems.append(f"{name} stamped at a DIRTY tree")
+    if not commit:
+        problems.append(f"{name} carries no tree_commit")
+        return problems
+    code_changed = _code_changed_since(commit, at)
+    if code_changed is None:
+        problems.append(
+            f"{name} tree_commit={commit} is not a concrete commit in this repo"
+        )
+    elif code_changed:
+        problems.append(
+            f"{name} tree_commit={commit} is separated from the snapshot "
+            f"by CODE changes: {code_changed[:5]} — artifacts describe a "
+            "stale tree"
+        )
+    return problems
+
+
+def verify_stamp_staged() -> int:
+    """PRE-commit stamp check (r7 ADVICE): run against the working-tree
+    artifact contents BEFORE the snapshot commit exists, diffing the
+    stamp against the current HEAD (the snapshot's parent-to-be). A
+    failure here leaves NO commit behind — the post-commit verifier
+    alone exited 1 but left the stale-artifact snapshot in history,
+    which an unattended caller ignoring the exit code would publish."""
+    problems = []
+    for name in ("BENCH_FULL.json", "ORACLE_LOCAL.json"):
+        p = REPO / name
+        raw = p.read_text() if p.exists() else None
+        problems += _stamp_problems(name, raw, "HEAD")
+    for msg in problems:
+        print(f"stamp check (staged): {msg}")
+    if not problems:
+        print("stamp check (staged): OK")
+    return 0 if not problems else 1
+
+
+def verify_stamp_exactness(at: str = "HEAD") -> int:
+    """Stamp check at a committed snapshot (r6 VERDICT item 3; contract
+    formalized r8): the committed artifacts must be stamped at a clean
+    tree whose CODE is identical to the snapshot commit's — i.e.
+    tree_commit is the snapshot's parent (the regenerate path), or an
+    ancestor separated from the snapshot only by artifact commits (the
+    --skip-bench path, same admission criterion as
     _skip_bench_objection: e.g. a driver-written BENCH_r*/CORRECTNESS_r*
     commit landing between bench and snapshot). Self-equality is
     unattainable — the stamp lives inside the committed tree, so the
     commit hash depends on it (a SHA fixed point); artifact-only
     separation is the exact invariant that matters: the code tree the
-    stamp names and the code tree the snapshot carries are the same."""
-    ok = True
+    stamp names and the code tree the snapshot carries are the same.
+
+    `at` defaults to HEAD (the post-commit check snapshot_round runs on
+    itself); tests pass the actual last snapshot commit (git log -1 --
+    ORACLE_LOCAL.json) so the contract is asserted end-to-end on real
+    history at any point mid-round, not on a fixture."""
+    problems = []
     for name in ("BENCH_FULL.json", "ORACLE_LOCAL.json"):
         try:
-            stamp = json.loads(_git("show", f"HEAD:{name}"))
-        except (subprocess.CalledProcessError, ValueError):
-            print(f"stamp check: {name} missing/unparseable at HEAD")
-            ok = False
-            continue
-        commit, dirty = stamp.get("tree_commit"), stamp.get("tree_dirty")
-        if dirty:
-            print(f"stamp check: {name} stamped at a DIRTY tree")
-            ok = False
-        if not commit:
-            print(f"stamp check: {name} carries no tree_commit")
-            ok = False
-            continue
-        code_changed = _code_changed_since(commit)
-        if code_changed is None:
-            print(
-                f"stamp check: {name} tree_commit={commit} is not a "
-                "concrete commit in this repo"
-            )
-            ok = False
-            continue
-        if code_changed:
-            print(
-                f"stamp check: {name} tree_commit={commit} is separated "
-                f"from the snapshot by CODE changes: {code_changed[:5]} — "
-                "artifacts describe a stale tree"
-            )
-            ok = False
-    if ok:
+            raw = _git("show", f"{at}:{name}")
+        except subprocess.CalledProcessError:
+            raw = None
+        problems += _stamp_problems(name, raw, at)
+    for msg in problems:
+        print(f"stamp check: {msg}")
+    if not problems:
         print("stamp check: OK (artifact stamps and snapshot share one code tree)")
-    return 0 if ok else 1
+    return 0 if not problems else 1
 
 
 if __name__ == "__main__":

@@ -360,3 +360,72 @@ def test_outliers_ab_combine_attributes_from_artifacts(tmp_path):
     ob.combine(ctx, targets, controls, root=tmp_path, scratch=scratch)
     out = json.loads((tmp_path / "OUTLIERS_AB.json").read_text())
     assert "REPRODUCES" in out["queries"]["q_slow_outlier"]["attribution"]
+
+
+def test_artifact_classifier_rejects_nested_paths():
+    """r7 ADVICE: fnmatch's * matches path separators, so a nested path
+    like BENCH_r_dir/evil.json used to classify as a round artifact and
+    slip the dirty-tree, --skip-bench, and stamp-exactness gates.
+    Artifacts are repo-root-only by contract."""
+    import scripts.snapshot_round as sr
+
+    assert not sr._is_artifact("BENCH_r_dir/evil.json")
+    assert not sr._is_artifact("sub/BENCH_r08.json")
+    assert not sr._is_artifact("sub\\BENCH_r08.json")
+    assert not sr._is_artifact("a/ORACLE_LOCAL.json")
+    # root-level artifacts still classify
+    assert sr._is_artifact("BENCH_r08.json")
+    assert sr._is_artifact("OUTLIERS_AB.json")
+
+
+def test_staged_stamp_check_blocks_before_commit(tmp_path, monkeypatch):
+    """r7 ADVICE: the stamp verifier used to run only AFTER the snapshot
+    commit existed — a failure exited 1 but left the stale-artifact
+    commit in history. verify_stamp_staged reads the WORKING-TREE
+    artifact contents and diffs against the current HEAD, so main() can
+    refuse before any commit is created."""
+    import scripts.snapshot_round as sr
+
+    monkeypatch.setattr(sr, "REPO", tmp_path)
+
+    def fake_git(*args):
+        if args[0] == "diff":
+            return "bitcoinminingetl_spark/operators/joins.py\n"
+        raise AssertionError(args)
+
+    monkeypatch.setattr(sr, "_git", fake_git)
+    good = {"tree_commit": "abc1234", "tree_dirty": False}
+    for n in ("BENCH_FULL.json", "ORACLE_LOCAL.json"):
+        (tmp_path / n).write_text(json.dumps(good))
+    # stale: code separates the stamp from the parent-to-be
+    assert sr.verify_stamp_staged() == 1
+
+    monkeypatch.setattr(
+        sr, "_git",
+        lambda *a: "BENCH_FULL.json\n" if a[0] == "diff" else "",
+    )
+    assert sr.verify_stamp_staged() == 0
+    # missing artifact also refuses
+    (tmp_path / "ORACLE_LOCAL.json").unlink()
+    assert sr.verify_stamp_staged() == 1
+
+
+def test_stamp_contract_holds_on_actual_history():
+    """r7 VERDICT item 4, the formalized contract asserted END-TO-END on
+    the repo's real history (not a fixture): at the last commit that
+    touched ORACLE_LOCAL.json, the committed artifact stamps must name a
+    clean tree separated from that commit only by artifact files and
+    judge-written round docs (VERDICT.md/ADVICE.md — the driver's
+    round-close commit carries those beside the artifacts it
+    regenerates). Self-equality is a SHA fixed point, so parent-stamp +
+    verified non-code-free diff IS the contract."""
+    import subprocess
+
+    import scripts.snapshot_round as sr
+
+    at = subprocess.run(
+        ["git", "log", "-1", "--format=%H", "--", "ORACLE_LOCAL.json"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert at, "ORACLE_LOCAL.json has no history"
+    assert sr.verify_stamp_exactness(at=at) == 0
