@@ -764,11 +764,17 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_embed_cosine_lsh")  # rows-only: recall-bounded approximate plan
-def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embed_cosine_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = _COSINE_LSH_THRESHOLD,
+) -> DataFrame:
     """The 100 TB embedding near-dup path: label blocks sub-bucketed by
     multi-table sign-bit LSH, then EXACT cosine verification on
-    candidates only, at the production threshold 0.9.
+    candidates only. `threshold` defaults to the production near-dup
+    setting 0.9 the amplification is tuned for (recall math below); the
+    REGISTERED query passes the exact twin's demo threshold instead —
+    see q_dedup_embed_cosine_lsh.
 
     Blocking on `label` alone leaves within-block pairs O(n²/‖labels‖) —
     quadratic at corpus scale when label cardinality is small. Here each
@@ -846,8 +852,28 @@ def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             # finite [-1,1] — keeps the HOF dot product single-eval
             roundn(cos, 6, guard=False).alias("cosine"),
         )
-        .filter(F.col("cosine") >= _COSINE_LSH_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
     )
+
+
+@query("q_dedup_embed_cosine_lsh")  # rows-only: recall-bounded approximate plan
+def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embed_cosine_lsh REGISTERED at the exact twin's demo
+    threshold (0.35, _COSINE_THRESHOLD) instead of the production 0.9
+    (r7 VERDICT item 1): the synthetic corpus tops out at cosine ~0.51,
+    so at 0.9 the driver's rows-only gate saw 0 rows and proved
+    nothing. At the demo threshold the registered query emits a real
+    pair set at sf0.01 AND becomes directly subset-comparable to
+    q_dedup_embed_cosine on the driver fixtures (one-sided error: LSH
+    can only miss, never invent — pinned by
+    test_embed_cosine_lsh_subset_on_sf_fixture). The production-
+    threshold behavior stays pinned by the planted-fixture recall test
+    calling dedup_embed_cosine_lsh at its 0.9 default. Still rows-only
+    by design: recall at the demo threshold (cos 0.35 -> per-plane
+    agreement p=0.61, per-table p^4=0.14, 6-table OR ~0.60) is
+    probabilistic, so oracle-hash agreement with the exact pair set is
+    not guaranteed."""
+    return dedup_embed_cosine_lsh(spark, sf_dir, threshold=_COSINE_THRESHOLD)
 
 
 

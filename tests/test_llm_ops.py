@@ -390,11 +390,14 @@ def test_embed_cosine_lsh_finds_planted_near_dups(spark, tmp_path):
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    from bitcoinminingetl_spark.operators.dedup import dedup_embed_cosine_lsh
+
+    # PRODUCTION threshold (the 0.9 default the amplification is tuned
+    # for — the registered query runs the demo threshold, so this call
+    # is what keeps the production path pinned, r7 VERDICT item 1)
     pairs = {
         (r.vec_a, r.vec_b): r.cosine
-        for r in REGISTRY["q_dedup_embed_cosine_lsh"]
-        .fn(spark, str(tmp_path))
-        .collect()
+        for r in dedup_embed_cosine_lsh(spark, str(tmp_path)).collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.9
     assert all(a < b for a, b in pairs)
@@ -408,6 +411,36 @@ def test_embed_cosine_lsh_finds_planted_near_dups(spark, tmp_path):
     }
     assert (1, 2) in exact
     assert set(pairs) <= exact
+
+    # the REGISTERED (demo-threshold) variant finds the planted pair too
+    # and keeps the same one-sided guarantees
+    reg = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["q_dedup_embed_cosine_lsh"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert (1, 2) in reg
+    assert not any({a, b} & {3} for a, b in reg)
+
+
+def test_embed_cosine_lsh_subset_on_sf_fixture(spark, sf_dir):
+    """r7 VERDICT item 1, the non-vacuity half: at the registered demo
+    threshold the LSH query must emit a REAL pair set on the driver
+    fixture (the production 0.9 matched zero pairs at sf0.01, so the
+    driver's rows-only gate proved nothing), and that set must be a
+    subset of the exact twin's — one-sided error on the very data the
+    driver hashes."""
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["q_dedup_embed_cosine_lsh"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["q_dedup_embed_cosine"].fn(spark, sf_dir).collect()
+    }
+    assert lsh, "registered LSH threshold must fire on the sf fixture"
+    assert lsh <= exact
 
 
 def test_dedup_clusters_chain_convergence(spark, tmp_path):
