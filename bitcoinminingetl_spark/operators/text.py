@@ -898,7 +898,7 @@ def q_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = j.groupBy("lang").agg(
         F.percentile_approx("avg_logprob", [1 / 3, 2 / 3], 10000).alias("bs")
     ).select(
-        "lang",
+        F.col("lang").alias("b_lang"),
         F.element_at("bs", 1).alias("b1"),  # 33rd pct (ascending score)
         F.element_at("bs", 2).alias("b2"),  # 66th pct
     )
@@ -908,7 +908,13 @@ def q_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
     )
     return (
-        j.join(F.broadcast(bounds), "lang")
+        # eqNullSafe, not a bare equi-join: the exact twin's
+        # Window.partitionBy('lang') keeps NULL lang as its own
+        # partition, and a plain inner join would silently drop those
+        # docs here, breaking the twins' conservation invariant on any
+        # corpus with unidentified-language documents (r7 ADVICE).
+        # groupBy above already emits the NULL-lang boundary row.
+        j.join(F.broadcast(bounds), F.col("lang").eqNullSafe(F.col("b_lang")))
         .select("lang", bucket.alias("bucket"), "avg_logprob")
         .groupBy("lang", "bucket")
         .agg(

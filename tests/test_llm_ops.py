@@ -2136,3 +2136,35 @@ def test_retrieval_eval_planted(spark, tmp_path):
     expected = float(dcg / Decimal(_NDCG_IDCG))
     assert abs(r.ndcg_at_k - expected) < 1e-6
     assert 0.5 < r.ndcg_at_k < 1.0
+
+
+def test_ccnet_buckets_keep_null_lang_docs(spark, tmp_path):
+    """r7 ADVICE: a real crawl contains documents whose language ID
+    failed (lang NULL). The exact twin's Window.partitionBy('lang')
+    keeps NULL as its own partition; the approx twin's bucketing join
+    must do the same (eqNullSafe), or the twins' conservation invariant
+    silently breaks — an inner equi-join on lang would drop every
+    NULL-lang doc from the approx buckets."""
+    rows = []
+    for i in range(9):
+        rows.append((i, f"alpha beta gamma delta tok{i} tok{i} end word",
+                     None, "web", 40))
+    for i in range(9, 18):
+        rows.append((i, f"alpha beta gamma delta tok{i} other end word",
+                     "en", "web", 40))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    exact = REGISTRY["q_ccnet_buckets"].fn(spark, str(tmp_path)).collect()
+    approx = REGISTRY["q_ccnet_buckets_approx"].fn(spark, str(tmp_path)).collect()
+
+    ex_langs = {r.lang for r in exact}
+    ap_langs = {r.lang for r in approx}
+    assert None in ex_langs and "en" in ex_langs
+    assert ap_langs == ex_langs  # NULL lang not dropped by the join
+
+    for lang in ex_langs:
+        n_ex = sum(r.n_docs for r in exact if r.lang == lang)
+        n_ap = sum(r.n_docs for r in approx if r.lang == lang)
+        assert n_ex == n_ap == 9  # conservation per partition
