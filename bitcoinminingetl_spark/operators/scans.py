@@ -405,41 +405,64 @@ def q_compaction_plan(
     byte and row totals, and whether the bin is worth rewriting
     (more than one file in it).
 
+    INVENTORY (unified with the rewrite twin, r7 VERDICT item 3): the
+    per-file relation comes from a Spark-side ``binaryFile`` listing
+    (path/length per physical file, partition column inferred — the
+    ``content`` column is never projected, so no file bytes are read),
+    NOT from ``_metadata`` alone. ``_metadata`` is row-level, so a
+    ZERO-ROW parquet file never reaches a row aggregate and was
+    invisible to the old plan while the listing-based rewrite twin
+    (sources/sink.compact_small_files) swept it — the planner and the
+    rewriter disagreed on inventory. Row counts still come from one
+    ``_metadata`` aggregate, attached by a left join on the |files|-row
+    relations (a file absent from the row aggregate IS the zero-row
+    case, coalesced to 0).
+
     Only files BELOW the target size are candidates — an
     already-target-sized file is exactly what OPTIMIZE planning exists
     to skip, and sweeping it into a bin would direct a pointless
     rewrite of data that is already laid out right.
 
-    Scale shape: the per-file relation is |files| rows — orders of
-    magnitude below the data — produced by a (ds, file) hash aggregate
-    whose map side collapses each scan task to one row. The cumulative
-    window partitions by ds (compaction never merges across partition
-    directories, exactly like OPTIMIZE), so window state is O(files per
-    partition), and the final plan aggregate is a (ds, bin) rollup.
-    The REWRITE step this plans for is a per-bin coalesced read-write —
-    one pass over just the small files.
-
-    Known limitation, by construction: ``_metadata`` is a row-level
-    column, so ZERO-ROW parquet files never reach the aggregate and are
-    invisible to this plan. The rewrite twin
-    (sources/sink.compact_small_files) works from a directory listing
-    and does sweep them; a listing-based inventory is the fix if empty
-    files ever dominate a layout."""
+    Scale shape: both sides of the inventory are |files| rows — orders
+    of magnitude below the data. The listing uses the same distributed
+    file-index machinery as any parquet scan; the row-count side is a
+    (file) hash aggregate whose map side collapses each scan task to
+    one row. The cumulative window partitions by ds (compaction never
+    merges across partition directories, exactly like OPTIMIZE), so
+    window state is O(files per partition), and the final plan
+    aggregate is a (ds, bin) rollup. The REWRITE step this plans for is
+    a per-bin coalesced read-write — one pass over just the small
+    files."""
     if target_bytes is not None and target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     target = _COMPACT_TARGET_BYTES if target_bytes is None else target_bytes
     path = _partitioned_events(spark, sf_dir)
-    per_file = (
-        spark.read.parquet(path)
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
         .select(
             # partition-dir values read back type-inferred (DATE here);
             # the plan's ds is a directory NAME, so pin it to string
             F.col("ds").cast("string").alias("ds"),
-            F.col("_metadata.file_path").alias("file"),
-            F.col("_metadata.file_size").alias("bytes"),
+            F.col("path").alias("file"),
+            F.col("length").alias("bytes"),
         )
-        .groupBy("ds", "file")
-        .agg(F.max("bytes").alias("bytes"), F.count(F.lit(1)).alias("rows"))
+    )
+    rows_per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+    per_file = (
+        listing.join(rows_per_file, "file", "left")
+        .select(
+            "ds",
+            "file",
+            "bytes",
+            # absent from the row aggregate == zero-row file
+            F.coalesce("rows", F.lit(0)).alias("rows"),
+        )
         .filter(F.col("bytes") < target)  # small files only — see above
     )
     w = Window.partitionBy("ds").orderBy("file")

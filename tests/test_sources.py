@@ -362,3 +362,73 @@ def test_retention_sweep_drops_only_expired_partitions(spark, sf_dir, tmp_path):
     assert got == expected > 0
     # idempotent: second sweep drops nothing
     assert retention_sweep(path, keep_days=1, today=newest) == []
+
+
+def test_compaction_plan_and_rewrite_agree_on_zero_row_files(
+    spark, sf_dir, tmp_path
+):
+    """r7 VERDICT item 3: the planner used a row-level (_metadata)
+    inventory that could not see ZERO-ROW parquet files, while the
+    rewrite twin works from a listing and sweeps them — the pair
+    disagreed on inventory. With the binaryFile-listing inventory the
+    plan must count every physical file (a planted empty one included,
+    at rows=0), and the rewrite must sweep it, with the two agreeing on
+    the small-file set."""
+    import glob
+    import shutil
+
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.operators import scans
+    from bitcoinminingetl_spark.sources.sink import compact_small_files
+
+    frag = str(tmp_path / "frag_zero")
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+        .filter(F.col("ds") == "2024-01-05")
+    )
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).repartition(2).write.mode(
+            "append"
+        ).partitionBy("ds").parquet(frag)
+
+    # plant a ZERO-ROW parquet file (same schema, no rows) in the
+    # partition dir — the shape a failed/empty micro-batch leaves behind
+    empty_dir = str(tmp_path / "empty_part")
+    ev.drop("ds").filter(F.lit(False)).coalesce(1).write.parquet(empty_dir)
+    src = glob.glob(f"{empty_dir}/*.parquet")[0]
+    shutil.copy(src, f"{frag}/ds=2024-01-05/part-zero-row.parquet")
+
+    all_files = glob.glob(f"{frag}/ds=2024-01-05/*.parquet")
+    data_rows = spark.read.parquet(frag).count()
+
+    fake_sf = str(tmp_path / "fake_sf_zero")
+    scans._PARTITIONED_LAYOUTS[fake_sf] = frag
+    try:
+        plan = scans.q_compaction_plan(
+            spark, fake_sf, target_bytes=1 << 40
+        ).collect()
+        # inventory parity: the plan sees EVERY physical file, the
+        # zero-row plant included, and conserves data rows (plant = 0)
+        assert sum(r.n_files for r in plan) == len(all_files)
+        assert sum(r.total_rows for r in plan) == data_rows
+        assert all(r.rewrite_worthwhile for r in plan)
+    finally:
+        scans._PARTITIONED_LAYOUTS.pop(fake_sf, None)
+
+    # the rewrite the plan directs sweeps the zero-row file: content
+    # identical, no empty files remain
+    compact_small_files(spark, frag, target_file_bytes=1 << 40)
+    assert spark.read.parquet(frag).count() == data_rows
+    remaining = glob.glob(f"{frag}/**/*.parquet", recursive=True)
+    per_file_rows = {
+        r.f: r.n
+        for r in spark.read.parquet(frag)
+        .groupBy(F.col("_metadata.file_path").alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # every remaining physical file carries rows (zero-row plant gone)
+    assert len(per_file_rows) == len(remaining)
+    assert all(n > 0 for n in per_file_rows.values())
