@@ -300,6 +300,11 @@ def main() -> None:
         "q_streaming_window_avg": [1.5, 5.0],
         "q_streaming_sessionize": [1.5, 5.0],
         "q_streaming_incremental_dedup": [8.0, 16.0],
+        # stream-stream join: per-micro-batch cost is the symmetric-hash
+        # state stores (4 per shuffle partition) checkpointing to disk,
+        # so its floor sits well above the single-store window/session
+        # lifecycles (measured 8-10 s warm, 16.5 cold at sf0.1/local[32])
+        "q_streaming_interval_join": [5.0, 18.0],
     }
     from bitcoinminingetl_spark.session import default_parallelism
 

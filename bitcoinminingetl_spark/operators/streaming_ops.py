@@ -22,6 +22,7 @@ from bitcoinminingetl_spark.streaming.pipeline import (
     read_event_stream,
     run_to_parquet,
     session_windows,
+    stream_stream_interval_join,
     windowed_metric_averages,
 )
 
@@ -105,6 +106,54 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_events",
         "avg_value",
+    )
+
+
+@query("q_streaming_interval_join")  # rows-only: stateful streaming lifecycle
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval join through the full lifecycle
+    (r7 VERDICT item 6 — previously test-only while the other three
+    streaming lifecycles were registered): land a week of events as
+    JSON -> ONE file-stream source split into click and view legs (the
+    split is two filters on the same source, so the two "streams" share
+    offsets/watermark progression exactly like a production fan-out) ->
+    watermarked interval join (each click pairs with the same user's
+    views within ±5 min; the time-bound condition is what lets the
+    state store expire rows, without it stream-stream join state grows
+    forever) -> append-mode parquet sink -> AvailableNow drain. Output:
+    the attribution pair table (click_id, view_id, user_id, click_ts,
+    view_ts).
+
+    Rows-only by design: which pairs the drain emits is exact (inner
+    join; every emitted pair is a true interval match, pinned
+    differentially against the batch join by
+    test_stream_stream_interval_join_matches_batch), but the lifecycle
+    — checkpointed state, watermark-driven state expiry, cross-restart
+    exactly-once (test_interval_join_exactly_once_across_restart) — is
+    not one DuckDB SQL statement."""
+    work = workdir("bmetl_sjoin_")
+    landing, out, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
+    (
+        events_in_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-12 00:00:00")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(4)
+        .write.json(landing)
+    )
+    stream = read_event_stream(spark, landing, max_files_per_trigger=2)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    q = (
+        stream_stream_interval_join(clicks, views)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "click_id", "view_id", "user_id", "click_ts", "view_ts"
     )
 
 

@@ -38,6 +38,7 @@ LIFECYCLE = {
     "q_streaming_window_avg",
     "q_streaming_sessionize",
     "q_streaming_incremental_dedup",
+    "q_streaming_interval_join",
 }
 
 # The one sanctioned per-row Python eval: the UDTF escape-hatch demo.

@@ -817,3 +817,81 @@ def test_stream_stream_left_outer_join_emits_unmatched(
     )
     # no click appears both matched and null-view
     assert not (got_unmatched & {c for c, _ in got_pairs})
+
+
+def test_interval_join_exactly_once_across_restart(spark, tmp_path):
+    """Lifecycle pin for q_streaming_interval_join (r7 VERDICT item 6):
+    the stream-stream join's STATE must survive a restart — a click
+    arriving before the stop and its view arriving after must still
+    pair (the checkpoint carries join state, not just source offsets),
+    run-1 pairs must not re-emit (exactly-once across restart), and the
+    final pair set must equal the batch interval join over all data."""
+    import os
+
+    from bitcoinminingetl_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_stream_interval_join,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def ev(eid, t, uid, typ):
+        return {
+            "event_id": eid,
+            "ts": f"2024-01-01 {t}",
+            "user_id": uid,
+            "event_type": typ,
+            "value": 1.0,
+        }
+
+    first = [
+        ev(1, "09:00:00", 2, "view"),
+        ev(2, "09:02:00", 2, "click"),   # pairs with 1 inside run 1
+        ev(3, "08:00:00", 3, "click"),   # view arrives 30 min later: no pair
+        ev(4, "10:00:00", 1, "click"),   # its view arrives AFTER restart
+    ]
+    second = [
+        ev(5, "10:03:00", 1, "view"),    # pairs with 4 across the restart
+        ev(6, "08:30:00", 3, "view"),    # outside the ±5 min tolerance
+        ev(7, "11:00:00", 4, "click"),
+        ev(8, "11:01:00", 4, "view"),    # pairs with 7 inside run 2
+    ]
+
+    def land(name, rows):
+        with open(f"{landing}/{name}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run():
+        stream = read_event_stream(spark, landing)
+        q = (
+            stream_stream_interval_join(
+                stream.filter(F.col("event_type") == "click"),
+                stream.filter(F.col("event_type") == "view"),
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return [(r.click_id, r.view_id) for r in spark.read.parquet(out).collect()]
+
+    land("first", first)
+    run1 = run()
+    assert (2, 1) in run1           # both sides in run 1
+    assert (4, 5) not in run1       # view not landed yet
+
+    land("second", second)
+    run2 = run()
+    # join state survived the restart: the pre-stop click pairs with the
+    # post-restart view
+    assert (4, 5) in run2
+    # exactly-once: nothing re-emitted, no duplicates anywhere
+    assert len(run2) == len(set(run2))
+    assert set(run2) == {(2, 1), (4, 5), (7, 8)}
