@@ -102,7 +102,26 @@ AUDIT = [
     ("q_k_anonymity", 1.35, "two hash aggregates, one scan"),
     ("q_l_diversity", 1.35, "quasi-class agg + two-phase COUNT(DISTINCT)"),
     ("q_t_closeness", 1.35, "persisted cell relation + broadcast-dim completion"),
+    # r8 widening (r7 VERDICT item 5): every query with driver plan cost
+    # > 1.0 s in the round's BENCH_FULL joins the audit
+    ("q_dedup_embed_cosine_lsh", 1.35, "sign-bit sub-bucket candidates (one numpy-matmul UDF) + exact re-rank"),
+    ("q_dedup_minhash_mllib", 1.35, "MLlib MinHashLSH twin: O(docs x bands) shuffle"),
+    ("q_cogroup_pandas", 1.35, "cogrouped Arrow kernel, one exchange per side"),
+    ("q_ann_ivf", 1.35, "IVF cells: probe-cell equi-join candidates, exact re-rank"),
+    ("q_bigram_logprob", 1.35, "bigram LM probe: tf agg + 8-byte-key token joins"),
+    ("q_embed_pca", 1.35, "sampled covariance fit; projection is map-only"),
+    ("q_star_join", 1.35, "star schema: all dims broadcast, one fact pass"),
+    ("q_tpch_large_orders", 1.35, "fact-keyed agg + semi-join attach"),
+    ("q_dedup_pagerank_lsh", 1.35, "static power rounds over the persisted LSH edge relation"),
+    ("q_surrogate_key", 1.35, "distributed sketch-rank primary key, no global window"),
+    ("q_dedup_incremental", 1.35, "asymmetric new-vs-corpus joins (corpus never pairs with itself)"),
+    ("q_ann_brp_mllib", 1.35, "MLlib BucketedRandomProjection twin, bucket-join candidates"),
+    ("q_math_funcs", 1.35, "map-only scalar expression scan"),
+    ("q_token_budget_select", 1.35, "sketch-bucket prefix sums, no global window"),
+    ("q_sql_pricing_summary", 1.35, "one-pass grouped agg (TPC-H Q1 shape)"),
+    ("q_ann_lsh", 1.35, "hyperplane sign-bucket candidates + exact re-rank"),
     # declared super-linear ground-truth twins: audited against their claim
+    ("q_dedup_embed_cosine", 2.2, "GUARDED label-block all-pairs exact twin (pairs ~ n^2 / |labels|)"),
     ("q_knn_join", 2.2, "GUARDED all-pairs exact twin: |A|·|B| ~ n^2"),
     ("q_dedup_ngram_jaccard", 2.2, "exact pair ground truth (df_cap-guarded)"),
     ("q_hard_negatives", 2.2, "GUARDED all-pairs exact twin (q_knn_join + label predicate)"),
