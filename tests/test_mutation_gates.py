@@ -25,10 +25,17 @@ import pytest
 
 import bitcoinminingetl_spark.operators.dedup as dedup_mod
 import bitcoinminingetl_spark.operators.text as text_mod
+
+# underscore aliases so pytest does not re-collect the imported planted
+# tests as members of THIS module (they already run in test_llm_ops)
 from tests.test_llm_ops import (
-    test_embed_cosine_lsh_subset_on_sf_fixture,
-    test_k_anonymity_planted,
-    test_minhash_candidates_subset_of_exact,
+    test_embed_cosine_lsh_subset_on_sf_fixture as _gate_embed_lsh_subset,
+)
+from tests.test_llm_ops import (
+    test_k_anonymity_planted as _gate_k_anonymity,
+)
+from tests.test_llm_ops import (
+    test_minhash_candidates_subset_of_exact as _gate_minhash_subset,
 )
 
 
@@ -56,10 +63,10 @@ def test_k_anonymity_gate_goes_red_on_threshold_flip(spark, tmp_path):
     red.mkdir()
     with _mutated(text_mod, "_K_ANON", 1):
         with pytest.raises(AssertionError):
-            test_k_anonymity_planted(spark, red)
+            _gate_k_anonymity(spark, red)
     green = tmp_path / "green"
     green.mkdir()
-    test_k_anonymity_planted(spark, green)
+    _gate_k_anonymity(spark, green)
 
 
 def test_embed_lsh_gate_goes_red_on_threshold_flip(spark, sf_dir):
@@ -68,8 +75,8 @@ def test_embed_lsh_gate_goes_red_on_threshold_flip(spark, sf_dir):
     r7 VERDICT item 1 flagged, and the non-vacuity gate must fail."""
     with _mutated(dedup_mod, "_COSINE_THRESHOLD", 0.99):
         with pytest.raises(AssertionError):
-            test_embed_cosine_lsh_subset_on_sf_fixture(spark, sf_dir)
-    test_embed_cosine_lsh_subset_on_sf_fixture(spark, sf_dir)
+            _gate_embed_lsh_subset(spark, sf_dir)
+    _gate_embed_lsh_subset(spark, sf_dir)
 
 
 def test_minhash_gate_goes_red_on_threshold_flip(spark, sf_dir):
@@ -79,5 +86,5 @@ def test_minhash_gate_goes_red_on_threshold_flip(spark, sf_dir):
     must fail."""
     with _mutated(dedup_mod, "_JACCARD_THRESHOLD", 1.01):
         with pytest.raises(AssertionError):
-            test_minhash_candidates_subset_of_exact(spark, sf_dir)
-    test_minhash_candidates_subset_of_exact(spark, sf_dir)
+            _gate_minhash_subset(spark, sf_dir)
+    _gate_minhash_subset(spark, sf_dir)
