@@ -112,8 +112,10 @@ _CC_MAX_ITERS = 20
 _ckpt = ckpt
 
 
-_CC_ORACLE = f"""
-    WITH RECURSIVE pairs AS (
+# The CC fixpoint as reusable CTEs: q_dedup_clusters/_minlabel take the
+# label map verbatim; q_dedup_representatives builds its keep decision
+# on top of the same closure.
+_CC_CTES = f"""pairs AS (
         SELECT doc_a, doc_b FROM ({NGRAM_PAIRS_ORACLE})
     ),
     edges AS (
@@ -124,9 +126,15 @@ _CC_ORACLE = f"""
         SELECT u, v FROM edges
         UNION
         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    )
-    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-    FROM reach GROUP BY u
+    ),
+    cc AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+    )"""
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id, cluster_id FROM cc
     """
 
 
@@ -299,6 +307,63 @@ def q_dedup_clusters_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_clusters_fast through round 4 — the roles swapped in round 5
     when pointer jumping (4x cheaper at sf0.1) became the primary."""
     return _cc_labels(spark, sf_dir, pointer_jump=False)
+
+
+@query(
+    "q_dedup_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES},
+    q AS (
+        SELECT cc.doc_id, cc.cluster_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM cc JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, n_tokens,
+           (row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY n_tokens DESC, doc_id
+            ) = 1) AS keep
+    FROM q
+    """,
+)
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster REPRESENTATIVE selection — the keep policy a production
+    dedup actually ships. q_dedup_keep_first's min-doc_id rule is the
+    SQL-textbook answer, but on a near-dup CLUSTER the copies differ
+    (truncated mirrors, boilerplate-wrapped rescrapes), and dropping by
+    arrival order keeps whichever copy happened to be crawled first.
+    This query keeps the RICHEST copy per cluster — highest token count,
+    doc_id as the deterministic tiebreak — and emits the full per-doc
+    decision table (doc_id, cluster_id, n_tokens, keep), the relation a
+    curation pipeline joins back to drop non-representatives while
+    keeping the evidence trail (generalizes reference dedup identity,
+    data_model.py:32-33, to a quality-ranked cluster policy).
+
+    Plan: the cluster labels are q_dedup_clusters' pointer-jumping CC
+    over the persisted pair relation (shared, built once per corpus);
+    token counts attach by one doc_id equi-join (the corpus side is
+    |clustered docs| rows, not the corpus); the keep flag is a
+    row_number window partitioned BY CLUSTER — state O(cluster size),
+    never a global sort. At 100 TB the whole relation after the CC step
+    is |clustered docs| rows — orders of magnitude below the corpus —
+    so the join and window ride on the small side by construction."""
+    cl = _cc_labels(spark, sf_dir, pointer_jump=True)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    return (
+        cl.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_tokens",
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+    )
 
 
 _PR_ITERS = 5

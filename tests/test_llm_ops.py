@@ -2168,3 +2168,38 @@ def test_ccnet_buckets_keep_null_lang_docs(spark, tmp_path):
         n_ex = sum(r.n_docs for r in exact if r.lang == lang)
         n_ap = sum(r.n_docs for r in approx if r.lang == lang)
         assert n_ex == n_ap == 9  # conservation per partition
+
+
+def test_dedup_representatives_keep_richest_not_first(spark, tmp_path):
+    """On a 3-doc near-dup CHAIN (1~2, 2~3, 1!~3) whose MIDDLE doc is
+    the richest copy, representative selection must keep doc 2 — the
+    highest-token-count member — where the keep-first policy would have
+    kept doc 1. Exactly one keep per cluster; every clustered doc gets
+    a decision row; unclustered docs are absent (they need no decision)."""
+    toks = [f"t{i}" for i in range(40)]
+    rows = [
+        (1, " ".join(toks[0:20]), "en", "web", 1),    # 20 tokens
+        (2, " ".join(toks[5:35]), "en", "web", 1),    # 30 tokens — richest
+        (3, " ".join(toks[20:40]), "en", "web", 1),   # 20 tokens
+        (9, "completely unrelated single document", "en", "web", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["q_dedup_representatives"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {1, 2, 3}          # the chain, not the singleton
+    assert all(r.cluster_id == 1 for r in out.values())
+    assert out[2].keep and out[2].n_tokens == 30
+    assert not out[1].keep and not out[3].keep
+    # agreement with the cluster labeler on membership
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["q_dedup_clusters"].fn(spark, str(tmp_path)).collect()
+    }
+    assert {d: r.cluster_id for d, r in out.items()} == clusters
