@@ -293,7 +293,10 @@ def main() -> int:
             controls = {FLAGSHIP}
     else:
         targets, controls = select_targets(ctx)
-    if not targets:
+    if set(targets) <= controls:
+        # nothing but stability controls selected — there is no outlier
+        # claim to adjudicate, so spending fresh-JVM reps would only
+        # produce an artifact that looks like receipts for nothing
         print(
             f"round {ctx['round']}: no outliers past "
             f"{OUTLIER_RATIO}x/{ABS_FLOOR_S}s — nothing to adjudicate"
