@@ -245,9 +245,9 @@ def q_agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentiles",
     oracle=f"""
     SELECT event_type,
-           {roundn_sql('quantile_cont(value, 0.5)', 6)} AS p50,
-           {roundn_sql('quantile_cont(value, 0.9)', 6)} AS p90,
-           {roundn_sql('quantile_cont(value, 0.99)', 6)} AS p99
+           {roundn_sql('quantile_cont((CASE WHEN NOT isnan(value) THEN value END), 0.5)', 6)} AS p50,
+           {roundn_sql('quantile_cont((CASE WHEN NOT isnan(value) THEN value END), 0.9)', 6)} AS p90,
+           {roundn_sql('quantile_cont((CASE WHEN NOT isnan(value) THEN value END), 0.99)', 6)} AS p99
     FROM events GROUP BY event_type
     """,
 )
@@ -257,14 +257,25 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics). Exact percentile buffers every value per key — at 100 TB
     switch to `percentile_approx` (KLL-sketch-style bounded memory,
     mergeable across partitions); q_approx_distinct shows the same
-    exact-vs-sketch trade for cardinality."""
+    exact-vs-sketch trade for cardinality.
+
+    NaN inputs are masked out of the order statistics on BOTH engines
+    (r8 adversarial sweep): Spark sorts NaN greater than every number
+    (a corrupt reading silently becomes the max and drags every
+    quantile up), DuckDB's quantile_cont propagates it to NaN — two
+    different wrong answers for the same corrupt stream. Excluding the
+    non-ordering value is the one treatment with a defensible meaning
+    (the quantiles of the readings that ARE comparable), and it is the
+    cosine family's corrupt-exclusion doctrine applied to order stats.
+    +/-Inf stays: infinities order identically in both engines."""
+    nn = "(CASE WHEN NOT isnan(value) THEN value END)"
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            roundn(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-            roundn(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-            roundn(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            roundn(F.expr(f"percentile({nn}, 0.5)"), 6).alias("p50"),
+            roundn(F.expr(f"percentile({nn}, 0.9)"), 6).alias("p90"),
+            roundn(F.expr(f"percentile({nn}, 0.99)"), 6).alias("p99"),
         )
     )
 
@@ -395,7 +406,7 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_histogram",
     oracle="""
-    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+    SELECT TRY_CAST(floor(value / 50) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1
     """,
@@ -404,11 +415,19 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram over the metric column: bucketing is a scalar
     projection (stays in codegen), counting is a partial-agg groupBy on
     the bucket id — the canonical distribution profile a data-quality
-    pass runs over every numeric column at ingest."""
+    pass runs over every numeric column at ingest. Non-finite values
+    are masked BEFORE floor (r8 adversarial sweep, the _value_band
+    class): unmasked, Spark's floor(double) merges NaN into bucket 0
+    and +/-Inf into Long.MIN/MAX buckets while the oracle NULLs them —
+    a corrupt reading lands in the NULL bucket on both engines, where a
+    data-quality pass can SEE it instead of it inflating a real bin."""
+    finite = ~F.isnan("value") & (F.abs(F.col("value")) != F.lit(float("inf")))
     return (
         table(spark, sf_dir, "events")
         .groupBy(
-            F.floor(F.col("value") / 50).cast("long").alias("bucket")
+            F.when(finite, F.floor(F.col("value") / 50))
+            .try_cast("long")
+            .alias("bucket")
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1194,7 +1213,7 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_histogram_equiheight",
     oracle="""
     WITH b AS (
-        SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+        SELECT value, ntile(10) OVER (ORDER BY value NULLS FIRST, event_id) AS bucket
         FROM events
     )
     SELECT bucket, min(value) AS lo, max(value) AS hi,
@@ -1211,9 +1230,12 @@ def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, bucket boundaries come from q_approx_percentiles'
     percentile_approx sketch and rows bucket by range comparison — a
     map-only pass; this oracle-checked version is what that
-    approximation is validated against."""
+    approximation is validated against. NULL placement pinned NULLS
+    FIRST on both engines (Spark asc default vs DuckDB nulls-last —
+    the same latent divergence the r8 adversarial sweep caught in
+    q_window_ntile)."""
     ev = table(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    w = Window.orderBy(F.col("value").asc_nulls_first(), "event_id")
     return (
         ev.select("value", F.ntile(10).over(w).alias("bucket"))
         .groupBy("bucket")

@@ -797,6 +797,8 @@ _SEMDECON_THRESHOLD = 0.25  # tuned to the synthetic embedding spread
           ON a.label = b.label
          AND b.vec_id % 10 = 0
          AND a.vec_id % 10 != 0
+        WHERE isfinite({{na}}) AND {{na}} > 0
+          AND isfinite({{nb}}) AND {{nb}} > 0
     )
     SELECT vec_id,
            CAST(count(*) AS BIGINT) AS n_eval_hits,
@@ -868,12 +870,16 @@ _QB_BUCKETS = 8
     "q_token_budget_select",
     oracle=f"""
     WITH t AS (
+        -- NULL text is unbudgetable (no token count) and excluded on
+        -- both engines; unfiltered, DuckDB's nulls-first DESC default
+        -- put the NULL-density doc at rank 1 inside the budget while
+        -- Spark's bucketed prefix sum dropped it (r8 adversarial sweep)
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
                    AS n_tokens,
                CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE)
                    / greatest(n_chars, 1) AS density
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     c AS (
         SELECT doc_id, n_tokens, density,
@@ -904,8 +910,16 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     by bucketing on density alone with doc_id-ordered ties inside
     buckets — within-bucket cumsum, per-bucket totals to offsets,
     broadcast back. No single-task global window; the oracle is the
-    serial window cumsum."""
-    docs = table(spark, sf_dir, "documents").select(
+    serial window cumsum.
+
+    NULL text is unbudgetable (no token count) and EXPLICITLY excluded
+    — pre-r8 it fell out only accidentally (NULL bucket key never
+    matched the offsets join), while the oracle's nulls-first DESC
+    default ranked it INSIDE the budget; both sides now declare the
+    exclusion (r8 adversarial sweep)."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
         "doc_id",
         F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
         .cast("long")
@@ -1118,9 +1132,9 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, source,
-           {roundn_sql('percent_rank() OVER (PARTITION BY source ORDER BY score)', 6)}
+           {roundn_sql('percent_rank() OVER (PARTITION BY source ORDER BY score NULLS FIRST)', 6)}
                AS pct_rank,
-           percent_rank() OVER (PARTITION BY source ORDER BY score) >= 0.2
+           percent_rank() OVER (PARTITION BY source ORDER BY score NULLS FIRST) >= 0.2
                AS keep
     FROM scored
     """,
@@ -1137,12 +1151,16 @@ def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: percent_rank partitions by source — independent
     per-source tasks, no global ordering; percent_rank depends only on
     rank, so score ties agree with any serial oracle regardless of
-    partitioning."""
+    partitioning. NULL scores (NULL text — fetch failures) are pinned
+    NULLS FIRST on both engines: unknown quality ranks WORST and falls
+    below the keep cut, instead of DuckDB's nulls-last default silently
+    ranking an unscorable doc as the best in its source (r8 adversarial
+    sweep finding)."""
     score = (
         F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("double")
         / F.greatest(F.col("n_chars"), F.lit(1))
     )
-    w = Window.partitionBy("source").orderBy("score")
+    w = Window.partitionBy("source").orderBy(F.col("score").asc_nulls_first())
     return (
         table(spark, sf_dir, "documents")
         .select("doc_id", "source", score.alias("score"))
@@ -1779,7 +1797,7 @@ _LB_BUCKETS = 8  # length buckets (equal-count, ntile over token length)
     ),
     bucketed AS (
         SELECT *, CAST(ntile({_LB_BUCKETS}) OVER (
-            ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+            ORDER BY n_tokens NULLS FIRST, doc_id) AS BIGINT) AS bucket
         FROM lens
     )
     SELECT bucket, count(*) AS n_docs,
@@ -1814,7 +1832,11 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = table(spark, sf_dir, "documents").select(
         "doc_id", toks.cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("n_tokens", "doc_id")
+    # NULLS FIRST pinned on both engines: a NULL token count (NULL
+    # text) buckets with the shortest docs instead of DuckDB's
+    # nulls-last default pushing it into the longest bucket and
+    # shifting every boundary (r8 adversarial sweep finding)
+    w = Window.orderBy(F.col("n_tokens").asc_nulls_first(), "doc_id")
     padded = F.count(F.lit(1)) * F.max("n_tokens")
     return (
         lens.withColumn("bucket", F.ntile(_LB_BUCKETS).over(w).cast("long"))

@@ -632,6 +632,16 @@ def _norm_sql(side: str) -> str:
     )
 
 
+def _usable_norm_sql(side: str) -> str:
+    """Oracle-side mirror of normed_embeddings' corrupt-vector
+    exclusion: finite positive norm. Without it a NaN-component vector
+    sails through the oracle's cosine filter — DuckDB (like Spark)
+    compares NaN GREATER than any threshold — and every oracle pair set
+    grows phantom corrupt pairs the Spark side excludes by doctrine
+    (r8 adversarial sweep)."""
+    return f"(isfinite({_norm_sql(side)}) AND {_norm_sql(side)} > 0)"
+
+
 def _dot(x: Column, y: Column) -> Column:
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
@@ -714,6 +724,7 @@ def _emb_planes(dims: int = 64):
                    AS cosine
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_usable_norm_sql("a")} AND {_usable_norm_sql("b")}
     )
     SELECT * FROM pairs WHERE cosine >= {_COSINE_THRESHOLD}
     """,

@@ -115,8 +115,9 @@ def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(event_id AS VARCHAR) AS id_str,
            CAST(user_id AS VARCHAR) AS uid_str,
-           CAST(floor(value) AS BIGINT) AS value_floor,
-           CAST(TRY_CAST(value AS DECIMAL(12, 2)) AS DOUBLE) AS value_dec,
+           TRY_CAST(floor(value) AS BIGINT) AS value_floor,
+           CAST(TRY_CAST((CASE WHEN NOT isnan(value) THEN value END)
+               AS DECIMAL(12, 2)) AS DOUBLE) AS value_dec,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
            CAST(to_timestamp(event_id * 60 + 1609459200) AS TIMESTAMP) AS synth_ts
     FROM events
@@ -127,11 +128,19 @@ def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform.py:23-24), int()/float() re-parse (load.py:34-35), epoch ->
     TIMESTAMP via FROM_UNIXTIME (data_model.py:27-28). DecimalType(12,2)
     stands in for the Decimal wrapping at load.py:27. All JVM-side casts
-    inside whole-stage codegen."""
+    inside whole-stage codegen.
+
+    value_floor masks non-finite input before floor (r8 adversarial
+    sweep — same class as the privacy trio's _value_band, r7 ADVICE):
+    Spark's floor(double) itself casts to long, coercing NaN to 0 and
+    +/-Inf to Long.MIN/MAX before try_cast can NULL them, while the
+    oracle's TRY_CAST(floor(...)) NULLs both. Masked, a corrupt reading
+    floors to NULL on both engines."""
+    finite = ~F.isnan("value") & (F.abs(F.col("value")) != F.lit(float("inf")))
     return table(spark, sf_dir, "events").select(
         F.col("event_id").cast("string").alias("id_str"),
         F.col("user_id").cast("string").alias("uid_str"),
-        F.floor("value").cast("long").alias("value_floor"),
+        F.when(finite, F.floor("value")).try_cast("long").alias("value_floor"),
         # The DECIMAL(12,2) cast is the R4 parity point; the final cast to
         # double is hash-canonical (Decimal('18.20') vs float 18.2 hash
         # differently in the driver's canonicalizer even when cell-identical).
@@ -271,7 +280,8 @@ def q_window_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type,
            {round2_sql('avg(value)')} AS avg_rounded,
-           printf('%.2f', {round2_sql('avg(value)')}) AS avg_str
+           CASE WHEN isfinite({round2_sql('avg(value)')})
+                THEN printf('%.2f', {round2_sql('avg(value)')}) END AS avg_str
     FROM events
     GROUP BY event_type
     """,
@@ -283,13 +293,24 @@ def q_round_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     format_number(), whose grouping separators diverge from the
     reference for every value >= 1000 (hashrate ~7e20). The string is
     formatted from the decimal-rounded value so Spark and the oracle
-    never disagree on a half-way digit."""
+    never disagree on a half-way digit.
+
+    The string leg formats FINITE values only (NULL otherwise, both
+    engines). Found by the r8 adversarial differential sweep: Java's
+    Formatter renders a NULL arg as the string "null" WITH the %.2f
+    precision applied — the all-NULL stream read the literal 'nu' —
+    and non-finite rendering is platform text ('NaN' vs printf's
+    'nan'/'-nan'). The reference never formats a missing average either
+    (f"{None:.2f}" raises; load.py falls back first), so NULL is the
+    faithful output for a group with no representable mean."""
+    avg2 = round2(F.avg("value"))
+    finite = avg2.isNotNull() & ~F.isnan(avg2) & (F.abs(avg2) != F.lit(float("inf")))
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            round2(F.avg("value")).alias("avg_rounded"),
-            F.format_string("%.2f", round2(F.avg("value"))).alias("avg_str"),
+            avg2.alias("avg_rounded"),
+            F.when(finite, F.format_string("%.2f", avg2)).alias("avg_str"),
         )
     )
 

@@ -128,9 +128,9 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_funcs",
     oracle="""
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-           CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled
+           json_extract_string(TRY_CAST(props AS JSON), '$.k') AS k_str,
+           CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT) * 2 AS k_doubled
     FROM events
     """,
 )
@@ -223,9 +223,9 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_variant_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract(props, '$.k') AS BIGINT) * 3 AS k_tripled,
-           json_extract(props, '$.missing') IS NULL AS no_such_path
+           CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k,
+           CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT) * 3 AS k_tripled,
+           json_extract(TRY_CAST(props AS JSON), '$.missing') IS NULL AS no_such_path
     FROM events
     """,
 )

@@ -24,6 +24,7 @@ from bitcoinminingetl_spark.functions.numeric import (
 )
 from bitcoinminingetl_spark.operators.dedup import (
     _DOT_SQL,
+    _usable_norm_sql,
     _dot,
     _norm_sql,
     normed_embeddings,
@@ -37,12 +38,14 @@ _TOP_K = 10
 @query(
     "q_cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    WITH q AS (SELECT * FROM embeddings
+               WHERE vec_id < {_N_QUERIES} AND {_usable_norm_sql("embeddings")}),
     scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                {roundn_sql(f'{_DOT_SQL} / ({_norm_sql("a")} * {_norm_sql("b")})', 6)}
                    AS cosine
         FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE {_usable_norm_sql("b")}
     )
     SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn FROM (
         SELECT *, row_number() OVER (
@@ -415,8 +418,10 @@ _KNN_MOD = 50  # query side: vec_id % 50 == 0 (a 2% sample of the corpus)
 @query(
     "q_knn_join",
     oracle=f"""
-    WITH a AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
-    b AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} <> 0),
+    WITH a AS (SELECT * FROM embeddings
+               WHERE vec_id % {_KNN_MOD} = 0 AND {_usable_norm_sql("embeddings")}),
+    b AS (SELECT * FROM embeddings
+          WHERE vec_id % {_KNN_MOD} <> 0 AND {_usable_norm_sql("embeddings")}),
     scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                {roundn_sql(f'{_DOT_SQL} / ({_norm_sql("a")} * {_norm_sql("b")})', 6)}
@@ -592,8 +597,10 @@ _HN_K = 3  # hard negatives per anchor
 @query(
     "q_hard_negatives",
     oracle=f"""
-    WITH a AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
-    b AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} <> 0),
+    WITH a AS (SELECT * FROM embeddings
+               WHERE vec_id % {_KNN_MOD} = 0 AND {_usable_norm_sql("embeddings")}),
+    b AS (SELECT * FROM embeddings
+          WHERE vec_id % {_KNN_MOD} <> 0 AND {_usable_norm_sql("embeddings")}),
     scored AS (
         SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
                b.label AS negative_label,
@@ -750,8 +757,10 @@ _BT_AVG_SQL = """
 @query(
     "q_bitext_mine",
     oracle=f"""
-    WITH s AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
-    t AS (SELECT * FROM embeddings WHERE vec_id % {_KNN_MOD} <> 0),
+    WITH s AS (SELECT * FROM embeddings
+               WHERE vec_id % {_KNN_MOD} = 0 AND {_usable_norm_sql("embeddings")}),
+    t AS (SELECT * FROM embeddings
+          WHERE vec_id % {_KNN_MOD} <> 0 AND {_usable_norm_sql("embeddings")}),
     scored AS (
         SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
                {roundn_sql(f'{_DOT_SQL} / ({_norm_sql("a")} * {_norm_sql("b")})', 6)}

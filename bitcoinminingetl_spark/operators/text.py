@@ -439,10 +439,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH g AS (
         SELECT doc_id,
-               list_transform(
+               CASE WHEN text IS NULL THEN NULL ELSE list_transform(
                    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
-               ) AS grams
+               ) END AS grams
         FROM documents
     )
     SELECT doc_id,
@@ -462,10 +462,21 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely inside whole-stage codegen (split -> zip_with gram fold ->
     size / array_distinct, dedup.ngram_array): a pure map-side projection, zero shuffles, same
     plan at 100 TB. Complements q_quality_score (char-level ratios) and
-    q_dedup_* (cross-doc duplication)."""
+    q_dedup_* (cross-doc duplication).
+
+    NULL text reads NULL stats on both engines (r8 adversarial sweep):
+    ngram_array's short-doc fallback goes through concat_ws, which
+    renders a NULL token array as the '' gram — so an unfetched doc
+    silently scored as a 1-gram document (rep 0.0, "perfect prose")
+    while the oracle's NULL gram vanished from COUNT(DISTINCT) and
+    scored rep 1.0 ("pure spam"). Two confident opposite answers for a
+    doc with no text; the only defensible stat for absent text is
+    NULL."""
     from bitcoinminingetl_spark.operators.dedup import ngram_array
 
-    grams = ngram_array(F.split("text", " "), 3)
+    grams = F.when(
+        F.col("text").isNotNull(), ngram_array(F.split("text", " "), 3)
+    )
     return table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(grams).cast("long").alias("n_grams"),
@@ -1070,12 +1081,15 @@ _GOPHER_MAX_REP = 0.2
                    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
                )) AS gram
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), rep AS (
         SELECT doc_id,
                1.0 - count(DISTINCT gram) * 1.0 / count(*) AS rep_ratio
         FROM g GROUP BY doc_id
     ), t AS (
+        -- LEFT join: a NULL-text doc has no grams, and its row must
+        -- survive with NULL rep_ratio (every rule reads NULL, keep
+        -- reads NULL — same three-valued verdict as the Spark side)
         SELECT d.doc_id,
                len(string_split(text, ' ')) AS n_tok,
                (n_chars - (len(string_split(text, ' ')) - 1)) * 1.0
@@ -1083,7 +1097,7 @@ _GOPHER_MAX_REP = 0.2
                len(list_intersect(string_split(text, ' '), {_sql_list(_EN)}))
                    AS stop_hits,
                rep.rep_ratio
-        FROM documents d JOIN rep USING (doc_id)
+        FROM documents d LEFT JOIN rep USING (doc_id)
     )
     SELECT doc_id,
            n_tok BETWEEN {_GOPHER_MIN_TOK} AND {_GOPHER_MAX_TOK} AS r_len,
@@ -1109,11 +1123,18 @@ def q_quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: pure map-side projection — token split, array ops, and the
     3-gram repetition ratio (dedup.ngram_array, codegen'd) all evaluate
-    in one scan with zero shuffles; identical plan at 100 TB."""
+    in one scan with zero shuffles; identical plan at 100 TB.
+
+    NULL text: every rule and the keep verdict read NULL on both
+    engines (r8 adversarial sweep — the repetition leg used to read the
+    concat_ws '' gram as rep 0.0 and VOTE KEEP on a doc with no text,
+    while the oracle's NULL-gram COUNT(DISTINCT) scored it rep 1.0 and
+    voted drop; see q_repetition_score). A doc with no text gets no
+    verdict, not a confident one."""
     from bitcoinminingetl_spark.operators.dedup import ngram_array
 
     toks = F.split("text", " ")
-    grams = ngram_array(toks, 3)
+    grams = F.when(F.col("text").isNotNull(), ngram_array(toks, 3))
     n_tok = F.size(toks)
     mwl = (F.col("n_chars") - (n_tok - 1)) * 1.0 / n_tok
     stop_hits = F.size(
@@ -1813,6 +1834,19 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_K = 60
 _RRF_POOL = 200  # per-system candidate pool; 1/(60+200) is already negligible
 _RRF_TOP = 20
+def _rrf_norm_sql(col: str) -> str:
+    """L2 norm of an embedding column (oracle side), for mirroring
+    normed_embeddings' corrupt-vector exclusion into the retrieval
+    pools — a zero/NaN-norm query vector otherwise fills the oracle's
+    semantic pool with NaN cosines that DuckDB ranks FIRST (NaN sorts
+    greatest), while Spark's load path excluded the vector entirely
+    (r8 adversarial sweep)."""
+    return (
+        f"sqrt(list_reduce(list_transform(CAST({col} AS DOUBLE[]), "
+        "v -> v * v), (x, y) -> x + y))"
+    )
+
+
 _RRF_QVEC_ID = 0  # the semantic query: embedding of id 0
 
 
@@ -1848,7 +1882,10 @@ _RRF_QVEC_ID = 0  # the semantic query: embedding of id 0
                    AS lex_rank
         FROM lex_pool
     ), qv AS (
-        SELECT embedding AS q FROM embeddings WHERE vec_id = {_RRF_QVEC_ID}
+        SELECT embedding AS q FROM embeddings
+        WHERE vec_id = {_RRF_QVEC_ID}
+          AND isfinite({_rrf_norm_sql('embedding')})
+          AND {_rrf_norm_sql('embedding')} > 0
     ), sem_pool AS (
         SELECT b.vec_id AS doc_id,
                list_reduce(list_transform(generate_series(1, len(qv.q)),
@@ -1860,6 +1897,8 @@ _RRF_QVEC_ID = 0  # the semantic query: embedding of id 0
                       v -> v * v), (x, y) -> x + y))) AS cosine
         FROM embeddings b CROSS JOIN qv
         WHERE b.vec_id <> {_RRF_QVEC_ID}
+          AND isfinite({_rrf_norm_sql('b.embedding')})
+          AND {_rrf_norm_sql('b.embedding')} > 0
         ORDER BY cosine DESC, b.vec_id LIMIT {_RRF_POOL}
     ), sem AS (
         SELECT doc_id,
@@ -2092,7 +2131,10 @@ _DISC_SQL = (
                    AS lex_rank
         FROM lex_pool
     ), qv AS (
-        SELECT embedding AS q FROM embeddings WHERE vec_id = {_RRF_QVEC_ID}
+        SELECT embedding AS q FROM embeddings
+        WHERE vec_id = {_RRF_QVEC_ID}
+          AND isfinite({_rrf_norm_sql('embedding')})
+          AND {_rrf_norm_sql('embedding')} > 0
     ), sem_pool AS (
         SELECT b.vec_id AS doc_id,
                list_reduce(list_transform(generate_series(1, len(qv.q)),
@@ -2104,6 +2146,8 @@ _DISC_SQL = (
                       v -> v * v), (x, y) -> x + y))) AS cosine
         FROM embeddings b CROSS JOIN qv
         WHERE b.vec_id <> {_RRF_QVEC_ID}
+          AND isfinite({_rrf_norm_sql('b.embedding')})
+          AND {_rrf_norm_sql('b.embedding')} > 0
         ORDER BY cosine DESC, b.vec_id LIMIT {_EVAL_K}
     ), sem AS (
         SELECT doc_id,

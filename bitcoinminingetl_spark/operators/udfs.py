@@ -27,7 +27,9 @@ from bitcoinminingetl_spark.registry import query
 @query(
     "q_pandas_udf",
     oracle=f"""
-    SELECT event_type, {roundn_sql('avg(value)', 6)} AS str_mean
+    SELECT event_type,
+           {roundn_sql('avg(CASE WHEN isfinite(value) THEN value END)', 6)}
+               AS str_mean
     FROM events GROUP BY event_type
     """,
 )
@@ -36,15 +38,31 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference stores hashrate as str — transform.py:23-24), parsed
     and averaged per group in one Arrow batch per group. Spark's
     double->string cast is shortest-roundtrip, so parsing back yields the
-    identical double and the oracle is plain avg(value)."""
+    identical double and the oracle is avg over the same readings.
+
+    The mean is over FINITE readings only, on both engines (r8
+    adversarial sweep). Two boundary facts force this: pandas parses a
+    NULL entry to NaN, so a naive running total silently poisons the
+    whole group the way SQL avg never would (avg skips NULLs); and the
+    pandas->Arrow return conversion renders a NaN result as NULL, so
+    true NaN/Inf propagation cannot round-trip out of the kernel
+    anyway. Finite-only is the one semantic BOTH the kernel and plain
+    SQL can express identically; an all-corrupt group reads NULL."""
 
     @pandas_udf("double")
-    def str_mean(s: pd.Series) -> float:
+    def str_mean(s: pd.Series) -> float | None:
+        import numpy as np
+
+        # NULL strings parse to NaN; keep the finite readings only
+        x = s.astype("float64").to_numpy()
+        x = x[np.isfinite(x)]
+        if len(x) == 0:
+            return None
         # naive running mean, same accumulation order as the SQL oracle
         total = 0.0
-        for v in s.astype("float64").to_numpy():
+        for v in x:
             total += v
-        return total / len(s)
+        return total / len(x)
 
     return (
         table(spark, sf_dir, "events")

@@ -88,7 +88,8 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) >= {_DSUM_BOUND:g}
            THEN NULL
-           ELSE CAST(sum(TRY_CAST(value AS DECIMAL(18,4))) OVER (
+           ELSE CAST(sum(TRY_CAST((CASE WHEN NOT isnan(value) THEN value END)
+               AS DECIMAL(18,4))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            END AS run_sum
@@ -229,7 +230,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            {roundn_sql('percent_rank() OVER w', 6)} AS pct_rank,
            {roundn_sql('cume_dist() OVER w', 6)} AS cume
     FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    WINDOW w AS (PARTITION BY event_type ORDER BY value NULLS FIRST, event_id)
     """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,8 +238,15 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank, cume_dist. ntile's bucket boundaries depend on row
     ORDER (not value) under ties, so the ordering carries the event_id
     tiebreaker — the determinism rule every oracle-checked window here
-    follows."""
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    follows. NULL placement is pinned EXPLICITLY (NULLS FIRST, both
+    engines): Spark's ascending default is nulls-first, DuckDB's is
+    nulls-last, so an all-NULL-value stream silently re-bucketed every
+    row differently until the r8 adversarial differential sweep caught
+    it — the clean fixture carries no NULL values and never fired the
+    divergence."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), "event_id"
+    )
     # window outputs materialize before roundn (single-eval; numeric.py)
     ev = table(spark, sf_dir, "events").select(
         "event_id",
@@ -311,7 +319,8 @@ _EWMA_MAG_BOUND = 1e15
     SELECT a.event_id, a.event_type,
            {roundn_sql(
                f"CASE WHEN max(abs(b.value)) >= {_EWMA_MAG_BOUND:g} THEN NULL"
-               " ELSE CAST(SUM(TRY_CAST(b.value * power(0.5, a.rn - b.rn)"
+               " ELSE CAST(SUM(TRY_CAST((CASE WHEN NOT isnan(b.value)"
+               " THEN b.value * power(0.5, a.rn - b.rn) END)"
                " AS DECIMAL(28,12))) AS DOUBLE)"
                " / SUM(CASE WHEN b.value IS NOT NULL"
                "           THEN power(0.5, a.rn - b.rn) END) END",
