@@ -305,6 +305,9 @@ def main() -> None:
         # so its floor sits well above the single-store window/session
         # lifecycles (measured 8-10 s warm, 16.5 cold at sf0.1/local[32])
         "q_streaming_interval_join": [5.0, 18.0],
+        # same state machinery plus the watermark-close scan that emits
+        # the proven-unmatched rows
+        "q_streaming_interval_join_outer": [5.0, 18.0],
     }
     from bitcoinminingetl_spark.session import default_parallelism
 

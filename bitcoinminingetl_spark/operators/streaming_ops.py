@@ -157,6 +157,52 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_streaming_interval_join_outer")  # rows-only: stateful streaming lifecycle
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEFT-OUTER twin of q_streaming_interval_join — the
+    attribution-LOSS table: clicks with NO same-user view within ±5 min
+    emit exactly once, with NULL view columns, precisely when the
+    view-side watermark passes click.ts + tolerance (the engine can
+    PROVE no match can still arrive). That proof is the whole point of
+    the watermark contract: outer results are late by one watermark
+    delay but never retracted, so downstream consumers read an
+    append-only, eventually-complete attribution table — the shape a
+    marketing pipeline actually joins spend against. Clicks newer than
+    the final watermark stay in state, not in output (the drain leaves
+    them pending, matching production semantics where the stream never
+    "ends").
+
+    Same one-source fan-out and lifecycle as the inner twin; the null
+    emission against a batch left join (restricted to the proven
+    region) is pinned by
+    test_stream_stream_left_outer_join_emits_unmatched, and the
+    registered lifecycle by test_interval_join_outer_lifecycle."""
+    work = workdir("bmetl_sjoin_outer_")
+    landing, out, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
+    (
+        events_in_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-12 00:00:00")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(4)
+        .write.json(landing)
+    )
+    stream = read_event_stream(spark, landing, max_files_per_trigger=2)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    q = (
+        stream_stream_interval_join(clicks, views, how="left_outer")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "click_id", "view_id", "user_id", "click_ts", "view_ts"
+    )
+
+
 @query("q_streaming_incremental_dedup")  # rows-only: stateful streaming lifecycle
 def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental LSH dedup pipeline (streaming/incremental_dedup)

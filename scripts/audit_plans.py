@@ -39,6 +39,7 @@ LIFECYCLE = {
     "q_streaming_sessionize",
     "q_streaming_incremental_dedup",
     "q_streaming_interval_join",
+    "q_streaming_interval_join_outer",
 }
 
 # The one sanctioned per-row Python eval: the UDTF escape-hatch demo.

@@ -895,3 +895,31 @@ def test_interval_join_exactly_once_across_restart(spark, tmp_path):
     # exactly-once: nothing re-emitted, no duplicates anywhere
     assert len(run2) == len(set(run2))
     assert set(run2) == {(2, 1), (4, 5), (7, 8)}
+
+
+def test_interval_join_outer_lifecycle(spark, sf_dir):
+    """The registered q_streaming_interval_join_outer lifecycle: its
+    matched pairs must equal the inner twin's (outer adds rows, never
+    changes matches), every added row is a NULL-view attribution-loss
+    click, and at least one such loss row exists on the fixture (the
+    slice has clicks with no same-user view inside ±5 min whose window
+    the final watermark provably closed)."""
+    from bitcoinminingetl_spark.registry import load_all
+
+    reg = load_all()
+    outer = reg["q_streaming_interval_join_outer"].fn(spark, sf_dir).collect()
+    inner = {
+        (r.click_id, r.view_id)
+        for r in reg["q_streaming_interval_join"].fn(spark, sf_dir).collect()
+    }
+    matched = {
+        (r.click_id, r.view_id) for r in outer if r.view_id is not None
+    }
+    losses = [r for r in outer if r.view_id is None]
+    assert matched == inner
+    assert losses, "no attribution-loss rows emitted"
+    assert all(r.view_ts is None for r in losses)
+    # exactly-once per lost click
+    lost_ids = [r.click_id for r in losses]
+    assert len(lost_ids) == len(set(lost_ids))
+    assert not set(lost_ids) & {c for c, _ in matched}
