@@ -201,6 +201,7 @@ def combine(
     controls: set[str],
     root: Path = REPO,
     scratch: Path | None = None,
+    selected_outliers: set[str] | None = None,
 ) -> int:
     scratch = SCRATCH if scratch is None else scratch
     reps = [
@@ -222,8 +223,19 @@ def combine(
             "median": round(statistics.median(ts), 3),
             **_context_row(ctx, name),
         }
+        if selected_outliers is None:
+            selected_outliers = set(targets) - controls
         if name in controls:
             queries[name]["attribution"] = "control (stability reference)"
+        elif name not in selected_outliers:
+            # explicitly-passed target that the round's readings never
+            # flagged: there is no inflated driver claim to adjudicate,
+            # so the min is just this harness's (structurally slower)
+            # minimal-context floor — compare guards_ab_min, not driver
+            queries[name]["attribution"] = (
+                "explicit target, not a selected outlier — minimal-context "
+                "floor only (no inflated driver reading to adjudicate)"
+            )
         elif driver_key in queries[name]:
             # The driver reading is the claim under test. This harness's
             # minimal context is structurally SLOWER than the driver's
@@ -291,8 +303,11 @@ def main() -> int:
         if FLAGSHIP not in targets:
             targets = targets + [FLAGSHIP]
             controls = {FLAGSHIP}
+        # explicit targets carry no inflated driver claim to adjudicate
+        selected_outliers: set[str] = set()
     else:
         targets, controls = select_targets(ctx)
+        selected_outliers = set(targets) - controls
     if set(targets) <= controls:
         # nothing but stability controls selected — there is no outlier
         # claim to adjudicate, so spending fresh-JVM reps would only
@@ -306,7 +321,7 @@ def main() -> int:
         run_rep(pos[1], targets)
         return 0
     if pos and pos[0] == "combine":
-        return combine(ctx, targets, controls)
+        return combine(ctx, targets, controls, selected_outliers=selected_outliers)
     n = int(pos[0]) if pos else 4
     print(
         f"round {ctx['round']}: targets={targets} controls={sorted(controls)}"
@@ -327,7 +342,7 @@ def main() -> int:
         if proc.returncode != 0:
             print(f"rep {rep} failed")
             return 1
-    return combine(ctx, targets, controls)
+    return combine(ctx, targets, controls, selected_outliers=selected_outliers)
 
 
 if __name__ == "__main__":
