@@ -146,13 +146,24 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: NOT EXISTS — customers with no orders."""
+    """Left-anti join: NOT EXISTS — customers with no HIGH-VALUE order
+    (total price past 300k). The build side filters BEFORE the anti
+    join, the plan every NOT EXISTS with a correlated predicate wants.
+    Re-predicated in r8 from plain customers-without-orders, which is
+    EMPTY on every fixture (each customer has orders) — a 0-row hash
+    match verifies agreed emptiness but exercises no anti-join row flow
+    (the r7 vacuity doctrine); this predicate leaves 30 customers at
+    sf0.01."""
     customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")

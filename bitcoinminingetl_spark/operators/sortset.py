@@ -110,17 +110,25 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_custkey AS custkey FROM orders
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (distinct semantics): nations with customers but no
-    suppliers."""
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """Set difference (distinct semantics): customers who ordered but
+    never urgently. Re-keyed in r8 from nations-without-suppliers,
+    which is EMPTY on every fixture (each nation carries both) — a
+    0-row hash match verifies that both engines agree on emptiness but
+    exercises none of the distinct-difference machinery (the vacuity
+    doctrine of r7 VERDICT item 1); this key yields 203 rows at
+    sf0.01."""
+    o = table(spark, sf_dir, "orders")
+    all_cust = o.select(F.col("o_custkey").alias("custkey"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_cust.subtract(urgent)
 
 
 @query(
