@@ -165,3 +165,38 @@ def davg_sql(expr: str, *, bounded: bool = False) -> str:
     return roundn_sql(
         f"{dsum_sql(expr, bounded=bounded)} / count({expr})", 6
     )
+
+
+# 2**63 as a double (exactly representable). Spark's floor(double) returns
+# LONG and saturates out-of-range results itself (NaN -> 0, +/-Inf and any
+# finite x with floor(x) >= 2**63 -> Long.MIN/MAX) BEFORE a try_cast can
+# NULL them, while DuckDB's TRY_CAST(floor(...) AS BIGINT) reads NULL for
+# every one of those — so an unmasked floor diverges cross-engine not just
+# on NaN/Inf (the r7 ADVICE class) but on finite doubles >= ~9.2e18 (the
+# r8 ADVICE class the 1e15-capped adversarial corpus never fires). The
+# bound is applied to the RAW value, before any divisor, so one contract
+# covers every bucket width; both engines treat NaN/Inf as greater than
+# the bound, so a single abs(x) < 2**63 predicate masks all of it.
+_FLOOR_SAFE = float(2**63)
+
+
+def floor_long(col: Column, divisor: float | None = None) -> Column:
+    """Engine-stable floor(value[/divisor]) -> nullable long (Spark side).
+
+    Non-finite and |value| >= 2**63 read NULL — their own band/bucket,
+    where a data-quality pass can SEE corrupt readings instead of them
+    saturating into real bins."""
+    banded = col / F.lit(divisor) if divisor is not None else col
+    return (
+        F.when(F.abs(col) < F.lit(_FLOOR_SAFE), F.floor(banded))
+        .try_cast("long")
+    )
+
+
+def floor_long_sql(expr: str, divisor: float | None = None) -> str:
+    """The DuckDB-side twin of :func:`floor_long`."""
+    banded = f"({expr}) / {divisor:g}" if divisor is not None else f"({expr})"
+    return (
+        f"(CASE WHEN abs({expr}) < 9223372036854775808.0 "
+        f"THEN TRY_CAST(floor({banded}) AS BIGINT) END)"
+    )

@@ -21,6 +21,8 @@ from bitcoinminingetl_spark.functions.numeric import (
     davg_sql,
     dsum,
     dsum_sql,
+    floor_long,
+    floor_long_sql,
     round2,
     round2_sql,
     roundn,
@@ -405,8 +407,8 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_histogram",
-    oracle="""
-    SELECT TRY_CAST(floor(value / 50) AS BIGINT) AS bucket,
+    oracle=f"""
+    SELECT {floor_long_sql('value', 50)} AS bucket,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1
     """,
@@ -416,19 +418,16 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (stays in codegen), counting is a partial-agg groupBy on
     the bucket id — the canonical distribution profile a data-quality
     pass runs over every numeric column at ingest. Non-finite values
-    are masked BEFORE floor (r8 adversarial sweep, the _value_band
-    class): unmasked, Spark's floor(double) merges NaN into bucket 0
-    and +/-Inf into Long.MIN/MAX buckets while the oracle NULLs them —
-    a corrupt reading lands in the NULL bucket on both engines, where a
-    data-quality pass can SEE it instead of it inflating a real bin."""
-    finite = ~F.isnan("value") & (F.abs(F.col("value")) != F.lit(float("inf")))
+    AND finite |x| >= 2**63 are masked BEFORE floor (r7 + r8 ADVICE,
+    the _value_band class): unmasked, Spark's floor(double) merges NaN
+    into bucket 0 and +/-Inf plus huge finite values into Long.MIN/MAX
+    buckets while the oracle NULLs them — a corrupt reading lands in
+    the NULL bucket on both engines, where a data-quality pass can SEE
+    it instead of it inflating a real bin (floor_long/floor_long_sql
+    apply the identical mask on both engines)."""
     return (
         table(spark, sf_dir, "events")
-        .groupBy(
-            F.when(finite, F.floor(F.col("value") / 50))
-            .try_cast("long")
-            .alias("bucket")
-        )
+        .groupBy(floor_long(F.col("value"), 50).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 

@@ -321,7 +321,7 @@ def q_dedup_clusters_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, cluster_id, n_tokens,
            (row_number() OVER (
                 PARTITION BY cluster_id
-                ORDER BY n_tokens DESC, doc_id
+                ORDER BY n_tokens DESC NULLS LAST, doc_id
             ) = 1) AS keep
     FROM q
     """,
@@ -352,8 +352,12 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
+    # NULLS LAST pinned on both engines: Spark's DESC default is
+    # NULLS LAST but DuckDB's is NULLS FIRST — latent divergence if a
+    # clustered doc ever carries NULL text (r8 ADVICE null-pinning
+    # doctrine, same class as q_window_ntile/q_length_buckets).
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_tokens").desc(), "doc_id"
+        F.col("n_tokens").desc_nulls_last(), "doc_id"
     )
     return (
         cl.join(docs, "doc_id")

@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bitcoinminingetl_spark.catalog import events_in_range, table
-from bitcoinminingetl_spark.functions.numeric import round2, round2_sql
+from bitcoinminingetl_spark.functions.numeric import (
+    floor_long,
+    floor_long_sql,
+    round2,
+    round2_sql,
+)
 from bitcoinminingetl_spark.registry import query
 
 # Closed interval bounds for the R7-style range filter (the events table
@@ -112,10 +117,10 @@ def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_casts",
-    oracle="""
+    oracle=f"""
     SELECT CAST(event_id AS VARCHAR) AS id_str,
            CAST(user_id AS VARCHAR) AS uid_str,
-           TRY_CAST(floor(value) AS BIGINT) AS value_floor,
+           {floor_long_sql('value')} AS value_floor,
            CAST(TRY_CAST((CASE WHEN NOT isnan(value) THEN value END)
                AS DECIMAL(12, 2)) AS DOUBLE) AS value_dec,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
@@ -130,17 +135,16 @@ def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for the Decimal wrapping at load.py:27. All JVM-side casts
     inside whole-stage codegen.
 
-    value_floor masks non-finite input before floor (r8 adversarial
-    sweep — same class as the privacy trio's _value_band, r7 ADVICE):
-    Spark's floor(double) itself casts to long, coercing NaN to 0 and
-    +/-Inf to Long.MIN/MAX before try_cast can NULL them, while the
-    oracle's TRY_CAST(floor(...)) NULLs both. Masked, a corrupt reading
-    floors to NULL on both engines."""
-    finite = ~F.isnan("value") & (F.abs(F.col("value")) != F.lit(float("inf")))
+    value_floor masks non-finite AND |x| >= 2**63 input before floor
+    (r7 + r8 ADVICE — the privacy trio's _value_band class): Spark's
+    floor(double) itself casts to long, coercing NaN to 0 and +/-Inf
+    plus finite huge values to Long.MIN/MAX before try_cast can NULL
+    them, while the oracle's TRY_CAST(floor(...)) NULLs all of those.
+    floor_long/floor_long_sql apply the identical mask on both engines."""
     return table(spark, sf_dir, "events").select(
         F.col("event_id").cast("string").alias("id_str"),
         F.col("user_id").cast("string").alias("uid_str"),
-        F.when(finite, F.floor("value")).try_cast("long").alias("value_floor"),
+        floor_long(F.col("value")).alias("value_floor"),
         # The DECIMAL(12,2) cast is the R4 parity point; the final cast to
         # double is hash-canonical (Decimal('18.20') vs float 18.2 hash
         # differently in the driver's canonicalizer even when cell-identical).

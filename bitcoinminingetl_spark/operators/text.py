@@ -22,6 +22,8 @@ from bitcoinminingetl_spark.functions.cache import lru_persisted
 from bitcoinminingetl_spark.functions.numeric import (
     davg,
     davg_sql,
+    floor_long,
+    floor_long_sql,
     roundn,
     roundn_sql,
 )
@@ -1444,19 +1446,15 @@ _K_ANON = 5
 def _value_band() -> Column:
     """Decile band of the event value — the shared quasi-identifier
     projection of the privacy-release trio (k-anonymity / l-diversity /
-    t-closeness). Non-finite values MUST be masked BEFORE floor: Spark's
-    floor(double) casts to long itself, coercing NaN to 0 and +/-Inf to
-    Long.MIN/MAX before a try_cast can NULL them, silently merging
-    corrupt-sensor rows into real bands — while the DuckDB oracle's
-    TRY_CAST(floor(value/10) AS BIGINT) NULLs both (r7 ADVICE, verified
-    by probe). Masked, the non-finite band reads NULL in BOTH engines:
-    its own equivalence class, the standard treatment."""
-    finite = ~F.isnan("value") & (F.abs(F.col("value")) != F.lit(float("inf")))
-    return (
-        F.when(finite, F.floor(F.col("value") / 10))
-        .try_cast("long")
-        .alias("value_band")
-    )
+    t-closeness). Non-finite AND |value| >= 2**63 values MUST be masked
+    BEFORE floor: Spark's floor(double) casts to long itself, coercing
+    NaN to 0, +/-Inf AND finite huge values to Long.MIN/MAX before a
+    try_cast can NULL them, silently merging corrupt-sensor rows into
+    real bands — while the DuckDB oracle's TRY_CAST reads NULL for all
+    of them (r7 + r8 ADVICE, verified by probe). Masked identically on
+    both engines (floor_long / floor_long_sql), the corrupt band reads
+    NULL everywhere: its own equivalence class, the standard treatment."""
+    return floor_long(F.col("value"), 10).alias("value_band")
 
 
 @query(
@@ -1465,7 +1463,7 @@ def _value_band() -> Column:
     WITH cls AS (
         SELECT event_type,
                date_trunc('hour', ts) AS hour_bucket,
-               TRY_CAST(floor(value / 10) AS BIGINT) AS value_band,
+               {floor_long_sql('value', 10)} AS value_band,
                CAST(count(*) AS BIGINT) AS c
         FROM events
         GROUP BY 1, 2, 3
@@ -1539,7 +1537,7 @@ _L_DIV = 3
     WITH cls AS (
         SELECT event_type,
                date_trunc('hour', ts) AS hour_bucket,
-               TRY_CAST(floor(value / 10) AS BIGINT) AS value_band,
+               {floor_long_sql('value', 10)} AS value_band,
                CAST(count(*) AS BIGINT) AS c,
                CAST(count(DISTINCT user_id) AS BIGINT) AS l
         FROM events
@@ -1609,7 +1607,7 @@ _TCLOSE_CELL_CACHE: dict = {}
     oracle=f"""
     WITH base AS (
         SELECT date_trunc('hour', ts) AS hour_bucket,
-               TRY_CAST(floor(value / 10) AS BIGINT) AS value_band,
+               {floor_long_sql('value', 10)} AS value_band,
                event_type
         FROM events
     ),

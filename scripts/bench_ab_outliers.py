@@ -81,11 +81,21 @@ def latest_round(root: Path = REPO) -> int:
     return max(rounds)
 
 
-def load_context(round_n: int | None = None, root: Path = REPO) -> dict:
+def load_context(
+    round_n: int | None = None,
+    root: Path = REPO,
+    prior_rev: str | None = None,
+) -> dict:
     """Round context from the committed artifacts — driver headline
     readings, committed canonical bench, and GUARDS_AB full-bench
     floors (production `on` arm, min-of-reps). Returns
-    {round, driver: {q: s}, committed: {q: s}, guards_min: {q: s}}."""
+    {round, driver: {q: s}, committed: {q: s}, guards_min: {q: s}}.
+
+    ``prior_rev`` (r8 VERDICT item 1) additionally loads the PRIOR
+    round's committed canonical bench from git history
+    (``git show <rev>:BENCH_FULL.json``) so a round-over-round
+    committed-to-committed shift — not just an inflated driver reading
+    — can be adjudicated against the fresh-JVM floor."""
     n = latest_round(root) if round_n is None else round_n
     bench_r = json.loads((root / f"BENCH_r{n:02d}.json").read_text())
     driver = dict(bench_r.get("parsed", {}).get("queries", {}))
@@ -103,11 +113,27 @@ def load_context(round_n: int | None = None, root: Path = REPO) -> dict:
             .items()
             if isinstance(row, dict) and "on" in row
         }
+    prior: dict[str, float] = {}
+    prior_total: float | None = None
+    if prior_rev is not None:
+        shown = subprocess.run(
+            ["git", "show", f"{prior_rev}:BENCH_FULL.json"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        prior_full = json.loads(shown)
+        prior = dict(prior_full.get("queries", {}))
+        prior_total = prior_full.get("plan_cost_total")
     return {
         "round": n,
         "driver": driver,
         "committed": committed,
         "guards_min": guards_min,
+        "prior": prior,
+        "prior_rev": prior_rev,
+        "prior_plan_cost_total": prior_total,
     }
 
 
@@ -148,9 +174,56 @@ def _context_row(ctx: dict, name: str) -> dict:
         row[f"driver_r{ctx['round']}"] = ctx["driver"][name]
     if name in ctx["committed"]:
         row["committed"] = ctx["committed"][name]
+    if name in ctx.get("prior", {}):
+        row["committed_prior"] = ctx["prior"][name]
     if name in ctx["guards_min"]:
         row["guards_ab_min"] = ctx["guards_min"][name]
     return row
+
+
+def run_full_bench_rep(rep: str) -> None:
+    """One FULL-BENCH rep (r8 VERDICT item 1): a fresh `python bench.py`
+    subprocess under SPARK_GRAFT_SKIP_ORACLE=1, per-query timings read
+    from the BENCH_FULL.json it writes. This is the SAME context the
+    committed canonical numbers come from (200-query warm ramp), so its
+    per-query minima ARE comparable to committed readings query-for-
+    query — unlike the minimal harness, whose floor sits structurally
+    2-3x above full-bench numbers for exchange-bound plans. Use this
+    mode to adjudicate a committed-to-committed round shift; use the
+    minimal mode to adjudicate a single inflated driver reading.
+
+    Note: bench.py overwrites the working-tree BENCH_FULL.json every
+    run; scripts/snapshot_round.py regenerates the canonical artifact
+    at end of round (same note as bench_ab_guards.py)."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SKIP_ORACLE"] = "1"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"full-bench rep {rep} failed")
+    full = json.loads((REPO / "BENCH_FULL.json").read_text())
+    out = {
+        "rep": rep,
+        "context": "full_bench",
+        "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "cpus": full.get("cpus"),
+        "plan_cost_total": full.get("plan_cost_total"),
+        "queries": {
+            n: t
+            for n, t in full.get("queries", {}).items()
+            if t >= 0 and n not in full.get("lifecycle_queries", {})
+        },
+    }
+    SCRATCH.mkdir(exist_ok=True)
+    (SCRATCH / f"outliers_{rep}.json").write_text(json.dumps(out))
+    print(f"full-bench rep {rep}: plan_cost_total={out['plan_cost_total']}")
 
 
 def run_rep(rep: str, targets: list[str]) -> None:
@@ -223,10 +296,42 @@ def combine(
             "median": round(statistics.median(ts), 3),
             **_context_row(ctx, name),
         }
+        full_bench = all(r.get("context") == "full_bench" for r in reps)
         if selected_outliers is None:
             selected_outliers = set(targets) - controls
         if name in controls:
             queries[name]["attribution"] = "control (stability reference)"
+        elif full_bench and "committed_prior" in queries[name]:
+            # Round-over-round committed shift adjudication (r8 VERDICT
+            # item 1): reps here are full bench.py runs — the SAME
+            # context both committed readings came from — so the floor
+            # is comparable query-for-query. Three verdicts:
+            #   floor tracks the PRIOR committed reading  -> the current
+            #     round's committed reading was environment drift;
+            #   floor tracks the CURRENT committed reading AND sits
+            #     >= 1.5x prior -> the regression is real: weak flag;
+            #   in between -> partial drift, residual recorded.
+            floor = min(ts)
+            prior = queries[name]["committed_prior"]
+            cur = queries[name].get("committed")
+            if floor <= max(1.25 * prior, prior + 0.1):
+                queries[name]["attribution"] = (
+                    "prior-round cost reproduced at the fresh-JVM "
+                    "full-bench floor -> the committed round shift was "
+                    "environment drift, not plan cost"
+                )
+            elif cur is not None and floor >= 0.9 * cur and floor >= 1.5 * prior:
+                queries[name]["attribution"] = (
+                    "committed reading REPRODUCES at the fresh-JVM "
+                    "full-bench floor — real plan cost growth, weak flag"
+                )
+            else:
+                queries[name]["attribution"] = (
+                    f"partial: floor {floor:.2f}s sits between prior "
+                    f"{prior:.2f}s and current committed — residual "
+                    f"{100.0 * (floor / prior - 1):.0f}% above prior, "
+                    "below the 1.5x weak threshold"
+                )
         elif name not in selected_outliers:
             # explicitly-passed target that the round's readings never
             # flagged: there is no inflated driver claim to adjudicate,
@@ -250,12 +355,20 @@ def combine(
                 if min(ts) <= 0.75 * queries[name][driver_key]
                 else "driver reading REPRODUCES — real plan cost, trim it"
             )
+    full_bench = all(r.get("context") == "full_bench" for r in reps)
     out = {
         "metric": "outliers_ab",
         "round": ctx["round"],
         "reps": len(reps),
         "statistic": "min_of_reps",
-        "design": "fresh subprocess/JVM per rep, bench.py warmup discipline",
+        "context": "full_bench" if full_bench else "minimal_harness",
+        "design": (
+            "fresh `python bench.py` subprocess per rep (full warm ramp, "
+            "oracle mirror skipped) — per-query floors comparable to "
+            "committed readings"
+            if full_bench
+            else "fresh subprocess/JVM per rep, bench.py warmup discipline"
+        ),
         "inputs": [
             f"BENCH_r{ctx['round']:02d}.json",
             "BENCH_FULL.json",
@@ -265,6 +378,13 @@ def combine(
         "sf_dir": reps[0]["sf_dir"],
         "queries": queries,
     }
+    if ctx.get("prior_rev"):
+        out["prior_rev"] = ctx["prior_rev"]
+        out["prior_plan_cost_total"] = ctx.get("prior_plan_cost_total")
+    if full_bench:
+        out["per_rep_plan_cost_totals"] = [
+            r.get("plan_cost_total") for r in reps
+        ]
     (root / "OUTLIERS_AB.json").write_text(json.dumps(out, indent=1))
     for name, row in queries.items():
         print(
@@ -275,11 +395,15 @@ def combine(
     return 0
 
 
-def _parse_args(argv: list[str]) -> tuple[list[str], int | None, list[str] | None]:
-    """(positional, round_n, explicit_targets)."""
+def _parse_args(
+    argv: list[str],
+) -> tuple[list[str], int | None, list[str] | None, str | None, bool]:
+    """(positional, round_n, explicit_targets, prior_rev, full_bench)."""
     pos: list[str] = []
     round_n: int | None = None
     targets: list[str] | None = None
+    prior_rev: str | None = None
+    full_bench = False
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -289,20 +413,28 @@ def _parse_args(argv: list[str]) -> tuple[list[str], int | None, list[str] | Non
         elif a == "--targets":
             targets = [t for t in argv[i + 1].split(",") if t]
             i += 2
+        elif a == "--prior":
+            prior_rev = argv[i + 1]
+            i += 2
+        elif a == "--full-bench":
+            full_bench = True
+            i += 1
         else:
             pos.append(a)
             i += 1
-    return pos, round_n, targets
+    return pos, round_n, targets, prior_rev, full_bench
 
 
 def main() -> int:
-    pos, round_n, explicit = _parse_args(sys.argv[1:])
-    ctx = load_context(round_n)
+    pos, round_n, explicit, prior_rev, full_bench = _parse_args(sys.argv[1:])
+    ctx = load_context(round_n, prior_rev=prior_rev)
     if explicit is not None:
-        targets, controls = explicit, set()
-        if FLAGSHIP not in targets:
-            targets = targets + [FLAGSHIP]
-            controls = {FLAGSHIP}
+        # FLAGSHIP is ALWAYS the stability control, even when the caller
+        # lists it as a target — otherwise controls stays empty and the
+        # artifact mislabels the stability reference as an explicit
+        # target (r8 ADVICE low #3).
+        targets = explicit + ([FLAGSHIP] if FLAGSHIP not in explicit else [])
+        controls = {FLAGSHIP}
         # explicit targets carry no inflated driver claim to adjudicate
         selected_outliers: set[str] = set()
     else:
@@ -318,13 +450,17 @@ def main() -> int:
         )
         return 0
     if pos and pos[0] == "run":
-        run_rep(pos[1], targets)
+        if full_bench:
+            run_full_bench_rep(pos[1])
+        else:
+            run_rep(pos[1], targets)
         return 0
     if pos and pos[0] == "combine":
         return combine(ctx, targets, controls, selected_outliers=selected_outliers)
     n = int(pos[0]) if pos else 4
     print(
         f"round {ctx['round']}: targets={targets} controls={sorted(controls)}"
+        + (" context=full_bench" if full_bench else "")
     )
     for p in SCRATCH.glob("outliers_*.json"):
         p.unlink()
@@ -333,6 +469,10 @@ def main() -> int:
         extra += ["--round", str(round_n)]
     if explicit is not None:
         extra += ["--targets", ",".join(explicit)]
+    if prior_rev is not None:
+        extra += ["--prior", prior_rev]
+    if full_bench:
+        extra += ["--full-bench"]
     for rep in range(n):
         proc = subprocess.run(
             [sys.executable, __file__, "run", str(rep), *extra],

@@ -120,6 +120,13 @@ AUDIT = [
     ("q_token_budget_select", 1.35, "sketch-bucket prefix sums, no global window"),
     ("q_sql_pricing_summary", 1.35, "one-pass grouped agg (TPC-H Q1 shape)"),
     ("q_ann_lsh", 1.35, "hyperplane sign-bucket candidates + exact re-rank"),
+    # r9 widening (r8 VERDICT item 2): every query with committed plan
+    # cost > 1.0 s joins the audit — now self-enforced by
+    # tests/test_round_hygiene.py::test_every_expensive_query_is_scaling_audited
+    ("q_dedup_representatives", 1.35, "CC labels persisted once; one doc equi-join + per-cluster row_number"),
+    ("q_agg_distinct", 1.35, "Expand x2 multi-distinct, two-phase agg, one scan"),
+    ("q_fuzzy_match", 1.35, "blocked edit-distance: sum-of-block-products, supplier side broadcast"),
+    ("q_hll_union_merge", 1.35, "mergeable HLL sketch aggs, one grouped pass + |keys| blob merge"),
     # declared super-linear ground-truth twins: audited against their claim
     ("q_dedup_embed_cosine", 2.2, "GUARDED label-block all-pairs exact twin (pairs ~ n^2 / |labels|)"),
     ("q_knn_join", 2.2, "GUARDED all-pairs exact twin: |A|·|B| ~ n^2"),

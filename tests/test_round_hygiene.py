@@ -429,3 +429,96 @@ def test_stamp_contract_holds_on_actual_history():
     ).stdout.strip()
     assert at, "ORACLE_LOCAL.json has no history"
     assert sr.verify_stamp_exactness(at=at) == 0
+
+
+def test_every_expensive_query_is_scaling_audited():
+    """Self-enforcing >1 s scaling-audit rule (r8 VERDICT item 2): the
+    r7 widening rule — every query whose committed BENCH_FULL plan cost
+    exceeds 1.0 s gets a SCALING.md growth exponent — was enforced by
+    hand, so q_dedup_representatives (1.49 s) landed in r8 with no row.
+    This test makes the rule structural: every non-lifecycle query over
+    the threshold in the committed BENCH_FULL.json must be in
+    scripts/scaling_check.py's AUDIT list, and SCALING.md must carry a
+    row (verdict `ok`) for every audited query so the committed artifact
+    can't go stale against the list."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_check", REPO / "scripts" / "scaling_check.py"
+    )
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+    audited = {name for name, _bound, _why in sc.AUDIT}
+
+    bench = json.loads((REPO / "BENCH_FULL.json").read_text())
+    lifecycle = set(bench.get("lifecycle_queries", {}))
+    expensive = {
+        n
+        for n, t in bench["queries"].items()
+        if n not in lifecycle and t > 1.0
+    }
+    unaudited = sorted(expensive - audited)
+    assert not unaudited, (
+        f"plan cost > 1.0 s in committed BENCH_FULL but not in "
+        f"scaling_check.AUDIT: {unaudited}"
+    )
+
+    import re
+
+    scaling_rows = {
+        m.group(1)
+        for m in re.finditer(
+            r"^\| (q_\w+) \|.*\| ok \|", (REPO / "SCALING.md").read_text(), re.M
+        )
+    }
+    stale = sorted(audited - scaling_rows)
+    assert not stale, (
+        f"in scaling_check.AUDIT but no `ok` row in SCALING.md "
+        f"(regenerate with scripts/scaling_check.py): {stale}"
+    )
+
+
+def test_outliers_ab_full_bench_prior_attribution(tmp_path):
+    """r8 VERDICT item 1: the full-bench rep mode adjudicates a
+    committed-to-committed round shift against the PRIOR round's
+    canonical readings. Three branches: floor tracks prior -> the shift
+    was environment drift; floor tracks current AND >= 1.5x prior ->
+    real regression (weak flag); in between -> partial with residual."""
+    import scripts.bench_ab_outliers as ob
+
+    _write_round_artifacts(tmp_path, 8)
+    ctx = ob.load_context(root=tmp_path)
+    # simulate --prior: prior committed readings + total injected as
+    # load_context would from `git show <rev>:BENCH_FULL.json`
+    ctx["prior"] = {"q_drift": 1.0, "q_real": 1.0, "q_partial": 1.0}
+    ctx["prior_rev"] = "r7rev"
+    ctx["prior_plan_cost_total"] = 121.1
+    ctx["committed"].update(
+        {"q_drift": 1.3, "q_real": 1.6, "q_partial": 1.6}
+    )
+
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    for rep, (d, r, p) in enumerate([(1.1, 1.55, 1.35), (1.05, 1.6, 1.4)]):
+        scratch.joinpath(f"outliers_{rep}.json").write_text(json.dumps({
+            "rep": rep, "context": "full_bench", "sf_dir": "x", "cpus": 16,
+            "plan_cost_total": 140.0 + rep,
+            "queries": {"q_drift": d, "q_real": r, "q_partial": p,
+                        "q_window_join": 0.55},
+        }))
+    targets = ["q_drift", "q_real", "q_partial", "q_window_join"]
+    assert ob.combine(
+        ctx, targets, {"q_window_join"}, root=tmp_path, scratch=scratch,
+        selected_outliers=set(),
+    ) == 0
+    out = json.loads((tmp_path / "OUTLIERS_AB.json").read_text())
+    assert out["context"] == "full_bench"
+    assert out["prior_rev"] == "r7rev"
+    assert out["prior_plan_cost_total"] == 121.1
+    assert out["per_rep_plan_cost_totals"] == [140.0, 141.0]
+    q = out["queries"]
+    assert q["q_drift"]["committed_prior"] == 1.0
+    assert "environment drift" in q["q_drift"]["attribution"]
+    assert "REPRODUCES" in q["q_real"]["attribution"]
+    assert "partial" in q["q_partial"]["attribution"]
+    assert q["q_window_join"]["attribution"].startswith("control")
