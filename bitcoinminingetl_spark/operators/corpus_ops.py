@@ -1406,7 +1406,110 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 5
 
 
-@query("q_bpe_train")  # rows-only: iterative argmax loop, not SQL-expressible
+def _bpe_round_sql(k: int) -> str:
+    """One unrolled BPE merge round (DuckDB side) — the same unroll
+    doctrine as the PageRank oracle: the merge budget is a fixed
+    constant, so the 'iterative' loop is really _BPE_MERGES static
+    rounds, each expressible as CTEs over the previous round's vocab.
+
+    p{k}: the vocab exploded to (token, position, symbol) via ZIPPED
+    unnest — one streaming pass; a lateral unnest over positions would
+    re-materialize the whole symbol LIST per position, which goes
+    quadratic on the adversarial 30k-char single-token document.
+    pr{k}: adjacent pairs by a lead() window. b{k}: the argmax pair
+    (freq-weighted, ties by (l, r) — integer sums, so cross-engine
+    exact). c{k}: the taken merge positions under LEFT-TO-RIGHT GREEDY
+    pairing — candidates at consecutive positions only happen when
+    l == r (the next symbol must equal both r and l), and the fold
+    takes every other one, which is row_number-odd within each
+    consecutive run. A merged symbol can never re-pair within its own
+    round (that would need r = ''), so the window formulation is
+    exactly the fold. v{k}: the rewritten vocab — position j emits
+    l||r when taken, nothing when j-1 was taken, else the original
+    symbol. The CROSS JOIN against b{k} makes every later round empty
+    once pairs run out, matching the Spark loop's early break. Every
+    CTE is MATERIALIZED: each is consumed more than once, and DuckDB
+    re-inlines multiply-referenced CTEs otherwise (measured 290x on
+    the 5-round chain)."""
+    return f"""
+    p{k} AS MATERIALIZED (
+        SELECT tid, freq,
+               unnest(syms) AS s,
+               unnest(generate_series(1, len(syms))) AS j
+        FROM v{k - 1}
+    ),
+    pr{k} AS MATERIALIZED (
+        SELECT tid, freq, j, s AS l,
+               lead(s) OVER (PARTITION BY tid ORDER BY j) AS r
+        FROM p{k}
+    ),
+    b{k} AS MATERIALIZED (
+        SELECT l, r, n FROM (
+            SELECT l, r, CAST(sum(freq) AS BIGINT) AS n
+            FROM pr{k} WHERE r IS NOT NULL
+            GROUP BY l, r
+        ) ORDER BY n DESC, l, r LIMIT 1
+    ),
+    c{k} AS MATERIALIZED (
+        SELECT tid, j FROM (
+            SELECT tid, j,
+                   row_number() OVER (PARTITION BY tid, grp ORDER BY j)
+                       AS rn
+            FROM (
+                SELECT pr.tid, pr.j,
+                       pr.j - row_number() OVER (
+                           PARTITION BY pr.tid ORDER BY pr.j) AS grp
+                FROM pr{k} pr, b{k} b
+                WHERE pr.l = b.l AND pr.r = b.r
+            )
+        ) WHERE rn % 2 = 1
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT p.tid,
+               list(
+                   CASE WHEN tk.j IS NOT NULL THEN b.l || b.r
+                        WHEN tkp.j IS NOT NULL THEN NULL
+                        ELSE p.s END
+                   ORDER BY p.j
+               ) FILTER (
+                   tk.j IS NOT NULL OR tkp.j IS NULL
+               ) AS syms,
+               any_value(p.freq) AS freq
+        FROM p{k} p
+        CROSS JOIN b{k} b
+        LEFT JOIN c{k} tk ON tk.tid = p.tid AND tk.j = p.j
+        LEFT JOIN c{k} tkp ON tkp.tid = p.tid AND tkp.j = p.j - 1
+        GROUP BY p.tid
+    )"""
+
+
+_BPE_TRAIN_ORACLE = (
+    """
+    WITH v0 AS MATERIALIZED (
+        -- tid: dense surrogate key. Every later round joins and
+        -- windows on the token identity; using the token STRING as
+        -- that key re-hashes the adversarial 30k-char single token
+        -- tens of thousands of times per round (measured ~30 s on the
+        -- adversarial corpus vs ~0.3 s with the integer key).
+        SELECT row_number() OVER (ORDER BY token) AS tid,
+               string_split(token, '') AS syms,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL) t
+        GROUP BY token
+        HAVING len(string_split(token, '')) >= 2
+    ),"""
+    + ",".join(_bpe_round_sql(k) for k in range(1, _BPE_MERGES + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS \"left\","
+        f" r AS \"right\", n AS pair_count FROM b{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+)
+
+
+@query("q_bpe_train", oracle=_BPE_TRAIN_ORACLE)
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, the iterative step q_bpe_pair_counts only
     scores once: N rounds of (count adjacent symbol pairs weighted by

@@ -473,20 +473,38 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the oracle's NULL gram vanished from COUNT(DISTINCT) and
     scored rep 1.0 ("pure spam"). Two confident opposite answers for a
     doc with no text; the only defensible stat for absent text is
-    NULL."""
+    NULL.
+
+    COST NOTE (r9, attributed by OUTLIERS_AB round-8 receipts): the r8
+    fix wrapped the zip_with gram FOLD itself in when(text IS NOT
+    NULL, ...), and codegen does not subexpression-eliminate across
+    conditional branches — the fold ran per output column and the plan
+    cost reproduced at 1.6x the r7 floor. The guard doctrine's
+    pre-project rule applies: evaluate the fold ONCE unconditionally
+    in a first projection (CollapseProject never duplicates non-cheap
+    producers), and apply the NULL mask to the cheap size() scalars in
+    the second. NULL text still reads NULL everywhere — size() of the
+    fallback '' gram is masked before any consumer sees it."""
     from bitcoinminingetl_spark.operators.dedup import ngram_array
 
-    grams = F.when(
-        F.col("text").isNotNull(), ngram_array(F.split("text", " "), 3)
-    )
-    return table(spark, sf_dir, "documents").select(
+    raw = ngram_array(F.split("text", " "), 3)
+    base = table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(grams).cast("long").alias("n_grams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
-        roundn(
-            F.lit(1.0)
-            - F.size(F.array_distinct(grams)) * F.lit(1.0) / F.size(grams),
-            6,
+        F.col("text").isNotNull().alias("has_text"),
+        F.size(raw).alias("ng_raw"),
+        F.size(F.array_distinct(raw)).alias("nd_raw"),
+    )
+    has = F.col("has_text")
+    return base.select(
+        "doc_id",
+        F.when(has, F.col("ng_raw")).cast("long").alias("n_grams"),
+        F.when(has, F.col("nd_raw")).cast("long").alias("n_distinct"),
+        F.when(
+            has,
+            roundn(
+                F.lit(1.0) - F.col("nd_raw") * F.lit(1.0) / F.col("ng_raw"),
+                6,
+            ),
         ).alias("rep_ratio"),
     )
 

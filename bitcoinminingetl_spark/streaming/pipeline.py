@@ -196,6 +196,13 @@ def windowed_averages_with_fallback(events: DataFrame) -> DataFrame:
     )
 
 
+# Watermark delay for both sides of the stream-stream interval join.
+# Module-level (not inline) so the mutation gate in
+# tests/test_mutation_gates.py can prove the null-emission test goes red
+# when the watermark stops advancing past click.ts + tolerance.
+_JOIN_WATERMARK = "10 minutes"
+
+
 def stream_stream_interval_join(
     clicks: DataFrame,
     views: DataFrame,
@@ -223,8 +230,8 @@ def stream_stream_interval_join(
     than the final watermark stay in state, not in output — the drain
     leaves them pending, matching production semantics where the stream
     never "ends".)"""
-    c = clicks.withWatermark("ts", "10 minutes").alias("c")
-    v = views.withWatermark("ts", "10 minutes").alias("v")
+    c = clicks.withWatermark("ts", _JOIN_WATERMARK).alias("c")
+    v = views.withWatermark("ts", _JOIN_WATERMARK).alias("v")
     return c.join(
         v,
         F.expr(

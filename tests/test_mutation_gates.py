@@ -88,3 +88,97 @@ def test_minhash_gate_goes_red_on_threshold_flip(spark, sf_dir):
         with pytest.raises(AssertionError):
             _gate_minhash_subset(spark, sf_dir)
     _gate_minhash_subset(spark, sf_dir)
+
+
+# --- r9 widening (r8 VERDICT item 5): one mutation-tested gate per
+# remaining rows-only family — span-removal (corpus rewrite), ANN
+# recall floor, ccnet-approx tolerance, sketch set-algebra, streaming
+# interval-join null emission. Same flip-assert-restore pattern.
+
+
+def test_span_removal_gate_goes_red_on_width_flip(spark, tmp_path):
+    """Widen the span n-gram from 5 to 6: the planted 5-word shared run
+    no longer forms a full shared gram, nothing is removed, and the
+    edge-doc gate's n_removed=5 expectation must fail."""
+    import bitcoinminingetl_spark.operators.corpus_ops as corpus_mod
+    from tests.test_llm_ops import test_dedup_span_removal_edge_docs as gate
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(corpus_mod, "_SPAN_N", 6):
+        with pytest.raises(AssertionError):
+            gate(spark, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, green)
+
+
+def test_ann_ivf_gate_goes_red_on_nprobe_flip(spark, sf_dir):
+    """Drop the probe count to 0: no query probes any cell, the IVF
+    candidate set empties, and the recall-floor gate's non-empty +
+    recall >= 0.5 assertions must fail."""
+    import bitcoinminingetl_spark.operators.similarity as sim_mod
+    from tests.test_llm_ops import (
+        test_ann_ivf_scores_exact_and_recall_floor as gate,
+    )
+
+    with _mutated(sim_mod, "_N_PROBE", 0):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_ccnet_gate_goes_red_on_bucket_collapse(spark, sf_dir):
+    """Collapse the exact twin's tercile CASE to a constant 'head':
+    every doc lands in one bucket, the approx twin still emits three,
+    and the tolerance gate's bucket-by-bucket comparison must fail."""
+    from tests.test_llm_ops import test_ccnet_buckets_exact_and_approx as gate
+
+    with _mutated(text_mod, "_CCNET_BUCKET", "'head'"):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_theta_gate_goes_red_on_stream_flip(spark, tmp_path):
+    """Point the B-side sketch at the wrong event type: the planted
+    80-purchaser cardinality reads 10 and the exact-equality gate must
+    fail."""
+    import bitcoinminingetl_spark.operators.aggregates as agg_mod
+    from tests.test_llm_ops import test_theta_set_ops_planted as gate
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(agg_mod, "_THETA_B", "click"):
+        with pytest.raises(AssertionError):
+            gate(spark, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, green)
+
+
+def test_interval_join_null_emission_gate_goes_red_on_watermark_flip(
+    spark, sf_dir, tmp_path
+):
+    """Stall the watermark (delay 1000 hours): the engine can never
+    prove an attribution window closed, so the left-outer join emits no
+    null-view rows, and the gate's 'unmatched clicks emitted' assertion
+    must fail. Matched pairs still flow — only the watermark-proven
+    emission dies, which is exactly the regression class this gate
+    exists to catch."""
+    import bitcoinminingetl_spark.streaming.pipeline as pipe_mod
+    from tests.test_streaming import (
+        land_event_json,
+        test_stream_stream_left_outer_join_emits_unmatched as gate,
+    )
+
+    red = tmp_path / "red"
+    (red / "landed").mkdir(parents=True)
+    landed_red = land_event_json(spark, sf_dir, red / "landed")
+    with _mutated(pipe_mod, "_JOIN_WATERMARK", "1000 hours"):
+        with pytest.raises(AssertionError):
+            gate(spark, landed_red, red)
+    green = tmp_path / "green"
+    (green / "landed").mkdir(parents=True)
+    landed_green = land_event_json(spark, sf_dir, green / "landed")
+    gate(spark, landed_green, green)

@@ -25,7 +25,13 @@ from bitcoinminingetl_spark.streaming.pipeline import (
 @pytest.fixture(scope="module")
 def landed_events(spark, sf_dir, tmp_path_factory):
     """Land the events table as JSON files (3 files ~ 3 micro-batches)."""
-    out = tmp_path_factory.mktemp("landed")
+    return land_event_json(spark, sf_dir, tmp_path_factory.mktemp("landed"))
+
+
+def land_event_json(spark, sf_dir, out):
+    """Plain-function body of the landed_events fixture, importable by
+    other test modules (the mutation gates re-land into their own tmp
+    dir so red/green arms can't share checkpoint or sink state)."""
     rows = (
         table(spark, sf_dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
