@@ -299,6 +299,18 @@ def main() -> None:
     lifecycle_bands = {
         "q_streaming_window_avg": [1.5, 5.0],
         "q_streaming_sessionize": [1.5, 5.0],
+        # SPLIT of this band (r8 VERDICT stretch 8, so a regression in
+        # the VARIABLE part can't hide under the fixed floor): the
+        # lifecycle runs TWO full AvailableNow drains (initial corpus +
+        # incremental batch, each query start/stop ~2.5-3 s of trigger
+        # scheduling and state-store recovery) plus two idempotent
+        # batch-sink writes — a ~7-8 s fixed floor measured independent
+        # of landed volume (sf0.001 drains in ~14 s total incl. session
+        # overheads; see SCALING.md lifecycle rows). The per-row part
+        # (dedup state probes + sink rows) is the remaining 0-8 s of the
+        # band: a reading near 16 s at sf0.1 means per-row work grew
+        # ~4x, NOT that the floor moved — diagnose against the sf0.001
+        # lifecycle timing before blaming volume.
         "q_streaming_incremental_dedup": [8.0, 16.0],
         # stream-stream join: per-micro-batch cost is the symmetric-hash
         # state stores (4 per shuffle partition) checkpointing to disk,

@@ -2117,3 +2117,67 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "over_repeat_limit"
         ),
     )
+
+
+# Hash-based holdout split: md5 is byte-identical across engines (and
+# languages), which is the whole point — the split must be REPRODUCIBLE
+# by any system that can hash, or train/eval membership silently drifts
+# between the Spark pipeline and whoever consumes the split downstream.
+# Thresholds are hex-STRING prefixes compared under binary collation
+# (both engines), giving 204/256 ~ 79.7% train and 26/256 ~ 10.2% val:
+# the documented contract is "deterministic bucket boundaries", not
+# exact round percentages — at corpus scale the realized shares
+# concentrate on these to 4 decimal places.
+_SPLIT_SALT = "|split-salt-v1"
+_SPLIT_TRAIN_LT = "cc"  # md5 hex prefix < 'cc' (204/256) -> train
+_SPLIT_VAL_LT = "e6"  # < 'e6' (230/256) -> val; else test
+
+
+@query(
+    "q_eval_split",
+    oracle=f"""
+    SELECT doc_id, source,
+           md5(concat(CAST(doc_id AS VARCHAR), '{_SPLIT_SALT}')) AS split_key,
+           CASE WHEN substring(md5(concat(CAST(doc_id AS VARCHAR),
+                                          '{_SPLIT_SALT}')), 1, 2)
+                     < '{_SPLIT_TRAIN_LT}' THEN 'train'
+                WHEN substring(md5(concat(CAST(doc_id AS VARCHAR),
+                                          '{_SPLIT_SALT}')), 1, 2)
+                     < '{_SPLIT_VAL_LT}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test HOLDOUT ASSIGNMENT — the split step
+    every training pipeline runs before decontamination checks the other
+    direction (q_decontaminate flags eval-set leakage INTO train; this
+    query decides membership in the first place). Keyed on
+    md5(doc_id || salt): content-independent (re-crawled or re-cleaned
+    copies of a doc keep their split), engine-independent (md5 is
+    byte-identical everywhere, so a downstream evaluator can recompute
+    membership without Spark — the reason this is md5 and not xxhash64,
+    whose implementations differ per engine), and salt-versioned (a new
+    salt is a new split, an audited event). The full decision table
+    (doc_id, source, split_key, split) is the evidence-trail relation a
+    curation pipeline joins against, same shape doctrine as
+    q_dedup_representatives.
+
+    Plan: pure map-side projection — one scan, zero shuffles, identical
+    plan at 100 TB; the split lands with the data instead of requiring a
+    membership join at training time. Stratification is a groupBy away
+    and intentionally NOT fused here (the per-doc relation is the
+    artifact; summaries are consumers)."""
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))
+    )
+    prefix = F.substring(key, 1, 2)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        key.alias("split_key"),
+        F.when(prefix < _SPLIT_TRAIN_LT, F.lit("train"))
+        .when(prefix < _SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

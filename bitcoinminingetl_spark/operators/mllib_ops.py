@@ -42,7 +42,15 @@ from bitcoinminingetl_spark.operators.dedup import (
     normed_embeddings,
     shingle_index,
 )
-from bitcoinminingetl_spark.operators.similarity import _N_QUERIES, _TOP_K
+from bitcoinminingetl_spark.operators.dedup import (  # noqa: F401 — oracle builders
+    _usable_norm_sql,
+)
+from bitcoinminingetl_spark.operators.similarity import (
+    _N_CELLS,
+    _N_QUERIES,
+    _TOP_K,
+    ivf_centroids,
+)
 from bitcoinminingetl_spark.registry import query
 
 _TF_FEATURES = 1 << 18  # HashingTF bins; collisions ~ |shingles|²/2¹⁹ per doc
@@ -510,6 +518,149 @@ def q_cluster_keywords(
     w = Window.partitionBy("cell").orderBy(
         F.col("lift").desc(), "token"
     )
+    return (
+        lift.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _CKW_TOP)
+        .select("cell", "token", "n_ct", "lift", "rn")
+    )
+
+
+# Inline double-fold expressions for the deterministic-quantizer oracle:
+# the SAME left-fold arithmetic as Spark's _dot/_norm (F.aggregate from
+# 0.0) — a DuckDB list_reduce folds from the first element, and
+# (0.0 + x) == x exactly in IEEE, so the doubles agree bit-for-bit
+# (parity already proven by q_cosine_topk's hash-checked oracle).
+_CKW_CENT_NORM = (
+    "sqrt(list_reduce(list_transform(CAST(e.embedding AS DOUBLE[]), "
+    "u -> u * u), (x, y) -> x + y))"
+)
+_CKW_DOT = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * b.c_emb[i]), (x, y) -> x + y)"
+)
+
+_CKW_IVF_ORACLE = f"""
+    WITH cents AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cell,
+               list_transform(CAST(e.embedding AS DOUBLE[]),
+                              v -> v / {_CKW_CENT_NORM}) AS c_emb
+        FROM (SELECT vec_id, embedding FROM embeddings e
+              WHERE {_usable_norm_sql('e')}
+              ORDER BY vec_id LIMIT {_N_CELLS}) e
+    ),
+    asgn AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT a.vec_id, b.cell,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_CKW_DOT} DESC, b.cell)
+                       AS rn
+            FROM embeddings a, cents b
+            WHERE {_usable_norm_sql('a')}
+        ) WHERE rn = 1
+    ),
+    ct AS MATERIALIZED (
+        SELECT g.cell, t.token, CAST(count(*) AS BIGINT) AS n_ct
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL) t
+        JOIN asgn g ON g.vec_id = t.doc_id
+        GROUP BY 1, 2
+    ),
+    lift AS (
+        SELECT ct.cell, ct.token, ct.n_ct,
+               CAST(round(CAST(
+                   (CAST(ct.n_ct AS DOUBLE) / CAST(c.n_c AS DOUBLE))
+                   / (CAST(tt.n_t AS DOUBLE) / CAST(g.n_all AS DOUBLE))
+                   AS DECIMAL(28,12)), 6) AS DOUBLE) AS lift
+        FROM ct
+        JOIN (SELECT token, sum(n_ct) AS n_t FROM ct GROUP BY token) tt
+             USING (token)
+        JOIN (SELECT cell, sum(n_ct) AS n_c FROM ct GROUP BY cell) c
+             USING (cell)
+        CROSS JOIN (SELECT sum(n_ct) AS n_all FROM ct) g
+        WHERE ct.n_ct >= {_CKW_MIN_COUNT}
+    )
+    SELECT cell, token, n_ct, lift, rn FROM (
+        SELECT cell, token, n_ct, lift,
+               CAST(row_number() OVER (PARTITION BY cell
+                                       ORDER BY lift DESC, token)
+                    AS BIGINT) AS rn
+        FROM lift
+    ) WHERE rn <= {_CKW_TOP}
+"""
+
+
+@query("q_cluster_keywords_ivf", oracle=_CKW_IVF_ORACLE)
+def q_cluster_keywords_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_cluster_keywords with the DETERMINISTIC coarse quantizer (the
+    q_ann_ivf first-16-vectors centroid bootstrap) instead of a KMeans
+    fit — same lift ranking, same top-5-per-cell output, but the cell
+    assignment is a pure argmax of codegen'd dot products, so the WHOLE
+    query carries a DuckDB value-hash oracle (r8 VERDICT item 4: the
+    KMeans twin can only ever be rows-only because the fit is an
+    engine-side artifact; this twin puts the lift/top-k logic — the part
+    a curator actually consumes — under the strong gate).
+
+    Assignment ties break to the LOWEST cell on both engines (Spark:
+    max(struct(sim, -cell)); oracle: ORDER BY dot DESC, cell). The dot
+    products are bit-identical cross-engine: both sides run the same
+    left-fold double arithmetic (see _CKW_DOT), the parity the
+    hash-checked cosine family already stands on.
+
+    Scale shape: identical to q_cluster_keywords — centroids broadcast
+    (a |cells|-row relation), assignment is one corpus map pass, token
+    counting one hash aggregate, lift joins vocab-cardinality, top-5 a
+    bounded rank window per cell. The quantizer swap trades cluster
+    QUALITY (fixed anchors vs fitted centroids), not cost — at 100 TB
+    the anchors come from a sampled fit and the plan is unchanged."""
+    from bitcoinminingetl_spark.operators.dedup import (
+        _dot,
+        normed_embeddings,
+    )
+
+    emb = normed_embeddings(spark, sf_dir)
+    cents = ivf_centroids(spark, emb)
+    cells = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("sim", _dot(F.col("embedding"), F.col("c_emb")))
+        .groupBy("vec_id")
+        .agg(
+            # negated cell id: max(struct) prefers the HIGHEST second
+            # field on sim ties, and the oracle breaks ties to the
+            # LOWEST cell (same convention as q_ann_ivf's assignment)
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cell")).alias("negcell"))
+            ).alias("best")
+        )
+        .select("vec_id", (-F.col("best.negcell")).cast("int").alias("cell"))
+    )
+    toks = (
+        table(spark, sf_dir, "documents")
+        .join(cells, F.col("doc_id") == F.col("vec_id"))
+        .select("cell", F.explode(F.split("text", " ")).alias("token"))
+    )
+    ct = toks.groupBy("cell", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ct")
+    )
+    tok_tot = ct.groupBy("token").agg(F.sum("n_ct").alias("n_t"))
+    cell_tot = ct.groupBy("cell").agg(F.sum("n_ct").alias("n_c"))
+    grand = tok_tot.agg(F.sum("n_t").alias("n_all"))
+    lift = (
+        ct.filter(F.col("n_ct") >= _CKW_MIN_COUNT)
+        .join(tok_tot, "token")
+        .join(F.broadcast(cell_tot), "cell")
+        .join(F.broadcast(grand))
+        .withColumn(
+            "lift",
+            F.round(
+                (
+                    (F.col("n_ct") / F.col("n_c"))
+                    / (F.col("n_t") / F.col("n_all"))
+                ).cast("decimal(28,12)"),
+                6,
+            ).cast("double"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("lift").desc(), "token")
     return (
         lift.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _CKW_TOP)

@@ -159,6 +159,27 @@ _N_CELLS = 16
 _N_PROBE = 4
 
 
+def ivf_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The IVF coarse quantizer's centroid relation: the first _N_CELLS
+    usable corpus vectors by vec_id, unit-normalized driver-side (a
+    ≤16-row collect — the kmeans-init bootstrap pattern; at 100 TB this
+    is a sampled kmeans fit). The python-float normalization is the
+    SAME left-fold double arithmetic as the DuckDB oracle's list_reduce
+    (sum() from 0.0 and a fold from the first element agree exactly in
+    IEEE), which is what lets the deterministic-quantizer consumers
+    (q_cluster_keywords_ivf) carry a full value-hash oracle. Shared by
+    q_ann_ivf and q_cluster_keywords_ivf."""
+    cent_rows = (
+        emb.orderBy("vec_id").limit(_N_CELLS).select("embedding").collect()
+    )
+    data = []
+    for i, r in enumerate(cent_rows):
+        v = [float(x) for x in r.embedding]
+        nrm = sum(x * x for x in v) ** 0.5 or 1.0
+        data.append((i, [x / nrm for x in v]))
+    return spark.createDataFrame(data, "cell int, c_emb array<double>")
+
+
 @query("q_ann_ivf")  # rows-only: cell assignment is an engine-side artifact
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via IVF (inverted-file) cells — the
@@ -183,13 +204,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall < 1 by construction; the unit test cross-checks scores against
     the exact ranking and requires recall@10 above a floor."""
     emb = normed_embeddings(spark, sf_dir)
-    cent_rows = emb.orderBy("vec_id").limit(_N_CELLS).select("embedding").collect()
-    data = []
-    for i, r in enumerate(cent_rows):
-        v = [float(x) for x in r.embedding]
-        nrm = sum(x * x for x in v) ** 0.5 or 1.0
-        data.append((i, [x / nrm for x in v]))
-    cents = spark.createDataFrame(data, "cell int, c_emb array<double>")
+    cents = ivf_centroids(spark, emb)
 
     scored_cells = emb.crossJoin(F.broadcast(cents)).withColumn(
         "sim", _dot(F.col("embedding"), F.col("c_emb"))

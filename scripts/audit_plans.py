@@ -80,6 +80,10 @@ SMJ_OK = {
     # neither side is a broadcastable dim at corpus scale, so the keyed
     # SMJ/shuffle joins are the intended plans.
     "q_cluster_keywords",
+    # same join topology with the deterministic quantizer swapped in:
+    # the docs⋈cells and cell-token⋈token-total joins carry the same
+    # both-sides-fact/vocab-sized argument as the KMeans twin above.
+    "q_cluster_keywords_ivf",
 }
 
 

@@ -103,6 +103,12 @@ SHOWCASE = (
         "+ per-cluster rank — the decision relation stays |clustered "
         "docs|, never corpus-sized",
     ),
+    (
+        "q_cluster_keywords_ivf",
+        "deterministic-quantizer cluster keywords: 16-row centroid "
+        "broadcast, one corpus argmax pass (codegen'd dot folds), "
+        "vocab-cardinality lift joins, bounded rank window",
+    ),
 )
 
 

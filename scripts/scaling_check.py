@@ -127,6 +127,40 @@ AUDIT = [
     ("q_agg_distinct", 1.35, "Expand x2 multi-distinct, two-phase agg, one scan"),
     ("q_fuzzy_match", 1.35, "blocked edit-distance: sum-of-block-products, supplier side broadcast"),
     ("q_hll_union_merge", 1.35, "mergeable HLL sketch aggs, one grouped pass + |keys| blob merge"),
+    ("q_cluster_keywords_ivf", 1.35, "deterministic-quantizer keywords: broadcast centroids, one corpus pass + vocab lift joins"),
+    # hysteresis margin: everything measured > 0.8 s in any recent bench
+    # joins too, so run-to-run jitter around the 1.0 s rule's threshold
+    # can't flip the hygiene test (the audit itself is cheap)
+    ("q_kll_quantile_merge", 1.35, "mergeable KLL sketch aggs, one grouped pass + |keys| blob merge"),
+    ("q_sql_text_query", 1.35, "SQL-text entry: dims broadcast, one fact shuffle, window over the ~25-row aggregate"),
+    ("q_dsir_weights", 1.35, "DSIR: one tokenize pass, target/raw token aggs + vocab-cardinality left joins"),
+    ("q_retrieval_eval", 1.35, "two TakeOrdered rank pools + one tiny overlap/nDCG aggregate"),
+    ("q_pmi_collocations", 1.35, "bigram + unigram hash aggs, vocab-cardinality joins"),
+    ("q_zlib_quality", 1.35, "map-only Arrow-batched zlib kernel"),
+    ("q_tpch_volume_shipping", 1.35, "TPC-H Q7 tree: dims broadcast, one fact-keyed shuffle"),
+    ("q_quality_filter_gopher", 1.35, "map-side rule projection, zero shuffles"),
+    ("q_tpch_shipping_priority", 1.35, "TPC-H Q3: selective fact join + TakeOrdered"),
+    ("q_embed_quantize", 1.35, "map-only HOF vector math + decimal error sum"),
+    ("q_json_funcs", 1.35, "map-side JSON extraction scan"),
+    ("q_source_overlap_matrix", 1.35, "shingle equi-join bounded by per-source distinct shingles"),
+    ("q_doc_pack", 1.35, "sequence packing: sketch-bucket two-phase prefix sum, no global sort"),
+    ("q_window_ntile", 1.35, "per-key ntile window, one exchange"),
+    ("q_join_hints", 1.35, "forced SHUFFLE_HASH supplier join — one fact-keyed shuffle, no sort"),
+    ("q_dedup_clusters_minlabel", 1.35, "min-label propagation twin: O(diameter) rounds, linear per round"),
+    ("q_tpch_order_priority", 1.35, "TPC-H Q4: semi-join + grouped count"),
+    ("q_repetition_score", 1.35, "map-only gram fold (pre-projected once, r9)"),
+    # r9 widening (r8 VERDICT item 6): the streaming lifecycles join the
+    # audit — each times land + AvailableNow drain + sink read-back at
+    # all three SFs. The drain's FIXED trigger/scheduling latency
+    # dominates at these scales, so alpha well under 1 is the expected
+    # shape (land+drain cost ~linear in landed rows on top of a fixed
+    # floor); the audit exists to catch a lifecycle whose cost grows
+    # FASTER than its landed volume (state leak, per-batch re-scan).
+    ("q_streaming_window_avg", 1.35, "landed week + AvailableNow drain; watermarked window state"),
+    ("q_streaming_sessionize", 1.35, "landed week + drain; session-gap state per user"),
+    ("q_streaming_interval_join", 1.35, "landed week + drain; symmetric-hash join state, time-bound expiry"),
+    ("q_streaming_interval_join_outer", 1.35, "landed week + drain; outer emission on watermark proof"),
+    ("q_streaming_incremental_dedup", 1.35, "two landed batches + two drains; dedup state across restart"),
     # declared super-linear ground-truth twins: audited against their claim
     ("q_dedup_embed_cosine", 2.2, "GUARDED label-block all-pairs exact twin (pairs ~ n^2 / |labels|)"),
     ("q_knn_join", 2.2, "GUARDED all-pairs exact twin: |A|·|B| ~ n^2"),
@@ -189,6 +223,13 @@ def main() -> int:
         "sub-second timings); the guarded quadratic ground-truth twins are",
         "audited against their DECLARED ~n² bound instead. This is the",
         "measured counterpart to PLANS.md's structural scale argument.",
+        "",
+        "`q_streaming_*` rows time the full LIFECYCLE (land + AvailableNow",
+        "drain + sink read-back): a FIXED trigger/recovery floor dominates",
+        "at these scales, so alpha well under 1 is the expected shape — the",
+        "audit exists to catch a lifecycle growing FASTER than its landed",
+        "volume (state leak, per-batch re-scan), and the fixed-vs-variable",
+        "split is documented at the band definition in bench.py.",
         "",
         "| query | sf0.001 s | sf0.01 s | sf0.1 s | alpha | bound | verdict | plan claim |",
         "|---|---|---|---|---|---|---|---|",

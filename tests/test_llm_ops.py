@@ -2203,3 +2203,39 @@ def test_dedup_representatives_keep_richest_not_first(spark, tmp_path):
         for r in REGISTRY["q_dedup_clusters"].fn(spark, str(tmp_path)).collect()
     }
     assert {d: r.cluster_id for d, r in out.items()} == clusters
+
+
+def test_eval_split_golden_assignments(spark, sf_dir):
+    """q_eval_split's oracle bakes the SAME boundary constants at import
+    as the Spark side, so a mis-edit of the thresholds or salt moves
+    docs between splits on BOTH sides and the differential stays green —
+    this golden test pins the external contract instead: specific
+    hashlib-computed md5 keys and split assignments (what a non-Spark
+    consumer recomputing membership would derive), plus the realized
+    shares against the documented ~79.7/10.2/10.1 boundary fractions."""
+    rows = {
+        r.doc_id: r for r in REGISTRY["q_eval_split"].fn(spark, sf_dir).collect()
+    }
+    golden = {
+        0: ("c4fc734144d98807b405983d3b217984", "train"),
+        3: ("fc999e94bb176f34a277ca3ae30330b9", "test"),
+        8: ("e0c23b37b896153f529d46bcda1760be", "val"),
+        17: ("243c342486a56ad4dadf1bfbe74b6a08", "train"),
+    }
+    for doc_id, (key, split) in golden.items():
+        assert rows[doc_id].split_key == key
+        assert rows[doc_id].split == split
+    n = len(rows)
+    shares = {
+        s: sum(1 for r in rows.values() if r.split == s) / n
+        for s in ("train", "val", "test")
+    }
+    assert abs(shares["train"] - 204 / 256) < 0.06
+    assert abs(shares["val"] - 26 / 256) < 0.04
+    assert abs(shares["test"] - 26 / 256) < 0.04
+    # determinism: a second invocation assigns identically
+    again = {
+        r.doc_id: r.split
+        for r in REGISTRY["q_eval_split"].fn(spark, sf_dir).collect()
+    }
+    assert again == {d: r.split for d, r in rows.items()}
