@@ -174,21 +174,25 @@ def davg_sql(expr: str, *, bounded: bool = False) -> str:
 # every one of those — so an unmasked floor diverges cross-engine not just
 # on NaN/Inf (the r7 ADVICE class) but on finite doubles >= ~9.2e18 (the
 # r8 ADVICE class the 1e15-capped adversarial corpus never fires). The
-# bound is applied to the RAW value, before any divisor, so one contract
-# covers every bucket width; both engines treat NaN/Inf as greater than
-# the bound, so a single abs(x) < 2**63 predicate masks all of it.
+# bound is applied to the BANDED value — the actual floor input — so one
+# contract covers every bucket width, including divisors < 1 that GROW
+# the magnitude (an abs(raw) bound left value/0.5 saturating on Spark
+# while DuckDB read NULL — r9 self-review finding, cross-engine probed
+# in tests/test_adversarial.py). NaN/Inf band to NaN/Inf, which compare
+# greater than the bound in both engines, so the single predicate masks
+# all of it.
 _FLOOR_SAFE = float(2**63)
 
 
 def floor_long(col: Column, divisor: float | None = None) -> Column:
     """Engine-stable floor(value[/divisor]) -> nullable long (Spark side).
 
-    Non-finite and |value| >= 2**63 read NULL — their own band/bucket,
-    where a data-quality pass can SEE corrupt readings instead of them
-    saturating into real bins."""
+    Non-finite input and any value whose BAND would exceed long range
+    read NULL — their own band/bucket, where a data-quality pass can SEE
+    corrupt readings instead of them saturating into real bins."""
     banded = col / F.lit(divisor) if divisor is not None else col
     return (
-        F.when(F.abs(col) < F.lit(_FLOOR_SAFE), F.floor(banded))
+        F.when(F.abs(banded) < F.lit(_FLOOR_SAFE), F.floor(banded))
         .try_cast("long")
     )
 
@@ -197,6 +201,6 @@ def floor_long_sql(expr: str, divisor: float | None = None) -> str:
     """The DuckDB-side twin of :func:`floor_long`."""
     banded = f"({expr}) / {divisor:g}" if divisor is not None else f"({expr})"
     return (
-        f"(CASE WHEN abs({expr}) < 9223372036854775808.0 "
+        f"(CASE WHEN abs({banded}) < 9223372036854775808.0 "
         f"THEN TRY_CAST(floor({banded}) AS BIGINT) END)"
     )

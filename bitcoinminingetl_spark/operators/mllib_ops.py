@@ -42,9 +42,7 @@ from bitcoinminingetl_spark.operators.dedup import (
     normed_embeddings,
     shingle_index,
 )
-from bitcoinminingetl_spark.operators.dedup import (  # noqa: F401 — oracle builders
-    _usable_norm_sql,
-)
+from bitcoinminingetl_spark.operators.dedup import _usable_norm_sql
 from bitcoinminingetl_spark.operators.similarity import (
     _N_CELLS,
     _N_QUERIES,
@@ -612,11 +610,6 @@ def q_cluster_keywords_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded rank window per cell. The quantizer swap trades cluster
     QUALITY (fixed anchors vs fitted centroids), not cost — at 100 TB
     the anchors come from a sampled fit and the plan is unchanged."""
-    from bitcoinminingetl_spark.operators.dedup import (
-        _dot,
-        normed_embeddings,
-    )
-
     emb = normed_embeddings(spark, sf_dir)
     cents = ivf_centroids(spark, emb)
     cells = (

@@ -286,9 +286,26 @@ def combine(
         return 1
     driver_key = f"driver_r{ctx['round']}"
     queries = {}
+    unmeasured: list[str] = []
     for name in targets:
         ts = [r["queries"][name] for r in reps if name in r["queries"]]
         if not ts:
+            # full-bench reps exclude lifecycle queries (their drains are
+            # band-checked, not plan-cost-compared) and drop errored
+            # (t < 0) readings; a requested target with no reading must
+            # surface in the artifact, not silently vanish — an artifact
+            # that reads "adjudicated, nothing flagged" for a target that
+            # was never measured is the silent-truncation class the
+            # receipts doctrine forbids (r9 self-review finding).
+            unmeasured.append(name)
+            queries[name] = {
+                "attribution": (
+                    "NOT MEASURED in this context (lifecycle target or "
+                    "errored in every rep) — no verdict; use the "
+                    "lifecycle bands / minimal-harness mode instead"
+                ),
+                **_context_row(ctx, name),
+            }
             continue
         queries[name] = {
             "reps": ts,
@@ -378,6 +395,9 @@ def combine(
         "sf_dir": reps[0]["sf_dir"],
         "queries": queries,
     }
+    if unmeasured:
+        out["unmeasured_targets"] = unmeasured
+        print(f"WARNING: targets never measured in any rep: {unmeasured}")
     if ctx.get("prior_rev"):
         out["prior_rev"] = ctx["prior_rev"]
         out["prior_plan_cost_total"] = ctx.get("prior_plan_cost_total")
@@ -387,8 +407,13 @@ def combine(
         ]
     (root / "OUTLIERS_AB.json").write_text(json.dumps(out, indent=1))
     for name, row in queries.items():
+        stats = (
+            f"min={row['min']} median={row['median']} reps={row['reps']}"
+            if "min" in row
+            else "(no readings)"
+        )
         print(
-            f"{name}: min={row['min']} median={row['median']} reps={row['reps']}"
+            f"{name}: {stats}"
             + (f" -> {row['attribution']}" if "attribution" in row else "")
         )
     print(f"wrote {root / 'OUTLIERS_AB.json'}")

@@ -598,3 +598,71 @@ def test_full_differential_sweep_on_adversarial_corpus(spark, adv_dir):
         f"undeclared adversarial divergences ({matched} matched): {undeclared}"
     )
     assert matched >= 180  # the sweep really ran (not vacuously green)
+
+
+def test_floor_long_cross_engine_on_huge_finite_doubles(spark):
+    """The saturation class the 1e15-capped adversarial corpus never
+    fires (r9 self-review finding 2): finite doubles at or past 2**63,
+    probed through every divisor shape floor_long supports — including
+    a divisor < 1, which GROWS the band past long range and diverged
+    cross-engine when the guard bounded the raw value instead of the
+    floor's actual input. Spark and DuckDB must agree cell-for-cell."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bitcoinminingetl_spark.functions.numeric import (
+        floor_long,
+        floor_long_sql,
+    )
+
+    vals = [
+        123.4,
+        -987.6,
+        5e18,                       # < 2**63 raw, > 2**63 when /0.5
+        9.3e18,                     # > 2**63 raw
+        -9.3e18,
+        1e19,
+        9.223372036854774784e18,    # largest double below 2**63
+        float("nan"),
+        float("inf"),
+        float("-inf"),
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, value double"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, "
+            + (
+                "NULL::DOUBLE"
+                if v is None
+                else f"'{v}'::DOUBLE"
+                if v != v or v in (float("inf"), float("-inf"))
+                else repr(v)
+            )
+            + ")"
+            for i, v in enumerate(vals)
+        )
+        + ") x(id, value)"
+    )
+    for div in (None, 10, 0.5):
+        got = [
+            r.band
+            for r in df.select(
+                "id", floor_long(F.col("value"), div).alias("band")
+            )
+            .orderBy("id")
+            .collect()
+        ]
+        exp = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {floor_long_sql('value', div)} AS band "
+                "FROM t ORDER BY id"
+            ).fetchall()
+        ]
+        assert got == exp, f"divisor={div}: spark={got} duckdb={exp}"
