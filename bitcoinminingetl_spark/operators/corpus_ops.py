@@ -2181,3 +2181,64 @@ def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def _split_prefix_sql(ref: str) -> str:
+    return (
+        f"substring(md5(concat(CAST({ref} AS VARCHAR), "
+        f"'{_SPLIT_SALT}')), 1, 2)"
+    )
+
+
+@query(
+    "q_split_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                generate_series(1, greatest(len(string_split(text, ' '))
+                    - {_DECON_N - 1}, 1)),
+                i -> array_to_string(
+                    string_split(text, ' ')[i:i+{_DECON_N - 1}], ' ')
+            ))) AS shingle
+        FROM documents
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh
+           WHERE {_split_prefix_sql('doc_id')} >= '{_SPLIT_TRAIN_LT}')
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM sh s JOIN ev USING (shingle)
+    WHERE {_split_prefix_sql('s.doc_id')} < '{_SPLIT_TRAIN_LT}'
+    GROUP BY s.doc_id
+    """,
+)
+def q_split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-AWARE decontamination — q_decontaminate against the REAL
+    holdout instead of its doc_id%10 stand-in: flag train-split
+    documents (q_eval_split's md5 assignment) sharing any 13-gram with
+    a val/test document. This is the check that actually gates a
+    release — leakage is defined by the split you ship, so the overlap
+    join and the split assignment must agree on membership, which the
+    md5 keying guarantees for any downstream re-checker. Composes the
+    two persisted relations the pipeline already maintains: the shingle
+    index (built once per corpus, shared with the dedup family) and the
+    pure-projection split key.
+
+    Plan: identical shape to q_decontaminate — the split predicate is a
+    map-side md5 projection on the |docs|-row side of the shingle
+    index (no join against a split table needed), the overlap is an
+    equi-join on 8-byte hashed shingles, one per-doc count. At 100 TB
+    the holdout side is ~20% of shingles; broadcast when the split is
+    eval-tiny, hash join otherwise — the planner's call either way."""
+    sh = shingle_index(spark, sf_dir, n=_DECON_N)
+    prefix = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))),
+        1,
+        2,
+    )
+    ev = sh.filter(prefix >= _SPLIT_TRAIN_LT).select("shingle").distinct()
+    return (
+        sh.filter(prefix < _SPLIT_TRAIN_LT)
+        .join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
