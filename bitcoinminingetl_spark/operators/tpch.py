@@ -955,3 +955,107 @@ def q_tpch_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+_Q21_NATION = "NATION_3"
+_Q21_LATE_DAYS = 90
+
+
+@query(
+    "q_tpch_waiting_suppliers",
+    oracle=f"""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = '{_Q21_NATION}'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate
+                        + INTERVAL {_Q21_LATE_DAYS} DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (Suppliers Who Kept Orders Waiting), ADAPTED: the
+    fixture lineitem has no l_commitdate/l_receiptdate, so "late" is
+    l_shipdate > o_orderdate + 90 days (same shape: a per-line lateness
+    predicate against its order). The hardest decorrelation pattern in
+    the suite — one EXISTS and one NOT EXISTS, both correlated on the
+    order key with a supplier INEQUALITY, the second also referencing
+    the OUTER order's date: suppliers from one nation who were the
+    ONLY late supplier on a multi-supplier finished order.
+
+    Plan (decorrelated by construction rather than left to the
+    rewriter, so the shape is pinned): the late-line relation builds
+    once (fact⋈fact join of lineitem with F-status orders, shuffled on
+    the order key) and serves both the probe side and the NOT EXISTS
+    side; EXISTS becomes a LEFT SEMI against lineitem and NOT EXISTS a
+    LEFT ANTI against the late relation — all three joins key on
+    l_orderkey, so they reuse ONE exchange partitioning end to end;
+    supplier⋈nation broadcasts onto the probe side; the top-20 is a
+    TakeOrdered. At 100 TB nothing changes: the semi/anti fan-out is
+    bounded by lines-per-order (~7), and no join ever keys on anything
+    but the already-partitioned order key."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == _Q21_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    probe = late.join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    probe = probe.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    probe = probe.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        probe.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -84,6 +84,12 @@ SMJ_OK = {
     # the docs⋈cells and cell-token⋈token-total joins carry the same
     # both-sides-fact/vocab-sized argument as the KMeans twin above.
     "q_cluster_keywords_ivf",
+    # adapted Q21: the NOT EXISTS decorrelates to a LEFT ANTI between
+    # two slices of the late-line relation — both fact-sized by
+    # construction (lineitem-derived), broadcast impossible at scale;
+    # the order-keyed SMJ is the intended plan and shares its exchange
+    # with the probe side.
+    "q_tpch_waiting_suppliers",
 }
 
 
