@@ -109,6 +109,12 @@ SHOWCASE = (
         "broadcast, one corpus argmax pass (codegen'd dot folds), "
         "vocab-cardinality lift joins, bounded rank window",
     ),
+    (
+        "q_tpch_waiting_suppliers",
+        "adapted Q21: EXISTS -> LEFT SEMI, NOT EXISTS -> LEFT ANTI, all "
+        "keyed on l_orderkey (one exchange partitioning end-to-end); "
+        "supplier x nation broadcast; TakeOrdered top-20",
+    ),
 )
 
 
