@@ -182,3 +182,18 @@ def test_interval_join_null_emission_gate_goes_red_on_watermark_flip(
     (green / "landed").mkdir(parents=True)
     landed_green = land_event_json(spark, sf_dir, green / "landed")
     gate(spark, landed_green, green)
+
+
+def test_eval_split_gate_goes_red_on_boundary_flip(spark, sf_dir):
+    """Shrink the train boundary to 'aa': most docs (md5 prefixes
+    uniform over 00..ff) leave the train split, and the golden
+    hashlib-derived assignments — the EXTERNAL pin the oracle can't
+    provide, since it bakes the same constants — must fail. Restored,
+    they must pass."""
+    import bitcoinminingetl_spark.operators.corpus_ops as corpus_mod
+    from tests.test_llm_ops import test_eval_split_golden_assignments as gate
+
+    with _mutated(corpus_mod, "_SPLIT_TRAIN_LT", "aa"):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
