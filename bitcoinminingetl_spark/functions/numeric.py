@@ -198,8 +198,20 @@ def floor_long(col: Column, divisor: float | None = None) -> Column:
 
 
 def floor_long_sql(expr: str, divisor: float | None = None) -> str:
-    """The DuckDB-side twin of :func:`floor_long`."""
-    banded = f"({expr}) / {divisor:g}" if divisor is not None else f"({expr})"
+    """The DuckDB-side twin of :func:`floor_long`.
+
+    The divisor renders via repr(float(...)) — Python's shortest
+    ROUND-TRIP-EXACT representation — not '%g', which truncates to 6
+    significant digits (r9 ADVICE): current call sites (10, 50, 0.5)
+    happen to be exact under %g, but a future divisor like 1/3 or
+    1234567.5 would silently diverge from the Spark side's
+    full-precision F.lit(divisor) literal, defeating the cross-engine
+    parity contract this helper exists to guarantee."""
+    banded = (
+        f"({expr}) / {repr(float(divisor))}"
+        if divisor is not None
+        else f"({expr})"
+    )
     return (
         f"(CASE WHEN abs({banded}) < 9223372036854775808.0 "
         f"THEN TRY_CAST(floor({banded}) AS BIGINT) END)"

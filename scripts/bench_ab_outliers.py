@@ -99,10 +99,29 @@ def load_context(
     n = latest_round(root) if round_n is None else round_n
     bench_r = json.loads((root / f"BENCH_r{n:02d}.json").read_text())
     driver = dict(bench_r.get("parsed", {}).get("queries", {}))
+    # "committed" means COMMITTED (r9 ADVICE): --full-bench reps
+    # overwrite the working-tree BENCH_FULL.json with each rep's own
+    # output, so a standalone `combine` invocation after the reps would
+    # silently adjudicate the floor against a rep's reading rather than
+    # the canonical snapshot. Read HEAD's copy via git (the same path
+    # --prior already uses); fall back to the working tree only when
+    # the artifact has never been committed (fresh checkout / tests).
     committed: dict[str, float] = {}
-    full_p = root / "BENCH_FULL.json"
-    if full_p.exists():
-        committed = dict(json.loads(full_p.read_text()).get("queries", {}))
+    try:
+        shown_head = subprocess.run(
+            ["git", "show", "HEAD:BENCH_FULL.json"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        committed = dict(json.loads(shown_head).get("queries", {}))
+    except (subprocess.CalledProcessError, ValueError, OSError):
+        full_p = root / "BENCH_FULL.json"
+        if full_p.exists():
+            committed = dict(
+                json.loads(full_p.read_text()).get("queries", {})
+            )
     guards_min: dict[str, float] = {}
     guards_p = root / "GUARDS_AB.json"
     if guards_p.exists():

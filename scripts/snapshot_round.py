@@ -150,6 +150,38 @@ def _skip_bench_objection() -> str | None:
     return None
 
 
+def _artifact_hygiene_objection() -> str | None:
+    """Re-run the artifact-consistency hygiene gates against the
+    WORKING-TREE artifacts before the snapshot commit exists (r9
+    VERDICT item 1). Round 9 went red at HEAD because snapshot_round
+    regenerates BENCH_FULL.json AFTER the round's last full pytest run:
+    q_tpch_waiting_suppliers crossed the 1.0 s scaling-audit threshold
+    in the final bench and no test ever saw that number. Running the
+    gate here — on the artifact just regenerated, refusing to commit on
+    red — closes the ordering hole structurally: a post-snapshot tree
+    can no longer fail a hygiene test about its own committed
+    artifacts. Returns pytest's tail on failure, None when green."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "-q",
+            "tests/test_round_hygiene.py::"
+            "test_every_expensive_query_is_scaling_audited",
+            "tests/test_round_hygiene.py::"
+            "test_stamp_contract_holds_on_actual_history",
+            "tests/test_round_hygiene.py::test_bench_stamps_run_configuration",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        return (proc.stdout + proc.stderr)[-3000:]
+    return None
+
+
 def main() -> int:
     skip_bench = "--skip-bench" in sys.argv
 
@@ -183,6 +215,21 @@ def main() -> int:
         if err:
             print(f"refusing to commit the run just made: {err}")
             return 1
+
+    # r9 VERDICT item 1: the hygiene gates that judge the artifacts must
+    # run AFTER the artifacts are (re)generated — on both paths — so the
+    # committed tree can never be red against its own BENCH_FULL.
+    hygiene_err = _artifact_hygiene_objection()
+    if hygiene_err:
+        print(
+            "refusing to commit: artifact-consistency hygiene tests are "
+            "red against the regenerated artifacts (e.g. a new query "
+            "crossed the 1.0 s scaling-audit threshold — add it to "
+            "scripts/scaling_check.py AUDIT and rerun "
+            "scripts/scaling_check.py, then re-snapshot):\n" + hygiene_err
+        )
+        return 1
+    print("artifact hygiene gates: OK")
 
     artifact_names = set(ARTIFACTS)
     for g in ARTIFACT_GLOBS:

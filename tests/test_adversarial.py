@@ -649,7 +649,11 @@ def test_floor_long_cross_engine_on_huge_finite_doubles(spark):
         )
         + ") x(id, value)"
     )
-    for div in (None, 10, 0.5):
+    # 1/3 and 1234567.89 need MORE than 6 significant digits: under the
+    # old '%g' rendering the DuckDB literal silently truncated while
+    # Spark's F.lit carried the full double (r9 ADVICE) — these two
+    # divisors pin the repr() round-trip-exact fix cross-engine
+    for div in (None, 10, 0.5, 1 / 3, 1234567.89):
         got = [
             r.band
             for r in df.select(

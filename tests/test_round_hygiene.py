@@ -362,6 +362,45 @@ def test_outliers_ab_combine_attributes_from_artifacts(tmp_path):
     assert "REPRODUCES" in out["queries"]["q_slow_outlier"]["attribution"]
 
 
+def test_outliers_ab_committed_readings_come_from_git(tmp_path):
+    """r9 ADVICE low #2: `combine` run standalone after --full-bench
+    reps must adjudicate against the COMMITTED canonical BENCH_FULL,
+    not the working-tree file the last rep just overwrote. load_context
+    reads HEAD's copy via `git show` and falls back to the working tree
+    only when the artifact was never committed."""
+    import subprocess
+
+    import scripts.bench_ab_outliers as ob
+
+    _write_round_artifacts(tmp_path, 8)
+
+    def git(*a):
+        subprocess.run(["git", *a], cwd=tmp_path, capture_output=True,
+                       check=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    git("add", "-A")
+    git("commit", "-qm", "canonical snapshot")
+    # a --full-bench rep overwrites the working-tree artifact with its
+    # own (faster) reading — the committed baseline must not move
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps({
+        "queries": {"q_slow_outlier": 0.4}, "plan_cost_total": 0.4,
+    }))
+    ctx = ob.load_context(root=tmp_path)
+    assert ctx["committed"]["q_slow_outlier"] == 1.0, (
+        "combine picked up a rep's overwritten working-tree reading "
+        "instead of the committed canonical artifact"
+    )
+
+    # no git history (fresh checkout / plain tmp dir) -> working tree
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    _write_round_artifacts(bare, 8)
+    assert ob.load_context(root=bare)["committed"]["q_slow_outlier"] == 1.0
+
+
 def test_artifact_classifier_rejects_nested_paths():
     """r7 ADVICE: fnmatch's * matches path separators, so a nested path
     like BENCH_r_dir/evil.json used to classify as a round artifact and
