@@ -83,6 +83,45 @@ def _tree_stamp() -> dict:
         return {}
 
 
+BUDGET_FACTOR = 1.5
+
+
+def _budget_verdict(current_total: float) -> dict:
+    """Compare this run's plan cost against the committed canonical
+    bench. Baseline comes from `git show HEAD:BENCH_FULL.json` (never
+    the working-tree file — A/B reps overwrite that), and only a
+    CANONICAL committed artifact (guards on, oracle not skipped) sets a
+    budget; otherwise the verdict records why no budget applied."""
+    import subprocess
+
+    try:
+        shown = subprocess.run(
+            ["git", "show", "HEAD:BENCH_FULL.json"],
+            cwd=_REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        committed = json.loads(shown)
+    except (subprocess.CalledProcessError, ValueError, OSError):
+        return {"applied": False, "reason": "no committed BENCH_FULL"}
+    if committed.get("numeric_guards") is False or committed.get(
+        "oracle_skipped"
+    ):
+        return {"applied": False, "reason": "committed artifact non-canonical"}
+    base = committed.get("plan_cost_total")
+    if not base:
+        return {"applied": False, "reason": "committed artifact has no total"}
+    ratio = round(current_total / base, 3)
+    return {
+        "applied": True,
+        "committed_total": base,
+        "ratio": ratio,
+        "limit": BUDGET_FACTOR,
+        "exceeded": ratio > BUDGET_FACTOR,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
@@ -382,6 +421,15 @@ def main() -> None:
         "n_failed": sum(1 for t in timings.values() if t < 0),
         **_tree_stamp(),
     }
+    # Per-round budget gate (r9 VERDICT stretch 7): the bench grows every
+    # round, and ambient growth is where a pathological plan hides. The
+    # declared budget: plan_cost_total may not exceed BUDGET_FACTOR x the
+    # COMMITTED canonical total (git HEAD's BENCH_FULL — host jitter is
+    # ~1.2x on this box, so 1.5x is a real plan regression, not drift).
+    # The verdict is stamped into the artifact, printed to stderr, and
+    # the process exits 1 AFTER the compact line prints — the driver
+    # still gets its JSON, snapshot_round refuses to commit the breach.
+    full["budget"] = _budget_verdict(full["plan_cost_total"])
     (Path(_REPO) / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
 
     # Per-round tail gate (round-3 VERDICT item 4): the external driver
@@ -430,6 +478,23 @@ def main() -> None:
     }
     print(json.dumps(compact))
     spark.stop()
+    budget = full["budget"]
+    # Only a CANONICAL run fails on breach: A/B reps (guards off /
+    # oracle skipped) run under deliberate contention and their stamp
+    # already disqualifies them from being committed — failing them
+    # would abort adjudication harnesses on host noise.
+    canonical_run = full["numeric_guards"] and not full["oracle_skipped"]
+    if budget.get("exceeded") and canonical_run:
+        print(
+            f"bench: BUDGET EXCEEDED — plan_cost_total "
+            f"{full['plan_cost_total']}s is {budget['ratio']}x the "
+            f"committed canonical {budget['committed_total']}s "
+            f"(limit {BUDGET_FACTOR}x). A plan regressed or the suite "
+            f"grew pathologically; adjudicate with "
+            f"scripts/bench_ab_outliers.py before snapshotting.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

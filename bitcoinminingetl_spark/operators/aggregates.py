@@ -1527,6 +1527,17 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_inc_mask(in_base: Column) -> Column:
+    """Increment-leg membership for the sketch split: NOT base, with
+    NULL-ts rows routed HERE. The naive `~in_base` is NULL for a NULL
+    ts (three-valued logic) and hll_sketch_agg skips NULLs, so it
+    silently drops NULL-ts users from BOTH legs — base ∪ increment no
+    longer covers the table and the merge-gap audit goes vacuous.
+    Coverage is the law the planted gate pins (and the mutation test
+    flips this mask to the naive form to prove the gate goes red)."""
+    return ~F.coalesce(in_base, F.lit(False))
+
+
 @query("q_hll_union_merge")  # rows-only: datasketches HLL binaries are engine-specific
 def q_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SKETCH half of q_incremental_agg_merge's rollup doctrine:
@@ -1561,7 +1572,7 @@ def q_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type").agg(
         F.hll_sketch_agg(F.when(in_base, F.col("user_id"))).alias("sk_base"),
         F.hll_sketch_agg(
-            F.when(~F.coalesce(in_base, F.lit(False)), F.col("user_id"))
+            F.when(_hll_inc_mask(in_base), F.col("user_id"))
         ).alias("sk_inc"),
         F.hll_sketch_agg("user_id").alias("sk_full"),
         F.countDistinct("user_id").alias("exact_users"),

@@ -180,7 +180,72 @@ def ivf_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
     return spark.createDataFrame(data, "cell int, c_emb array<double>")
 
 
-@query("q_ann_ivf")  # rows-only: cell assignment is an engine-side artifact
+# Deterministic-quantizer dot against the centroid relation — the same
+# left-fold double arithmetic as Spark's _dot (see ivf_centroids /
+# q_cluster_keywords_ivf for the IEEE parity argument).
+_IVF_CENT_NORM = (
+    "sqrt(list_reduce(list_transform(CAST(e.embedding AS DOUBLE[]), "
+    "u -> u * u), (x, y) -> x + y))"
+)
+_IVF_CELL_DOT = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * b.c_emb[i]), (x, y) -> x + y)"
+)
+
+_ANN_IVF_ORACLE = f"""
+    WITH cents AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cell,
+               list_transform(CAST(e.embedding AS DOUBLE[]),
+                              v -> v / {_IVF_CENT_NORM}) AS c_emb
+        FROM (SELECT vec_id, embedding FROM embeddings e
+              WHERE {_usable_norm_sql('e')}
+              ORDER BY vec_id LIMIT {_N_CELLS}) e
+    ),
+    scored_cells AS MATERIALIZED (
+        SELECT a.vec_id, b.cell, {_IVF_CELL_DOT} AS sim
+        FROM embeddings a, cents b
+        WHERE {_usable_norm_sql('a')}
+    ),
+    asgn AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell) AS rn
+            FROM scored_cells
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell AS q_cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell) AS pr
+            FROM scored_cells WHERE vec_id < {_N_QUERIES}
+        ) WHERE pr <= {_N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, g.vec_id AS neighbor_id
+        FROM probes p
+        JOIN asgn g ON g.cell = p.q_cell AND g.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               {roundn_sql(f'{_DOT_SQL} / ({_norm_sql("a")} * {_norm_sql("b")})', 6)}
+                   AS cosine
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.query_id
+        JOIN embeddings b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id)
+                    AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOP_K}
+"""
+
+
+@query("q_ann_ivf", oracle=_ANN_IVF_ORACLE)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via IVF (inverted-file) cells — the
     other classic ANN scale path next to q_ann_lsh:
@@ -202,7 +267,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        query.
 
     Recall < 1 by construction; the unit test cross-checks scores against
-    the exact ranking and requires recall@10 above a floor."""
+    the exact ranking and requires recall@10 above a floor.
+
+    CONVERTED rows-only -> full value-hash oracle (r9 VERDICT item 6):
+    the quantizer is the deterministic first-16 bootstrap, so cell
+    assignment, probe ranking and re-rank are all pure functions of the
+    embeddings view — the same argmax-of-left-fold-doubles parity
+    q_cluster_keywords_ivf's hash gate already proved cross-engine. The
+    KMeans-fitted variant (q_ann_ivf_kmeans) stays rows-only: its cells
+    are an engine-side artifact of the MLlib fit."""
     emb = normed_embeddings(spark, sf_dir)
     cents = ivf_centroids(spark, emb)
 

@@ -139,6 +139,12 @@ AUDIT = [
     ("q_tpch_waiting_suppliers", 1.35, "Q21: late relation built once; semi+anti reuse one l_orderkey exchange, fan-out bounded by lines-per-order"),
     ("q_ri_orphans", 1.35, "five broadcast anti-join counts unioned — parent keys broadcast, no fact shuffle"),
     ("q_kll_quantile_merge", 1.35, "mergeable KLL sketch aggs, one grouped pass + |keys| blob merge"),
+    # r10 hysteresis admissions: committed cost ~0.2-0.3 s but a
+    # mid-round bench saw >1.0 s (host jitter — q_window_lag's identical
+    # spike was adjudicated environment drift in r9's OUTLIERS_AB);
+    # auditing them is cheap and keeps the >1.0 s rule jitter-proof
+    ("q_try_funcs", 1.35, "map-only try_* scalar scan, zero shuffles"),
+    ("q_window_lag", 1.35, "keyed lag window, one exchange"),
     ("q_sql_text_query", 1.35, "SQL-text entry: dims broadcast, one fact shuffle, window over the ~25-row aggregate"),
     ("q_dsir_weights", 1.35, "DSIR: one tokenize pass, target/raw token aggs + vocab-cardinality left joins"),
     ("q_retrieval_eval", 1.35, "two TakeOrdered rank pools + one tiny overlap/nDCG aggregate"),
@@ -176,12 +182,101 @@ AUDIT = [
     ("q_bitext_mine", 2.2, "GUARDED all-pairs exact twin + margin windows on the pair relation"),
 ]
 
+# r9 VERDICT item 2: an UPPER decade (sf0.1 -> a deterministic
+# sf1-equivalent 10x corpus, scripts/make_sf1.py) for the families whose
+# sf0.01->sf0.1 exponents are fitted on 0.8-3.5 s timings where fixed
+# per-query overhead pollutes the fit, plus the guarded-quadratic
+# ground-truth twins. The sf1eq corpus preserves per-shard structure
+# (replica-disjoint vocab, orthogonal sign-flipped embeddings,
+# replica-local labels — see make_sf1's module doc), so:
+# - the linear families must hold their <= 1.35 claim on timings where
+#   fixed cost is amortized (3-35 s);
+# - the all-pairs twins (query sample AND corpus both grow 10x ->
+#   pairs x100) must stay inside their declared ~n^2 bound;
+# - q_dedup_embed_cosine's label blocks grow in COUNT, not size (the
+#   corpus's 100 TB operating assumption), so its measured decade
+#   exponent should sit near 1 — direct evidence the blocking guard
+#   delivers linear growth when block size stays bounded.
+DECADE_AUDIT = [
+    ("q_zorder_layout", 1.35, "n log n ntile sorts; decade separates sort growth from fixed cost"),
+    ("q_dup_span_stats", 1.35, "linear gram relation; decade amortizes the sub-second fixed floor"),
+    ("q_dedup_span_removal", 1.35, "linear gram relation + x5 bounded coverage explode"),
+    ("q_dedup_ngram_jaccard", 2.2, "exact pair twin: replica-disjoint shingles keep pairs shard-local"),
+    ("q_dedup_embed_cosine", 2.2, "label-block twin: blocks grow in count not size -> expect ~1"),
+    ("q_knn_join", 2.2, "all-pairs twin: |A| and |B| both x10 -> pairs x100, expect ~2"),
+    ("q_hard_negatives", 2.2, "all-pairs twin + label predicate, expect ~2"),
+    ("q_bitext_mine", 2.2, "all-pairs twin + margin windows on the x100 pair relation"),
+]
+
+
+def run_decade(registry) -> list[tuple]:
+    """The sf0.1 -> sf1eq decade, in its OWN SparkSession run BEFORE the
+    main audit so both legs are measured cold: the main audit leaves
+    the shared persisted relations (pair_overlaps, normed_embeddings)
+    warm at sf0.1, and a warm-sf0.1 / cold-sf1eq comparison would
+    inflate every cache-building query's decade exponent past its
+    bound. Symmetry discipline: tables noop-warmed on both legs; each
+    audited PLAN warmed once at sf0.01 (JVM/codegen, negligible data);
+    queries then run in a fixed order, sf0.1 leg immediately before
+    sf1eq leg, so any persist a predecessor leaves behind exists on
+    both legs equally."""
+    import scripts.make_sf1 as make_sf1
+
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.session import get_spark
+
+    sf1_dir = str(make_sf1.ensure())
+    spark = get_spark(
+        app_name="scaling-decade", cpus=16, shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in ("lineitem", "documents", "embeddings"):
+        for d in (SF_DIRS[2][0], sf1_dir):
+            table(spark, d, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    for name, _bound, _why in DECADE_AUDIT:
+        registry[name].fn(spark, SF_DIRS[1][0]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    decade_rows = []
+    for name, bound, why in DECADE_AUDIT:
+        times = {}
+        for leg, sf_dir in (("lo", SF_DIRS[2][0]), ("hi", sf1_dir)):
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times[leg] = time.perf_counter() - t0
+        alpha = math.log10(
+            max(times["hi"], 1e-3) / max(times["lo"], 1e-3)
+        )
+        ok = alpha <= bound
+        decade_rows.append(
+            (name, times["lo"], times["hi"], alpha, bound, ok, why)
+        )
+        print(
+            f"decade {name:26s} {times['lo']:6.2f} {times['hi']:8.2f} "
+            f"alpha={alpha:5.2f} bound={bound} {'OK' if ok else 'FAIL'}",
+            file=sys.stderr,
+        )
+    spark.stop()
+    return decade_rows
+
 
 def main() -> int:
     from bitcoinminingetl_spark.registry import load_all
     from bitcoinminingetl_spark.session import get_spark
 
     registry = load_all()
+    decade_rows = run_decade(registry)
+    failures = [
+        (name + "@decade", alpha, bound)
+        for name, _lo, _hi, alpha, bound, ok, _why in decade_rows
+        if not ok
+    ]
+
     spark = get_spark(app_name="scaling-check", cpus=16, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -199,7 +294,6 @@ def main() -> int:
     ).mode("overwrite").save()
 
     rows = []
-    failures = []
     for name, bound, why in AUDIT:
         times = []
         for sf_dir, _sf in SF_DIRS:
@@ -246,9 +340,41 @@ def main() -> int:
             f"| {name} | {times[0]:.2f} | {times[1]:.2f} | {times[2]:.2f} "
             f"| {alpha:.2f} | {bound} | {'ok' if ok else 'FAIL'} | {why} |"
         )
+    md += [
+        "",
+        "## Upper decade: sf0.1 → sf1-equivalent (10×)",
+        "",
+        "The noisy-alpha families' lower-decade exponents are fitted on",
+        "0.8–3.5 s timings where fixed per-query cost pollutes the fit",
+        "(r9 VERDICT item 2). This section re-fits them over a REAL extra",
+        "decade against a deterministic 10× corpus",
+        "(`scripts/make_sf1.py` — replica-disjoint vocabulary, orthogonal",
+        "sign-flipped embeddings, replica-local labels: 10 fresh shards",
+        "from the sf0.1 distribution, not 10 verbatim copies). The",
+        "guarded-quadratic twins' query sample and corpus both grow 10×,",
+        "so pairs grow ×100 and alpha≈2 is the DECLARED shape; the",
+        "label-block twin's blocks grow in count, not size, so its",
+        "alpha≈1 is direct evidence the blocking guard linearizes growth",
+        "when block size stays bounded. Methodology: measured in a",
+        "dedicated SparkSession BEFORE the main audit so shared persisted",
+        "relations are equally cold on both legs; per-plan sf0.01 warmup",
+        "for JVM/codegen; fixed query order with the sf0.1 leg",
+        "immediately before the sf1eq leg.",
+        "",
+        "| query | sf0.1 s | sf1eq s | alpha | bound | verdict | decade claim |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, t_lo, t_hi, alpha, bound, ok, why in decade_rows:
+        md.append(
+            f"| {name} | {t_lo:.2f} | {t_hi:.2f} | {alpha:.2f} "
+            f"| {bound} | {'ok' if ok else 'FAIL'} | {why} |"
+        )
     md.append("")
     (REPO / "SCALING.md").write_text("\n".join(md))
-    print(f"wrote {REPO / 'SCALING.md'} ({len(rows)} queries audited)")
+    print(
+        f"wrote {REPO / 'SCALING.md'} ({len(rows)} queries audited, "
+        f"{len(decade_rows)} decade-audited)"
+    )
     if failures:
         print(f"FAILURES: {failures}")
         return 1

@@ -59,6 +59,8 @@ ARTIFACTS = (
     "OUTLIERS_AB.json",
     "SCALING.md",
     "PLANS.md",
+    "MEMGUARD.json",
+    "WINDOW_DRILL.json",
 )
 ARTIFACT_PREFIXES = ("BENCH_r", "CORRECTNESS_r")
 ARTIFACT_GLOBS = tuple(p + "*.json" for p in ARTIFACT_PREFIXES)

@@ -1,18 +1,20 @@
-"""Shifted-window oracle rotation drill (r8 VERDICT stretch 7).
+"""Shifted-window oracle rotation drill (r8 VERDICT stretch 7; widened
+to the FULL registry r10 per r9 VERDICT item 3).
 
 The external driver hash-checks only the ~50 alphabetically-first
 registry queries each round; it has therefore hashed the same window
-for eight rounds. ORACLE_LOCAL.json and scripts/driver_sim.py already
+for nine rounds. ORACLE_LOCAL.json and scripts/driver_sim.py already
 prove the full registry green, but this drill produces the committed
-receipt in the driver's own shape for the NEXT window before the driver
-ever rotates into it: a plain-SparkSession run (driver conditions, not
-our session factory) over a 50-query window starting at an arbitrary
-name, written to WINDOW_DRILL.json with the same per-query record
-schema as CORRECTNESS_r{N}.json.
+receipt in the driver's own shape — a PLAIN SparkSession (driver
+conditions, not our session factory), one fresh session per window,
+the same per-query record schema as CORRECTNESS_r{N}.json — for every
+window the driver could ever rotate into.
 
-Usage: python scripts/window_drill.py [start_name] [n]
-       (default: the window immediately after the driver's current one —
-        alphabetically the 51st query — for 50 queries)
+Usage:
+  python scripts/window_drill.py --all            # every 50-query
+      window across the registry, fresh session per window, combined
+      WINDOW_DRILL.json (the round receipt)
+  python scripts/window_drill.py [start] [n]      # one ad-hoc window
 """
 
 from __future__ import annotations
@@ -22,8 +24,6 @@ import subprocess
 import sys
 from pathlib import Path
 
-from pyspark.sql import SparkSession
-
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
@@ -31,22 +31,8 @@ SF_DIR = "/root/testdata/sf0.01"
 DRIVER_WINDOW = 50
 
 
-def main() -> int:
-    from bitcoinminingetl_spark.oracle_check import (
-        check_one,
-        duck_connect,
-        shared_oracle_memo,
-    )
-    from bitcoinminingetl_spark.registry import load_all
-
-    registry = load_all()
-    names = sorted(registry)
-    start = sys.argv[1] if len(sys.argv) > 1 else names[DRIVER_WINDOW]
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else DRIVER_WINDOW
-    window = [q for q in names if q >= start][:n]
-    if not window:
-        print(f"no queries at or after {start!r}")
-        return 1
+def _fresh_session():
+    from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -56,44 +42,117 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _run_window(registry, window: list[str]) -> dict[str, dict]:
+    """One driver-shaped pass: fresh plain SparkSession + fresh DuckDB
+    connection, torn down after — the same cold-start conditions the
+    driver gives each round's correctness run."""
+    from bitcoinminingetl_spark.oracle_check import (
+        check_one,
+        duck_connect,
+        shared_oracle_memo,
+    )
+
+    spark = _fresh_session()
     con = duck_connect(SF_DIR)
     memo = shared_oracle_memo(registry)
     results: dict[str, dict] = {}
     for name in window:
         rec = check_one(spark, con, registry[name], SF_DIR, memo)
         results[name] = rec
-        print(f"{name}: {rec['status']}")
+        print(f"{name}: {rec['status']}", flush=True)
     spark.stop()
+    return results
 
+
+def _counts(results: dict[str, dict]) -> dict[str, int]:
     counts: dict[str, int] = {}
     for rec in results.values():
         counts[rec["status"]] = counts.get(rec["status"], 0) + 1
-    commit = subprocess.run(
+    return counts
+
+
+def _tree_commit() -> str:
+    return subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         cwd=REPO,
         capture_output=True,
         text=True,
     ).stdout.strip()
+
+
+def _emit(out: dict, results: dict[str, dict]) -> int:
+    counts = _counts(results)
+    out["counts"] = counts
+    out["tree_commit"] = _tree_commit()
+    out["queries"] = results
+    (REPO / "WINDOW_DRILL.json").write_text(json.dumps(out, indent=1))
+    bad = (
+        counts.get("mismatch", 0)
+        + counts.get("spark_error", 0)
+        + counts.get("oracle_error", 0)
+    )
+    print(", ".join(f"{k}={v}" for k, v in sorted(counts.items())))
+    print("RESULT:", "OK" if bad == 0 else f"{bad} FAILURES")
+    return 0 if bad == 0 else 1
+
+
+def main() -> int:
+    from bitcoinminingetl_spark.registry import load_all
+
+    registry = load_all()
+    names = sorted(registry)
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--all":
+        windows = [
+            names[i : i + DRIVER_WINDOW]
+            for i in range(0, len(names), DRIVER_WINDOW)
+        ]
+        results: dict[str, dict] = {}
+        meta = []
+        for i, window in enumerate(windows):
+            print(
+                f"--- window {i + 1}/{len(windows)} "
+                f"[{window[0]} .. {window[-1]}] ---",
+                flush=True,
+            )
+            wres = _run_window(registry, window)
+            results.update(wres)
+            meta.append(
+                {
+                    "window_start": window[0],
+                    "window_end": window[-1],
+                    "n": len(window),
+                    "counts": _counts(wres),
+                }
+            )
+        out = {
+            "metric": "window_drill",
+            "mode": "all_windows",
+            "sf_dir": SF_DIR,
+            "n": len(results),
+            "windows": meta,
+        }
+        return _emit(out, results)
+
+    start = sys.argv[1] if len(sys.argv) > 1 else names[DRIVER_WINDOW]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else DRIVER_WINDOW
+    window = [q for q in names if q >= start][:n]
+    if not window:
+        print(f"no queries at or after {start!r}")
+        return 1
+    results = _run_window(registry, window)
     out = {
         "metric": "window_drill",
+        "mode": "single_window",
         "sf_dir": SF_DIR,
         "window_start": window[0],
         "window_end": window[-1],
         "n": len(window),
-        "counts": counts,
-        "tree_commit": commit,
-        "queries": results,
     }
-    (REPO / "WINDOW_DRILL.json").write_text(json.dumps(out, indent=1))
-    bad = counts.get("mismatch", 0) + counts.get("spark_error", 0) + counts.get(
-        "oracle_error", 0
-    )
-    print(
-        f"window [{window[0]} .. {window[-1]}]: "
-        + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
-    )
-    print("RESULT:", "OK" if bad == 0 else f"{bad} FAILURES")
-    return 0 if bad == 0 else 1
+    return _emit(out, results)
 
 
 if __name__ == "__main__":

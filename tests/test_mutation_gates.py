@@ -184,6 +184,137 @@ def test_interval_join_null_emission_gate_goes_red_on_watermark_flip(
     gate(spark, landed_green, green)
 
 
+# --- r10 widening (r9 VERDICT item 5): the next five rows-only
+# families get mutation-tested gates — SimHash planted-dup, blocked
+# k-NN recall, BRP-MLlib recall, PCA shape/variance-order, resize
+# fixed-size, HLL merge coverage. Same flip-assert-restore pattern;
+# where no threshold exists, the mutation swaps the module-level
+# KERNEL the query resolves at call time (a realistic broken-edit).
+
+
+def test_simhash_gate_goes_red_on_hamming_flip(spark, sf_dir):
+    """Drop the Hamming radius below 0: even byte-identical duplicates
+    (hamming exactly 0) fail the verify filter, the pair set empties,
+    and the planted-dup gate must fail."""
+    from tests.test_llm_ops import (
+        test_simhash_finds_planted_duplicates as gate,
+    )
+
+    with _mutated(dedup_mod, "_HAMMING_MAX", -1):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_knn_join_lsh_gate_goes_red_on_bucket_kernel_break(
+    spark, sf_dir, tmp_path
+):
+    """Swap the sign-bucket kernel for one that hashes the raw vector
+    bytes (the realistic regression: bucketing stops grouping SIMILAR
+    vectors and only groups identical ones). Planted cluster mates
+    differ by noise, so candidates vanish and the planted-cluster
+    recall gate must fail. Restored, it must pass."""
+    import pandas as pd
+
+    import bitcoinminingetl_spark.operators.similarity as sim_mod
+    from tests.test_llm_ops import (
+        test_knn_join_lsh_planted_clusters_and_recall as gate,
+    )
+
+    def broken_bucket_udf():
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<long>")
+        def buckets(emb):
+            return pd.Series(
+                [[hash(tuple(v)) % (1 << 62)] for v in emb.tolist()]
+            )
+
+        return buckets
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(sim_mod, "_knn_bucket_udf", broken_bucket_udf):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, sf_dir, green)
+
+
+def test_ann_brp_gate_goes_red_on_radius_flip(spark, sf_dir):
+    """Shrink the BRP join radius to 0: approxSimilarityJoin returns no
+    pairs (self-pairs are excluded), and the recall gate's non-empty
+    assertion must fail."""
+    import bitcoinminingetl_spark.operators.mllib_ops as mllib_mod
+    from tests.test_llm_ops import test_ann_brp_mllib_recall_vs_exact as gate
+
+    with _mutated(mllib_mod, "_BRP_RADIUS", 0.0):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_embed_pca_gate_goes_red_on_k_flip(spark, sf_dir, tmp_path):
+    """Drop the PCA target dimension to 4: the invariants gate's
+    16-component shape assertion must fail (the regression class:
+    a silent output-width change downstream consumers size buffers
+    by). Restored, it must pass."""
+    import bitcoinminingetl_spark.operators.mllib_ops as mllib_mod
+    from tests.test_llm_ops import test_embed_pca_invariants as gate
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(mllib_mod, "_PCA_K", 4):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, sf_dir, green)
+
+
+def test_multimodal_resize_gate_goes_red_on_kernel_break(spark, sf_dir):
+    """Wrap the resize kernel to truncate every thumb by one byte (the
+    realistic regression: an off-by-one in the sampling index math).
+    The fixed-size law — every thumb exactly W*H bytes — must fail.
+    Restored, it must pass."""
+    import bitcoinminingetl_spark.operators.multimodal as mm_mod
+    from tests.test_llm_ops import (
+        test_multimodal_resize_fixed_size_and_deterministic as gate,
+    )
+
+    orig = mm_mod._resize_batches
+
+    def truncating(batches):
+        for pdf in orig(batches):
+            pdf = pdf.copy()
+            pdf["thumb"] = pdf["thumb"].map(lambda b: bytes(b)[:-1])
+            yield pdf
+
+    with _mutated(mm_mod, "_resize_batches", truncating):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_hll_merge_gate_goes_red_on_mask_flip(spark, tmp_path):
+    """Flip the increment mask to the naive `~in_base` (NULL for NULL
+    ts, so NULL-ts users silently leave BOTH sketch legs): the planted
+    NULL-ts group's merged sketch goes NULL, merge_rel_gap reads NULL,
+    and the planted gate's not-None assertion must fail."""
+    import bitcoinminingetl_spark.operators.aggregates as agg_mod
+    from tests.test_llm_ops import test_hll_union_merge_planted as gate
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(agg_mod, "_hll_inc_mask", lambda in_base: ~in_base):
+        with pytest.raises(AssertionError):
+            gate(spark, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, green)
+
+
 def test_eval_split_gate_goes_red_on_boundary_flip(spark, sf_dir):
     """Shrink the train boundary to 'aa': most docs (md5 prefixes
     uniform over 00..ff) leave the train split, and the golden

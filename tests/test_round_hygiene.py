@@ -517,6 +517,106 @@ def test_every_expensive_query_is_scaling_audited():
     )
 
 
+def test_bench_budget_verdict_reads_committed_canonical():
+    """r9 VERDICT stretch 7: the bench carries a declared per-round
+    budget — plan_cost_total vs the COMMITTED canonical total, breach
+    = exit 1 on canonical runs. The verdict must come from git HEAD
+    (A/B reps overwrite the working-tree artifact) and flag correctly
+    on both sides of the limit."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", REPO / "bench.py"
+    )
+    b = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(b)
+
+    v = b._budget_verdict(1e9)
+    assert v["applied"] and v["exceeded"] and v["limit"] == b.BUDGET_FACTOR
+    v = b._budget_verdict(0.001)
+    assert v["applied"] and not v["exceeded"]
+    assert v["committed_total"] > 0
+
+
+def test_every_rows_only_query_is_adjudicated():
+    """r9 VERDICT item 6: every rows-only registry query carries a
+    one-line convertibility verdict in SURVEY.md's adjudication table
+    (rule: convertible iff the result is a deterministic function of
+    the oracle's views, expressible in DuckDB SQL) — so no convertible
+    query can hide behind a rows-only check, and a query that GAINS an
+    oracle must leave the table (stale rows fail too)."""
+    import re
+
+    from bitcoinminingetl_spark.registry import load_all
+
+    reg = load_all()
+    rows_only = {
+        n for n, q in reg.items() if not getattr(q, "oracle", None)
+    }
+    assert rows_only, "registry loaded empty?"
+
+    text = (REPO / "SURVEY.md").read_text()
+    marker = "#### Rows-only convertibility adjudication"
+    assert marker in text, "SURVEY.md lacks the adjudication section"
+    section = text.split(marker, 1)[1].split("| query id |", 1)[0]
+    adjudicated = set(re.findall(r"^\| `(q_\w+)` \|", section, re.M))
+
+    missing = sorted(rows_only - adjudicated)
+    assert not missing, (
+        f"rows-only queries with no convertibility verdict in "
+        f"SURVEY.md: {missing}"
+    )
+    stale = sorted(adjudicated - rows_only)
+    assert not stale, (
+        f"adjudicated as rows-only but now oracle-backed or gone "
+        f"(remove the row): {stale}"
+    )
+
+
+def test_decade_audit_is_recorded():
+    """r9 VERDICT item 2: the noisy-alpha families and every
+    declared-quadratic ground-truth twin carry a measured sf0.1->sf1eq
+    upper-decade exponent, and SCALING.md's decade section has an `ok`
+    row for each — so the committed artifact can't go stale against
+    scripts/scaling_check.py's DECADE_AUDIT list."""
+    import importlib.util
+    import re
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_check", REPO / "scripts" / "scaling_check.py"
+    )
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+    decade = {name for name, _bound, _why in sc.DECADE_AUDIT}
+
+    # every twin the main audit declares super-linear joins the decade
+    quadratic_twins = {
+        name for name, bound, _why in sc.AUDIT if bound > 1.35
+    }
+    assert quadratic_twins <= decade, sorted(quadratic_twins - decade)
+    # the r9-flagged noisy-alpha families
+    for name in (
+        "q_zorder_layout",
+        "q_dup_span_stats",
+        "q_dedup_span_removal",
+        "q_bitext_mine",
+    ):
+        assert name in decade, name
+
+    text = (REPO / "SCALING.md").read_text()
+    assert "## Upper decade" in text, "SCALING.md lacks the decade section"
+    section = text.split("## Upper decade", 1)[1]
+    ok_rows = {
+        m.group(1)
+        for m in re.finditer(r"^\| (q_\w+) \|.*\| ok \|", section, re.M)
+    }
+    stale = sorted(decade - ok_rows)
+    assert not stale, (
+        f"in DECADE_AUDIT but no `ok` decade row in SCALING.md "
+        f"(regenerate with scripts/scaling_check.py): {stale}"
+    )
+
+
 def test_outliers_ab_full_bench_prior_attribution(tmp_path):
     """r8 VERDICT item 1: the full-bench rep mode adjudicates a
     committed-to-committed round shift against the PRIOR round's
