@@ -115,6 +115,13 @@ SHOWCASE = (
         "keyed on l_orderkey (one exchange partitioning end-to-end); "
         "supplier x nation broadcast; TakeOrdered top-20",
     ),
+    (
+        "q_tpch_min_cost_supplier",
+        "adapted Q2 (r10, completes all 22 TPC-H shapes): the correlated "
+        "per-part MIN decorrelates onto the once-aggregated supply "
+        "catalog; region suppliers broadcast; part attach broadcast; "
+        "top-100 TakeOrdered",
+    ),
 )
 
 

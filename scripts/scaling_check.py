@@ -145,6 +145,20 @@ AUDIT = [
     # auditing them is cheap and keeps the >1.0 s rule jitter-proof
     ("q_try_funcs", 1.35, "map-only try_* scalar scan, zero shuffles"),
     ("q_window_lag", 1.35, "keyed lag window, one exchange"),
+    # r10 jitter admissions, second batch: sub-second committed costs
+    # that crossed 1.0 s in one mid-round bench under ambient load —
+    # the same q_window_lag drift class; auditing them is cheap
+    ("q_bm25_rank", 1.35, "map-side tf arrays, 1-row corpus stats broadcast, TakeOrdered top-k"),
+    ("q_bpe_pair_counts", 1.35, "pair explosion on the vocab relation only; corpus contributes one count agg"),
+    ("q_decontaminate_semantic", 1.35, "asymmetric train-eval broadcast join, label-blocked, O(n) norms"),
+    # r10 TPC-H completion (all six adapted shapes; Q12 rides along so
+    # threshold jitter can't trip the gate on it later)
+    ("q_tpch_late_priority", 1.35, "Q12: year filter pushed, one key join, CASE counts one grouped pass"),
+    ("q_tpch_min_cost_supplier", 1.35, "Q2: supply-catalog agg (one fact exchange), region suppliers broadcast, per-part MIN reuses the small relation"),
+    ("q_tpch_product_profit", 1.35, "Q9: part/supplier dims broadcast; one lineitem-orders key exchange"),
+    ("q_tpch_important_parts", 1.35, "Q11: nation suppliers broadcast, per-part value agg + 1-row scalar broadcast"),
+    ("q_tpch_parts_supplier_count", 1.35, "Q16: 8-byte-pair distinct + broadcast dims + two-phase distinct count"),
+    ("q_tpch_promotion_suppliers", 1.35, "Q20: part keys broadcast, per-(supp,part) agg, LEFT SEMI on the dim"),
     ("q_sql_text_query", 1.35, "SQL-text entry: dims broadcast, one fact shuffle, window over the ~25-row aggregate"),
     ("q_dsir_weights", 1.35, "DSIR: one tokenize pass, target/raw token aggs + vocab-cardinality left joins"),
     ("q_retrieval_eval", 1.35, "two TakeOrdered rank pools + one tiny overlap/nDCG aggregate"),

@@ -305,6 +305,45 @@ def test_tpch_q18_aggregates_before_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_tpch_q2_single_fact_scan_and_broadcasts(spark, sf_dir):
+    """Adapted Q2 (r10): the region-filtered supply catalog is persisted
+    and shared by the per-part MIN and the probe side — the plan must
+    read it back from cache (InMemoryTableScan), not recompute the
+    lineitem aggregate twice; supplier/nation/region/part joins all
+    broadcast; the top-100 is a TakeOrdered."""
+    plan = _plan(spark, sf_dir, "q_tpch_min_cost_supplier")
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q16_distinct_relation_and_broadcast_dims(spark, sf_dir):
+    """Adapted Q16: the part predicates push to the part scan, both dims
+    broadcast onto the 8-byte-pair distinct relation, and the distinct
+    supplier count expands through the standard two-phase aggregate —
+    no sort-merge join anywhere."""
+    plan = _plan(spark, sf_dir, "q_tpch_parts_supplier_count")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    flat = " ".join(
+        p.splitlines()[0] for p in plan.split("PushedFilters:")[1:]
+    )
+    assert "p_size" in flat and "s_acctbal" in flat
+
+
+def test_tpch_q20_semi_join_on_dim(spark, sf_dir):
+    """Adapted Q20: the qualifying-supplier keys drive a LEFT SEMI
+    against the supplier dim (never the fact), and the year + name
+    predicates reach their scans."""
+    plan = _plan(spark, sf_dir, "q_tpch_promotion_suppliers")
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    flat = " ".join(
+        p.splitlines()[0] for p in plan.split("PushedFilters:")[1:]
+    )
+    assert "l_shipdate" in flat
+    assert "p_name" in flat
+
+
 def test_ri_orphans_is_all_broadcast_no_shuffle(spark, sf_dir):
     """The referential-integrity audit: five anti joins, all broadcast —
     zero fact-sized shuffles in the whole union."""
