@@ -315,6 +315,115 @@ def test_hll_merge_gate_goes_red_on_mask_flip(spark, tmp_path):
     gate(spark, green)
 
 
+# --- r10 widening, second batch: semdedup cluster collapse, KLL audit
+# masking, bitext-LSH margin, corpus-LSH near-dup prune, and the
+# multimodal header codec — 20 mutation-tested gates total.
+
+
+def test_semdedup_gate_goes_red_on_threshold_flip(spark, sf_dir, tmp_path):
+    """Push the semantic-dup cosine past 1: no within-cluster pair can
+    clear it, the three planted clusters stop collapsing, and the
+    planted gate's dropped-count assertion must fail."""
+    import bitcoinminingetl_spark.operators.mllib_ops as mllib_mod
+    from tests.test_llm_ops import (
+        test_semdedup_drops_planted_semantic_dups as gate,
+    )
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(mllib_mod, "_SEMDEDUP_COS", 1.01):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, sf_dir, green)
+
+
+def test_kll_gate_goes_red_on_biased_mask(spark, tmp_path):
+    """Bias the finite-value mask to silently drop values >= 500 (the
+    realistic regression: an over-eager corrupt-row filter changing the
+    audited population). Both sketch and exact twin shift together, so
+    only an EXTERNAL expectation catches it — the planted gate's
+    p50_exact == 499.5 pin must fail."""
+    import pyspark.sql.functions as SF
+
+    import bitcoinminingetl_spark.operators.aggregates as agg_mod
+    from tests.test_llm_ops import test_kll_quantile_merge_planted as gate
+
+    orig = agg_mod._finite
+
+    def biased(col):
+        return SF.when(col < 500, orig(col))
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(agg_mod, "_finite", biased):
+        with pytest.raises(AssertionError):
+            gate(spark, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, green)
+
+
+def test_bitext_lsh_gate_goes_red_on_margin_flip(spark, sf_dir):
+    """Raise the keep margin past any real neighborhood ratio: the
+    miner emits nothing and the real-fixture contract gate's non-empty
+    assertion must fail."""
+    import bitcoinminingetl_spark.operators.similarity as sim_mod
+    from tests.test_llm_ops import test_bitext_mine_lsh_real_fixture as gate
+
+    with _mutated(sim_mod, "_BT_MARGIN", 5.0):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_corpus_dedup_lsh_gate_goes_red_on_threshold_flip(
+    spark, sf_dir, tmp_path
+):
+    """Push the near-dup verify threshold above 1.0: the planted
+    near-dup survives the corpus pipeline's prune stage and the
+    composition gate's 'doc 3 dropped' assertion must fail (the
+    byte-dup stage is md5-exact and unaffected — only the LSH+verify
+    stage dies, which is the regression class this gate pins)."""
+    from tests.test_llm_ops import test_corpus_dedup_lsh_composition as gate
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(dedup_mod, "_JACCARD_THRESHOLD", 1.01):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, sf_dir, green)
+
+
+def test_multimodal_header_gate_goes_red_on_codec_break(spark):
+    """Break the decode kernel with a one-pixel width bias on PNGs (the
+    realistic codec regression: an off-by-one in a header offset). The
+    mutation wraps the KERNEL the query ships to executors —
+    monkeypatching the inner `_decode_image` would only change the
+    driver's copy, since Python workers re-import the module — and the
+    real-header fixture gate's exact-dimension assertion must fail;
+    restored, it must pass."""
+    import bitcoinminingetl_spark.operators.multimodal as mm_mod
+    from tests.test_llm_ops import test_multimodal_decodes_real_headers as gate
+
+    orig = mm_mod._decode_batches
+
+    def biased_kernel(batches):
+        for pdf in orig(batches):
+            pdf = pdf.copy()
+            png = pdf["format"] == "png"
+            pdf.loc[png, "width"] = pdf.loc[png, "width"] + 1
+            yield pdf
+
+    with _mutated(mm_mod, "_decode_batches", biased_kernel):
+        with pytest.raises(AssertionError):
+            gate(spark)
+    gate(spark)
+
+
 def test_eval_split_gate_goes_red_on_boundary_flip(spark, sf_dir):
     """Shrink the train boundary to 'aa': most docs (md5 prefixes
     uniform over 00..ff) leave the train split, and the golden
