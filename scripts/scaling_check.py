@@ -220,6 +220,14 @@ DECADE_AUDIT = [
     ("q_knn_join", 2.2, "all-pairs twin: |A| and |B| both x10 -> pairs x100, expect ~2"),
     ("q_hard_negatives", 2.2, "all-pairs twin + label predicate, expect ~2"),
     ("q_bitext_mine", 2.2, "all-pairs twin + margin windows on the x100 pair relation"),
+    # the SHIPPABLE scale paths (r10 second batch): the 100 TB dedup/ANN
+    # claims rest on these staying ~linear where their exact twins go
+    # quadratic — the decade measures exactly that divergence
+    ("q_dedup_minhash_lsh", 1.35, "banded LSH: 64-bit band signatures collide only on similarity -> candidates track near-dup pairs, linear on replica-local dups"),
+    ("q_corpus_dedup_lsh", 1.35, "shippable end-to-end dedup: md5 exact stage + banded candidates + verify"),
+    ("q_dedup_simhash", 2.2, "FIXED-granularity blocker: 8-bit chunks pigeonhole ~n^2/256 candidates on a decorrelated corpus; production widens chunks with corpus size (config, not plan) — measured against the declared pigeonhole bound"),
+    ("q_knn_join_lsh", 2.2, "FIXED-granularity blocker: 6-plane buckets pigeonhole ~|q||n|/64 per table on isotropic data; production adds planes with corpus size — measured against the declared bound"),
+    ("q_dedup_embed_cosine_lsh", 1.35, "label blocks grow in count not size; sign sub-buckets bound within-block pairs -> linear"),
 ]
 
 
