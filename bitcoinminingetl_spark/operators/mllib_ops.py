@@ -44,6 +44,8 @@ from bitcoinminingetl_spark.operators.dedup import (
 )
 from bitcoinminingetl_spark.operators.dedup import _usable_norm_sql
 from bitcoinminingetl_spark.operators.similarity import (
+    _IVF_CELL_DOT,
+    _IVF_CENT_NORM,
     _N_CELLS,
     _N_QUERIES,
     _TOP_K,
@@ -528,14 +530,11 @@ def q_cluster_keywords(
 # 0.0) — a DuckDB list_reduce folds from the first element, and
 # (0.0 + x) == x exactly in IEEE, so the doubles agree bit-for-bit
 # (parity already proven by q_cosine_topk's hash-checked oracle).
-_CKW_CENT_NORM = (
-    "sqrt(list_reduce(list_transform(CAST(e.embedding AS DOUBLE[]), "
-    "u -> u * u), (x, y) -> x + y))"
-)
-_CKW_DOT = (
-    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
-    "i -> CAST(a.embedding[i] AS DOUBLE) * b.c_emb[i]), (x, y) -> x + y)"
-)
+# Shared with q_ann_ivf's oracle: ONE definition of the quantizer
+# parity arithmetic (r10 code-review finding — a hand-maintained copy
+# here could silently fork the left-fold contract both oracles cite).
+_CKW_CENT_NORM = _IVF_CENT_NORM
+_CKW_DOT = _IVF_CELL_DOT
 
 _CKW_IVF_ORACLE = f"""
     WITH cents AS MATERIALIZED (

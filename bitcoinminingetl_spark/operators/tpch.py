@@ -1095,7 +1095,7 @@ _Q2_REGION = "EUROPE"
         FROM supply JOIN rsupp ON s_suppkey = l_suppkey
         GROUP BY 1
     )
-    SELECT s.s_acctbal, s.s_name, s.n_name,
+    SELECT s.s_acctbal, s.s_name, s.n_name, s.s_suppkey,
            p.p_partkey, p.p_brand, p.p_type, sp.cost AS supply_cost
     FROM supply sp
     JOIN rsupp s ON s.s_suppkey = sp.l_suppkey
@@ -1180,17 +1180,24 @@ def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_acctbal",
             "s_name",
             "n_name",
+            "s_suppkey",
             "p_partkey",
             "p_brand",
             "p_type",
             F.col("cost").alias("supply_cost"),
         )
+        # tie-break mirrors the oracle's ORDER BY key-for-key, ending on
+        # s_suppkey — the one guaranteed-unique column per (part,
+        # supplier) row, so the LIMIT boundary can never diverge
+        # cross-engine even if two suppliers share a name and a balance
+        # (r10 code-review finding: the old 5th key was supply_cost,
+        # which EQUALS min_cost on every retained row for the part)
         .orderBy(
             F.col("s_acctbal").desc(),
             "n_name",
             "s_name",
             "p_partkey",
-            "supply_cost",
+            "s_suppkey",
         )
         .limit(100)
     )

@@ -188,7 +188,20 @@ def main() -> int:
             status = "completed" if proc.returncode == 0 else "died"
             tail = proc.stderr[-1500:] if proc.returncode != 0 else ""
         except subprocess.TimeoutExpired as e:
-            status, proc, tail = "timeout", None, (e.stderr or b"")[-1500:]
+            # keep the partial per-query rows the arm printed before the
+            # hang — a timeout receipt that shows WHICH query hung (and
+            # that the others completed) is a diagnostic; an empty one
+            # is noise (r10 code-review finding)
+            status, tail = "timeout", (e.stderr or b"")[-1500:]
+            out = e.stdout or b""
+            proc = subprocess.CompletedProcess(
+                e.cmd,
+                -1,
+                stdout=out.decode(errors="replace")
+                if isinstance(out, bytes)
+                else out,
+                stderr="",
+            )
             if isinstance(tail, bytes):
                 tail = tail.decode(errors="replace")
         rows = []

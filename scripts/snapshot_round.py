@@ -138,6 +138,17 @@ def _skip_bench_objection() -> str | None:
     # leaves it False, and ORACLE_LOCAL.json stale from a previous tree
     if "oracle_mirror_ok" in stamp and stamp["oracle_mirror_ok"] is not True:
         return "oracle mirror did not complete, so ORACLE_LOCAL.json is stale"
+    # r10 code-review finding: bench.py exits 1 on a canonical budget
+    # breach, but an operator ignoring that exit could still commit the
+    # regressed artifact via --skip-bench — and every later budget
+    # check would ratchet against the regressed total. The stamp itself
+    # must disqualify the artifact.
+    if stamp.get("budget", {}).get("exceeded"):
+        return (
+            "stamped with the per-round budget EXCEEDED "
+            f"(ratio {stamp['budget'].get('ratio')}x) — adjudicate with "
+            "scripts/bench_ab_outliers.py before snapshotting"
+        )
     if stamp.get("tree_dirty"):
         return "stamped at a dirty tree"
     commit = stamp.get("tree_commit")
@@ -163,17 +174,18 @@ def _artifact_hygiene_objection() -> str | None:
     red — closes the ordering hole structurally: a post-snapshot tree
     can no longer fail a hygiene test about its own committed
     artifacts. Returns pytest's tail on failure, None when green."""
+    # the WHOLE hygiene file, not a hand-picked subset (r10 code-review
+    # finding): this round alone added five more committed-artifact
+    # gates (MEMGUARD, WINDOW_DRILL, decade audit, rows-only
+    # adjudication, budget verdict) and a curated list re-opens the r9
+    # ordering hole for every gate it omits. The file runs in ~2 s.
     proc = subprocess.run(
         [
             sys.executable,
             "-m",
             "pytest",
             "-q",
-            "tests/test_round_hygiene.py::"
-            "test_every_expensive_query_is_scaling_audited",
-            "tests/test_round_hygiene.py::"
-            "test_stamp_contract_holds_on_actual_history",
-            "tests/test_round_hygiene.py::test_bench_stamps_run_configuration",
+            "tests/test_round_hygiene.py",
         ],
         cwd=REPO,
         capture_output=True,

@@ -372,10 +372,17 @@ def test_outliers_ab_committed_readings_come_from_git(tmp_path):
 
     import scripts.bench_ab_outliers as ob
 
-    _write_round_artifacts(tmp_path, 8)
+    # the repo and the no-history dir must be SIBLINGS: a dir nested
+    # inside the test repo would resolve `git show` against the parent
+    # repo and the fallback branch would never run (r10 code-review
+    # finding — the vacuous version passed even with the fallback
+    # deleted)
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    _write_round_artifacts(repo, 8)
 
     def git(*a):
-        subprocess.run(["git", *a], cwd=tmp_path, capture_output=True,
+        subprocess.run(["git", *a], cwd=repo, capture_output=True,
                        check=True)
 
     git("init", "-q")
@@ -385,18 +392,27 @@ def test_outliers_ab_committed_readings_come_from_git(tmp_path):
     git("commit", "-qm", "canonical snapshot")
     # a --full-bench rep overwrites the working-tree artifact with its
     # own (faster) reading — the committed baseline must not move
-    (tmp_path / "BENCH_FULL.json").write_text(json.dumps({
+    (repo / "BENCH_FULL.json").write_text(json.dumps({
         "queries": {"q_slow_outlier": 0.4}, "plan_cost_total": 0.4,
     }))
-    ctx = ob.load_context(root=tmp_path)
+    ctx = ob.load_context(root=repo)
     assert ctx["committed"]["q_slow_outlier"] == 1.0, (
         "combine picked up a rep's overwritten working-tree reading "
         "instead of the committed canonical artifact"
     )
 
-    # no git history (fresh checkout / plain tmp dir) -> working tree
+    # no git history (fresh checkout / plain tmp dir) -> working tree;
+    # guard the premise first: if tmp_path ever sits inside some repo,
+    # this leg would silently test the wrong branch again
     bare = tmp_path / "bare"
     bare.mkdir()
+    probe = subprocess.run(
+        ["git", "show", "HEAD:BENCH_FULL.json"],
+        cwd=bare, capture_output=True, text=True,
+    )
+    assert probe.returncode != 0, (
+        "test premise broken: `bare` resolves a parent git repo"
+    )
     _write_round_artifacts(bare, 8)
     assert ob.load_context(root=bare)["committed"]["q_slow_outlier"] == 1.0
 
