@@ -317,6 +317,41 @@ def test_tpch_q2_single_fact_scan_and_broadcasts(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_tpch_q9_broadcast_dims_single_fact_exchange(spark, sf_dir):
+    """Adapted Q9: the name-filtered part relation and supplier⋈nation
+    both broadcast, the part name predicate reaches the part scan, and
+    no dim ever sort-merges — the only fact-sized exchange is the
+    lineitem⋈orders key join (AQE may demote even that at test scale)."""
+    plan = _plan(spark, sf_dir, "q_tpch_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    flat = " ".join(
+        p.splitlines()[0] for p in plan.split("PushedFilters:")[1:]
+    )
+    assert "p_name" in flat
+
+
+def test_tpch_q11_scalar_threshold_is_broadcast_not_window(spark, sf_dir):
+    """Adapted Q11: the global value threshold attaches as a 1-row
+    broadcast (the sanctioned BNLJ), never a global window — a
+    Window.partitionBy() here would funnel every part through one task
+    at scale."""
+    plan = _plan(spark, sf_dir, "q_tpch_important_parts")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_tpch_q12_pushdown_and_single_exchange(spark, sf_dir):
+    """Adapted Q12: both year bounds push into the lineitem scan and
+    the plan carries exactly one shuffle family — the order-key join +
+    the 2-group aggregate; no window, no sort."""
+    plan = _plan(spark, sf_dir, "q_tpch_late_priority")
+    flat = " ".join(
+        p.splitlines()[0] for p in plan.split("PushedFilters:")[1:]
+    )
+    assert flat.count("l_shipdate") >= 2  # both range bounds pushed
+    assert "Window" not in plan
+
+
 def test_tpch_q16_distinct_relation_and_broadcast_dims(spark, sf_dir):
     """Adapted Q16: the part predicates push to the part scan, both dims
     broadcast onto the 8-byte-pair distinct relation, and the distinct
