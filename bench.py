@@ -92,18 +92,10 @@ def _budget_verdict(current_total: float) -> dict:
     the working-tree file — A/B reps overwrite that), and only a
     CANONICAL committed artifact (guards on, oracle not skipped) sets a
     budget; otherwise the verdict records why no budget applied."""
-    import subprocess
+    from scripts.snapshot_round import committed_bench_full
 
-    try:
-        shown = subprocess.run(
-            ["git", "show", "HEAD:BENCH_FULL.json"],
-            cwd=_REPO,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        committed = json.loads(shown)
-    except (subprocess.CalledProcessError, ValueError, OSError):
+    committed = committed_bench_full(Path(_REPO))
+    if committed is None:
         return {"applied": False, "reason": "no committed BENCH_FULL"}
     if committed.get("numeric_guards") is False or committed.get(
         "oracle_skipped"
@@ -113,13 +105,25 @@ def _budget_verdict(current_total: float) -> dict:
     if not base:
         return {"applied": False, "reason": "committed artifact has no total"}
     ratio = round(current_total / base, 3)
-    return {
+    verdict = {
         "applied": True,
         "committed_total": base,
         "ratio": ratio,
         "limit": BUDGET_FACTOR,
         "exceeded": ratio > BUDGET_FACTOR,
     }
+    # Sanctioned acceptance path (r10 code-review finding): without one,
+    # a LEGITIMATE >1.5x round (a large intentional suite expansion,
+    # adjudicated via bench_ab_outliers) deadlocks — the canonical bench
+    # exits 1 forever and --skip-bench refuses the exceeded stamp, so
+    # the baseline can never ratchet forward inside the gated workflow.
+    # The operator states the reason in the env; it is STAMPED into the
+    # committed artifact so the acceptance is auditable, and
+    # snapshot_round admits an exceeded-but-accepted stamp.
+    reason = os.environ.get("SPARK_GRAFT_BUDGET_ACCEPT", "").strip()
+    if verdict["exceeded"] and reason:
+        verdict["accepted_reason"] = reason
+    return verdict
 
 
 def main() -> None:
@@ -484,7 +488,7 @@ def main() -> None:
     # already disqualifies them from being committed — failing them
     # would abort adjudication harnesses on host noise.
     canonical_run = full["numeric_guards"] and not full["oracle_skipped"]
-    if budget.get("exceeded") and canonical_run:
+    if budget.get("exceeded") and not budget.get("accepted_reason") and canonical_run:
         print(
             f"bench: BUDGET EXCEEDED — plan_cost_total "
             f"{full['plan_cost_total']}s is {budget['ratio']}x the "

@@ -1269,8 +1269,8 @@ def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q11_NATION = "NATION_2"
-_Q11_FRACTION = 0.001
+_Q11_REGION = "AMERICA"
+_Q11_AVG_MULT = 2.0
 
 
 @query(
@@ -1282,33 +1282,49 @@ _Q11_FRACTION = 0.001
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
-        WHERE n.n_name = '{_Q11_NATION}'
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = '{_Q11_REGION}'
         GROUP BY 1
     )
     SELECT p_key AS l_partkey, value
     FROM val
-    WHERE value > (SELECT {dsum_sql('value')} * {_Q11_FRACTION} FROM val)
+    WHERE value > (SELECT {dsum_sql('value')} / count(*) * {_Q11_AVG_MULT}
+                   FROM val)
     """,
 )
 def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock), ADAPTED: no partsupp, so a part's
-    "inventory value" held by one nation's suppliers is the net revenue
-    dsum(extendedprice * (1-discount)) of that nation's lines for the
-    part; the HAVING-vs-global-scalar shape is the original's.
+    "inventory value" held by one region's suppliers is the net revenue
+    dsum(extendedprice * (1-discount)) of that region's lines for the
+    part; the HAVING-vs-global-scalar shape is the original's. Two
+    deliberate departures from the original's constants (r10
+    code-review finding — the first draft's fixed share-of-total
+    fraction provably emptied at sf0.1 and beyond, exactly why TPC-H
+    scales its fraction by 1/SF): the scope is a REGION (a nation holds
+    0-1 suppliers at the smallest fixture SF, so any single nation is
+    vacuous somewhere), and the cut is SCALE-FREE — value > 2x the mean
+    per-part value, non-vacuous and selective at every SF (12 / 45 /
+    638 rows at sf0.001/0.01/0.1).
 
-    Plan: nation->supplier prunes ~7% of suppliers and broadcasts onto
-    the lineitem scan; the per-part value aggregates on one partkey
-    exchange; the global threshold is a 1-row aggregate OF THAT SAME
-    relation attached by broadcast cross join (the q_tpch_top_supplier
-    scalar pattern — never a global window). Both the per-part values
-    and the threshold are decimal-quantized (dsum), so the > compare is
-    engine-stable."""
+    Plan: region->nation->supplier prunes ~20% of suppliers and
+    broadcasts onto the lineitem scan; the per-part value aggregates on
+    one partkey exchange; the global threshold is a 1-row aggregate OF
+    THAT SAME relation attached by broadcast cross join (the
+    q_tpch_top_supplier scalar pattern — never a global window). The
+    mean is dsum(value)/count — decimal-quantized numerator, exact
+    count, ONE IEEE division — so the > compare is engine-stable (a
+    plain avg() would sum in engine-specific order)."""
     sn = (
         table(spark, sf_dir, "supplier")
         .join(
             F.broadcast(
-                table(spark, sf_dir, "nation").filter(
-                    F.col("n_name") == _Q11_NATION
+                table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        table(spark, sf_dir, "region").filter(
+                            F.col("r_name") == _Q11_REGION
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
                 )
             ),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -1330,7 +1346,11 @@ def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     threshold = val.agg(
-        (dsum(F.col("value")) * F.lit(_Q11_FRACTION)).alias("_thr")
+        (
+            dsum(F.col("value"))
+            / F.count(F.lit(1))
+            * F.lit(_Q11_AVG_MULT)
+        ).alias("_thr")
     )
     return (
         val.join(F.broadcast(threshold))

@@ -106,17 +106,13 @@ def load_context(
     # the canonical snapshot. Read HEAD's copy via git (the same path
     # --prior already uses); fall back to the working tree only when
     # the artifact has never been committed (fresh checkout / tests).
+    from scripts.snapshot_round import committed_bench_full
+
     committed: dict[str, float] = {}
-    try:
-        shown_head = subprocess.run(
-            ["git", "show", "HEAD:BENCH_FULL.json"],
-            cwd=root,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        committed = dict(json.loads(shown_head).get("queries", {}))
-    except (subprocess.CalledProcessError, ValueError, OSError):
+    committed_full = committed_bench_full(root)
+    if committed_full is not None:
+        committed = dict(committed_full.get("queries", {}))
+    else:
         full_p = root / "BENCH_FULL.json"
         if full_p.exists():
             committed = dict(

@@ -106,29 +106,28 @@ def build() -> Path:
     # token || '_r{k}' preserves whitespace structure, token counts and
     # every within-replica gram relation; n_chars recomputed to stay
     # consistent with the rewritten text
+    # the token rewrite is written ONCE and n_chars derives from the
+    # rewritten column in an outer query — a hand-synced second copy of
+    # the expression was the r10 code-review fork-on-edit hazard
     con.execute(
         f"""
         COPY (
-            SELECT doc_id + r.rep * {DOC_STRIDE} AS doc_id,
-                   CASE WHEN r.rep = 0 THEN text
-                        ELSE array_to_string(
-                            list_transform(
-                                string_split(text, ' '),
-                                t -> CASE WHEN t = '' THEN t
-                                          ELSE t || '_r' || r.rep END
-                            ), ' ')
-                   END AS text,
-                   lang, source,
-                   CAST(length(CASE WHEN r.rep = 0 THEN text
-                        ELSE array_to_string(
-                            list_transform(
-                                string_split(text, ' '),
-                                t -> CASE WHEN t = '' THEN t
-                                          ELSE t || '_r' || r.rep END
-                            ), ' ')
-                   END) AS BIGINT) AS n_chars
-            FROM '{SRC}/documents.parquet'
-            CROSS JOIN (SELECT unnest(range({REPLICAS})) AS rep) r
+            SELECT doc_id, text, lang, source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM (
+                SELECT doc_id + r.rep * {DOC_STRIDE} AS doc_id,
+                       CASE WHEN r.rep = 0 THEN text
+                            ELSE array_to_string(
+                                list_transform(
+                                    string_split(text, ' '),
+                                    t -> CASE WHEN t = '' THEN t
+                                              ELSE t || '_r' || r.rep END
+                                ), ' ')
+                       END AS text,
+                       lang, source
+                FROM '{SRC}/documents.parquet'
+                CROSS JOIN (SELECT unnest(range({REPLICAS})) AS rep) r
+            )
             ORDER BY doc_id
         ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
         """

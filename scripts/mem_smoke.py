@@ -205,12 +205,11 @@ def main() -> int:
             if isinstance(tail, bytes):
                 tail = tail.decode(errors="replace")
         rows = []
-        if proc is not None:
-            for line in proc.stdout.splitlines():
-                try:
-                    rows.append(json.loads(line))
-                except ValueError:
-                    pass
+        for line in proc.stdout.splitlines():
+            try:
+                rows.append(json.loads(line))
+            except ValueError:
+                pass
         return {
             "status": status,
             "wall_sec": round(time.perf_counter() - t0, 1),

@@ -156,7 +156,7 @@ AUDIT = [
     ("q_tpch_late_priority", 1.35, "Q12: year filter pushed, one key join, CASE counts one grouped pass"),
     ("q_tpch_min_cost_supplier", 1.35, "Q2: supply-catalog agg (one fact exchange), region suppliers broadcast, per-part MIN reuses the small relation"),
     ("q_tpch_product_profit", 1.35, "Q9: part/supplier dims broadcast; one lineitem-orders key exchange"),
-    ("q_tpch_important_parts", 1.35, "Q11: nation suppliers broadcast, per-part value agg + 1-row scalar broadcast"),
+    ("q_tpch_important_parts", 1.35, "Q11: region suppliers broadcast, per-part value agg persisted once + 1-row mean-threshold broadcast"),
     ("q_tpch_parts_supplier_count", 1.35, "Q16: 8-byte-pair distinct + broadcast dims + two-phase distinct count"),
     ("q_tpch_promotion_suppliers", 1.35, "Q20: part keys broadcast, per-(supp,part) agg, LEFT SEMI on the dim"),
     ("q_sql_text_query", 1.35, "SQL-text entry: dims broadcast, one fact shuffle, window over the ~25-row aggregate"),

@@ -79,6 +79,26 @@ def _git(*args: str) -> str:
     ).stdout
 
 
+def committed_bench_full(repo: Path = REPO, rev: str = "HEAD") -> dict | None:
+    """Parsed BENCH_FULL.json as COMMITTED at `rev`, or None when there
+    is no such committed artifact (fresh checkout, non-repo dir,
+    unparseable blob). The one shared reader (r10 code-review finding):
+    bench.py's budget verdict and bench_ab_outliers' committed baseline
+    previously each hand-rolled this subprocess+parse, and the copies
+    had already drifted in their exception handling."""
+    try:
+        shown = subprocess.run(
+            ["git", "show", f"{rev}:BENCH_FULL.json"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(shown)
+    except (subprocess.CalledProcessError, ValueError, OSError):
+        return None
+
+
 def _is_artifact(path: str) -> bool:
     """True iff a repo-relative path names a round artifact. Full-glob
     matching, not a bare prefix test: BENCH_refactor.py must NOT count
@@ -143,11 +163,14 @@ def _skip_bench_objection() -> str | None:
     # regressed artifact via --skip-bench — and every later budget
     # check would ratchet against the regressed total. The stamp itself
     # must disqualify the artifact.
-    if stamp.get("budget", {}).get("exceeded"):
+    budget = stamp.get("budget", {})
+    if budget.get("exceeded") and not budget.get("accepted_reason"):
         return (
             "stamped with the per-round budget EXCEEDED "
-            f"(ratio {stamp['budget'].get('ratio')}x) — adjudicate with "
-            "scripts/bench_ab_outliers.py before snapshotting"
+            f"(ratio {budget.get('ratio')}x) — adjudicate with "
+            "scripts/bench_ab_outliers.py, then either fix the plan or "
+            "accept via SPARK_GRAFT_BUDGET_ACCEPT='<reason>' (stamped "
+            "into the artifact) before snapshotting"
         )
     if stamp.get("tree_dirty"):
         return "stamped at a dirty tree"

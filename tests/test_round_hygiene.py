@@ -582,9 +582,25 @@ def test_bench_budget_verdict_reads_committed_canonical():
 
     v = b._budget_verdict(1e9)
     assert v["applied"] and v["exceeded"] and v["limit"] == b.BUDGET_FACTOR
+    assert "accepted_reason" not in v
     v = b._budget_verdict(0.001)
     assert v["applied"] and not v["exceeded"]
     assert v["committed_total"] > 0
+
+    # sanctioned acceptance path: a declared reason is stamped into the
+    # verdict (auditable), and only an exceeded verdict carries it
+    import os
+
+    os.environ["SPARK_GRAFT_BUDGET_ACCEPT"] = "intentional suite expansion"
+    try:
+        v = b._budget_verdict(1e9)
+        assert v["exceeded"] and v["accepted_reason"] == (
+            "intentional suite expansion"
+        )
+        v = b._budget_verdict(0.001)
+        assert "accepted_reason" not in v
+    finally:
+        del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
 
 
 def test_every_rows_only_query_is_adjudicated():
