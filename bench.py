@@ -104,13 +104,16 @@ def _budget_verdict(current_total: float) -> dict:
     base = committed.get("plan_cost_total")
     if not base:
         return {"applied": False, "reason": "committed artifact has no total"}
-    ratio = round(current_total / base, 3)
+    # Compare UNROUNDED: rounding first would let a marginal breach
+    # (e.g. 1.5004x → 1.5) slip under the gate. The stamped display
+    # value alone is rounded.
+    raw_ratio = current_total / base
     verdict = {
         "applied": True,
         "committed_total": base,
-        "ratio": ratio,
+        "ratio": round(raw_ratio, 3),
         "limit": BUDGET_FACTOR,
-        "exceeded": ratio > BUDGET_FACTOR,
+        "exceeded": raw_ratio > BUDGET_FACTOR,
     }
     # Sanctioned acceptance path (r10 code-review finding): without one,
     # a LEGITIMATE >1.5x round (a large intentional suite expansion,

@@ -93,6 +93,15 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# module-level (not inline) so the mutation gate can point the sketch at
+# the wrong column and prove the 5%-of-exact planted test goes red (the
+# maximum legal rsd of 0.39 lands at 4.5% on this fixture — inside the
+# tolerance — so a coarseness flip alone cannot prove the gate fires;
+# the wrong-column regression is the same class as the _THETA_B gate)
+_HLL_RSD = 0.05  # Spark's default relative standard deviation
+_HLL_COL = "l_partkey"
+
+
 @query("q_approx_distinct")  # rows-only: HLL estimates are engine-specific
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
@@ -103,7 +112,9 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct(_HLL_COL, _HLL_RSD).alias(
+                "approx_parts"
+            ),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -650,6 +661,11 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# module-level (not inline) so the tolerance mutation gate can coarsen
+# the sketch and prove the 1%-of-exact planted test goes red
+_APCT_ACCURACY = 10000
+
+
 @query("q_approx_percentiles")  # rows-only: sketch quantiles are engine-specific
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) per key — the 100 TB
@@ -666,7 +682,7 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.percentile_approx(
-                "l_extendedprice", [0.5, 0.9, 0.99], 10000
+                "l_extendedprice", [0.5, 0.9, 0.99], _APCT_ACCURACY
             ).alias("approx_pcts"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -1247,6 +1263,9 @@ def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EQH_BUCKETS = 10
+# module-level (not inline) so the tolerance mutation gate can coarsen
+# the boundary sketch and prove the vs-ntile planted test goes red
+_EQH_ACCURACY = 10000
 
 
 @query("q_histogram_equiheight_approx")  # rows-only: sketch boundaries are engine-specific
@@ -1262,7 +1281,7 @@ def q_histogram_equiheight_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = table(spark, sf_dir, "events")
     qs = [i / _EQH_BUCKETS for i in range(1, _EQH_BUCKETS)]
     bounds = ev.agg(
-        F.percentile_approx("value", qs, 10000).alias("bs")
+        F.percentile_approx("value", qs, _EQH_ACCURACY).alias("bs")
     ).select(
         *[F.element_at("bs", i + 1).alias(f"b{i}") for i in range(len(qs))]
     )

@@ -1893,6 +1893,9 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LB_BUCKETS = 8  # length buckets (equal-count, ntile over token length)
+# module-level (not inline) so the tolerance mutation gate can coarsen
+# the boundary sketch and prove the vs-ntile planted test goes red
+_LB_ACCURACY = 10000
 
 
 @query(
@@ -1992,7 +1995,7 @@ def q_length_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = [i / _LB_BUCKETS for i in range(1, _LB_BUCKETS)]
     bounds = lens.agg(
-        F.percentile_approx("n_tokens", qs, 10000).alias("bs")
+        F.percentile_approx("n_tokens", qs, _LB_ACCURACY).alias("bs")
     ).select(
         *[F.element_at("bs", i + 1).alias(f"b{i}") for i in range(len(qs))]
     )

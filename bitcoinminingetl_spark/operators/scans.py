@@ -150,6 +150,12 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# module-level (not inline) so the mutation gate can collapse the layout
+# to one partition and prove the planted-hot-key test goes red (a
+# single-partition instrument reads ratio 1.0 on ANY distribution)
+_SKEW_NPART = 8
+
+
 @query("q_skew_metrics")  # rows-only: partition layout is engine-side state
 def q_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-skew diagnostic: per-partition row counts of the
@@ -167,7 +173,7 @@ def q_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the global stats attach as a 1-row broadcast. Cost: one
     extra count over data already shuffled — cheap enough to run inline
     in any pipeline as a guardrail."""
-    e = table(spark, sf_dir, "events").repartition(8, "event_type")
+    e = table(spark, sf_dir, "events").repartition(_SKEW_NPART, "event_type")
     per_part = (
         e.withColumn("pid", F.spark_partition_id())
         .groupBy("pid")

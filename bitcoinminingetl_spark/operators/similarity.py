@@ -753,6 +753,14 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The label-inequality predicate applied at re-rank time, module-level
+# (not inline) so the mutation gate can drop it and prove the planted
+# same-label-reject test goes red — the regression class is a refactor
+# losing the one predicate that makes these negatives NEGATIVES.
+def _hn_label_keep(q_label: Column, n_label: Column) -> Column:
+    return ~q_label.eqNullSafe(n_label)
+
+
 @query("q_hard_negatives_lsh")  # rows-only: LSH recall is checked vs the exact twin
 def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining at corpus scale: q_knn_join_lsh's blocked
@@ -806,7 +814,7 @@ def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(F.broadcast(qv), cand.anchor_id == qv.q_id)
         .join(nv, cand.negative_id == nv.n_id)
-        .filter(~F.col("q_label").eqNullSafe(F.col("n_label")))
+        .filter(_hn_label_keep(F.col("q_label"), F.col("n_label")))
         .select(
             "anchor_id",
             F.col("n_id").alias("negative_id"),

@@ -46,6 +46,14 @@ def read_event_stream(
     return reader.json(path)
 
 
+# Module-level (not default args — defaults bind at def time) so the
+# mutation gates can prove the streaming differential tests go red when
+# a window/gap/tolerance constant silently drifts from the batch twin.
+_TUMBLE_WINDOW = "5 minutes"
+_SESSION_GAP = "30 minutes"
+_JOIN_TOLERANCE = "5 minutes"
+
+
 def windowed_metric_averages(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
     """R11 streaming: per-(window, metric) running averages with watermark.
 
@@ -55,7 +63,7 @@ def windowed_metric_averages(events: DataFrame, lateness: str = "10 minutes") ->
     wide row after a pivot in the sink, with half the state."""
     return (
         events.withWatermark("ts", lateness)
-        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .groupBy(F.window("ts", _TUMBLE_WINDOW).alias("win"), "event_type")
         .agg(round2(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("n"))
     )
 
@@ -71,9 +79,12 @@ def sliding_window_averages(events: DataFrame, lateness: str = "10 minutes") -> 
     )
 
 
-def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def session_windows(events: DataFrame, gap: str | None = None) -> DataFrame:
     """Session windows per user: a session closes after `gap` of
-    inactivity — dynamic-length windows the batch reference can't express."""
+    inactivity (default _SESSION_GAP, read at call time so the gate can
+    mutate it) — dynamic-length windows the batch reference can't
+    express."""
+    gap = gap if gap is not None else _SESSION_GAP
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
@@ -206,7 +217,7 @@ _JOIN_WATERMARK = "10 minutes"
 def stream_stream_interval_join(
     clicks: DataFrame,
     views: DataFrame,
-    tolerance: str = "5 minutes",
+    tolerance: str | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Stream-stream time-interval join: each click pairs with the same
@@ -230,6 +241,7 @@ def stream_stream_interval_join(
     than the final watermark stay in state, not in output — the drain
     leaves them pending, matching production semantics where the stream
     never "ends".)"""
+    tolerance = tolerance if tolerance is not None else _JOIN_TOLERANCE
     c = clicks.withWatermark("ts", _JOIN_WATERMARK).alias("c")
     v = views.withWatermark("ts", _JOIN_WATERMARK).alias("v")
     return c.join(

@@ -272,11 +272,18 @@ def main() -> int:
     }
     (REPO / "MEMGUARD.json").write_text(json.dumps(out, indent=1))
     print(f"wrote {REPO / 'MEMGUARD.json'}")
-    print(
-        "RESULT:",
-        "OK" if guarded_ok else "GUARDED ARM FAILED UNDER CONSTRAINED HEAP",
-    )
-    return 0 if guarded_ok else 1
+    # Exit status covers BOTH arms: a receipt where the unguarded
+    # contrast arm unexpectedly completed is vacuous (proves nothing
+    # about the guards) and must fail the run itself, not wait for the
+    # committed-artifact hygiene test to notice.
+    if guarded_ok and contrast_died:
+        print("RESULT: OK")
+        return 0
+    if not guarded_ok:
+        print("RESULT: GUARDED ARM FAILED UNDER CONSTRAINED HEAP")
+    else:
+        print("RESULT: VACUOUS — UNGUARDED CONTRAST ARM COMPLETED")
+    return 1
 
 
 if __name__ == "__main__":

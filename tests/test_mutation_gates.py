@@ -437,3 +437,314 @@ def test_eval_split_gate_goes_red_on_boundary_flip(spark, sf_dir):
         with pytest.raises(AssertionError):
             gate(spark, sf_dir)
     gate(spark, sf_dir)
+
+
+# --- r11 widening (r10 VERDICT item 1): every remaining ungated
+# rows-only family gets a red/green-proven gate — 36 total. Same
+# flip-assert-restore pattern; where no threshold exists, the mutation
+# swaps the module-level KERNEL the query resolves at call time.
+
+
+def test_approx_distinct_gate_goes_red_on_column_flip(spark, sf_dir):
+    """Point the HLL sketch at the wrong column (l_linestatus: 2 distinct
+    values vs hundreds of parts — the _THETA_B wrong-input regression
+    class; the max legal rsd of 0.39 lands INSIDE the 5% tolerance on
+    this fixture, so a coarseness flip alone can't prove the gate). The
+    5%-of-exact planted test must fail."""
+    import bitcoinminingetl_spark.operators.aggregates as agg_mod
+    from tests.test_llm_ops import test_approx_distinct_close_to_exact as gate
+
+    with _mutated(agg_mod, "_HLL_COL", "l_linestatus"):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_approx_percentiles_gate_goes_red_on_accuracy_flip(spark, sf_dir):
+    """Coarsen the GK sketch to accuracy=1: rank error is unbounded, the
+    reported quantiles collapse toward a single order statistic, and the
+    1%-relative planted tolerance test must fail."""
+    import bitcoinminingetl_spark.operators.aggregates as agg_mod
+    from tests.test_llm_ops import (
+        test_approx_percentiles_within_tolerance as gate,
+    )
+
+    with _mutated(agg_mod, "_APCT_ACCURACY", 1):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_equiheight_approx_gate_goes_red_on_accuracy_flip(spark, sf_dir):
+    """Coarsen the boundary sketch to accuracy=1: all nine boundaries
+    collapse to the same order statistic, only buckets {1, 10} survive,
+    and the vs-ntile gate's bucket-set equality must fail."""
+    import bitcoinminingetl_spark.operators.aggregates as agg_mod
+    from tests.test_llm_ops import test_equiheight_approx_matches_ntile as gate
+
+    with _mutated(agg_mod, "_EQH_ACCURACY", 1):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_length_buckets_approx_gate_goes_red_on_accuracy_flip(spark, sf_dir):
+    """Coarsen the length-boundary sketch to accuracy=1: buckets merge,
+    padding waste jumps to ~1.6x the ntile answer (measured), and the
+    25%-of-exact padded-tokens tolerance must fail."""
+    import bitcoinminingetl_spark.operators.corpus_ops as corpus_mod
+    from tests.test_llm_ops import (
+        test_length_buckets_approx_tolerance_vs_ntile as gate,
+    )
+
+    with _mutated(corpus_mod, "_LB_ACCURACY", 1):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_ann_lsh_gate_goes_red_on_bucket_kernel_break(spark, sf_dir):
+    """Swap the sign-bucket kernel for a hash of the raw vector bytes
+    (the same regression class as the knn-LSH gate: bucketing stops
+    grouping SIMILAR vectors and only groups identical ones). No query
+    shares a bucket with any distinct vector, the neighbor set empties,
+    and the subset-of-exact gate's non-empty assertion must fail."""
+    import pyspark.sql.functions as SF
+
+    import bitcoinminingetl_spark.operators.similarity as sim_mod
+    from tests.test_llm_ops import test_ann_lsh_is_subset_of_exact_ranking as gate
+
+    def identity_bucket(vec, planes):
+        return SF.crc32(vec.cast("string")).cast("long")
+
+    with _mutated(sim_mod, "_bucket", identity_bucket):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_ann_ivf_kmeans_gate_goes_red_on_nprobe_flip(spark, sf_dir):
+    """Drop the probe count to 0 (the off-by-one that empties the probe
+    rank filter): no cells are searched, the neighbor set empties, and
+    the recall-floor gate's non-empty assertion must fail."""
+    import bitcoinminingetl_spark.operators.mllib_ops as mllib_mod
+    from tests.test_llm_ops import (
+        test_ann_ivf_kmeans_scores_exact_and_recall_floor as gate,
+    )
+
+    with _mutated(mllib_mod, "_IVF_KM_NPROBE", 0):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_minhash_mllib_gate_goes_red_on_verify_drift(spark, sf_dir):
+    """Perturb the verification stage's reported Jaccard by +0.001 (the
+    re-scoring drift regression: candidates still come from the model
+    signatures, but the verified values no longer match the exact
+    definition). Every returned pair violates the gate's 1e-9 value
+    agreement with the exact n-gram twin, and it must fail."""
+    import pyspark.sql.functions as SF
+
+    import bitcoinminingetl_spark.operators.mllib_ops as mllib_mod
+    from tests.test_llm_ops import test_minhash_mllib_matches_exact_pairs as gate
+
+    orig = mllib_mod._verify_candidates
+
+    def drifted(sh, candidates):
+        return orig(sh, candidates).withColumn(
+            "jaccard", SF.col("jaccard") + SF.lit(0.001)
+        )
+
+    with _mutated(mllib_mod, "_verify_candidates", drifted):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_pagerank_lsh_gate_goes_red_on_teleport_flip(spark, sf_dir):
+    """Break the teleport/damping complement (teleport 0.30 with damping
+    0.85 — exactly the 1-d float-drift class the module comment warns
+    about): per-iteration mass inflates by the excess, the 5-iteration
+    total lands at ~1.556, and the mass-conservation gate must fail."""
+    import bitcoinminingetl_spark.operators.corpus_ops as corpus_mod
+    from tests.test_llm_ops import test_pagerank_lsh_subset_and_mass as gate
+
+    with _mutated(corpus_mod, "_PR_TELEPORT", 0.30):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_hard_negatives_lsh_gate_goes_red_on_label_filter_drop(
+    spark, tmp_path
+):
+    """Drop the label-inequality predicate at re-rank (the refactor that
+    loses the one filter making these negatives NEGATIVES): the planted
+    same-label near-twin (doc 51, cosine ~0.999 to its anchor) enters
+    the top-k and the planted-test's same-label-reject assertion must
+    fail. Restored, it must pass."""
+    import pyspark.sql.functions as SF
+
+    import bitcoinminingetl_spark.operators.similarity as sim_mod
+    from tests.test_llm_ops import test_hard_negatives_planted as gate
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(
+        sim_mod, "_hn_label_keep", lambda q_label, n_label: SF.lit(True)
+    ):
+        with pytest.raises(AssertionError):
+            gate(spark, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, green)
+
+
+def test_skew_metrics_gate_goes_red_on_partition_collapse(
+    spark, sf_dir, tmp_path
+):
+    """Collapse the instrument's layout to one partition: every row lands
+    together, skew_ratio reads exactly 1.0 on ANY distribution, and the
+    planted-hot-key gate's ratio > 4 assertion must fail — the
+    regression class where the diagnostic goes blind rather than wrong."""
+    import bitcoinminingetl_spark.operators.scans as scans_mod
+    from tests.test_llm_ops import (
+        test_skew_metrics_detects_planted_hot_key as gate,
+    )
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(scans_mod, "_SKEW_NPART", 1):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, sf_dir, green)
+
+
+def test_zlib_gate_goes_red_on_keep_band_flip(spark, sf_dir, tmp_path):
+    """Open the keep band's low edge to 0.0: repetitive spam (ratio
+    ~0.03) is kept, and the planted gate's spam-rejected assertion must
+    fail — the threshold regression that silently lets machine-generated
+    repetition into the corpus."""
+    import bitcoinminingetl_spark.operators.text as t_mod
+    from tests.test_llm_ops import test_zlib_quality_planted as gate
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(t_mod, "_ZLIB_KEEP_LO", 0.0):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, sf_dir, green)
+
+
+def test_multimodal_embed_gate_goes_red_on_bin_shift(spark, sf_dir):
+    """Roll the feature vector by one position (the bin-index off-by-one
+    regression). The rolled features stay 16-dim, L1-normalized and
+    deterministic — only the crafted-payload histogram pin (bins 0/15
+    get 3/4, 1/4) catches it, and it must fail."""
+    import bitcoinminingetl_spark.operators.multimodal as mm_mod
+    from tests.test_llm_ops import (
+        test_multimodal_embed_deterministic_and_normalized as gate,
+    )
+
+    orig = mm_mod._feature_batches
+
+    def rolled(batches):
+        for pdf in orig(batches):
+            pdf = pdf.copy()
+            pdf["feature"] = pdf["feature"].map(
+                lambda v: list(v[1:]) + [v[0]] if len(v) else v
+            )
+            yield pdf
+
+    with _mutated(mm_mod, "_feature_batches", rolled):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_streaming_window_avg_gate_goes_red_on_window_flip(
+    spark, sf_dir, tmp_path
+):
+    """Widen the tumbling window to 10 minutes while the batch twin keeps
+    its independent 5-minute literal: window starts and averages both
+    shift, and the match-batch differential must fail."""
+    import bitcoinminingetl_spark.streaming.pipeline as pipe_mod
+    from tests.test_streaming import (
+        land_event_json,
+        test_windowed_averages_match_batch as gate,
+    )
+
+    red = tmp_path / "red"
+    (red / "landed").mkdir(parents=True)
+    landed_red = land_event_json(spark, sf_dir, red / "landed")
+    with _mutated(pipe_mod, "_TUMBLE_WINDOW", "10 minutes"):
+        with pytest.raises(AssertionError):
+            gate(spark, landed_red, red)
+    green = tmp_path / "green"
+    (green / "landed").mkdir(parents=True)
+    landed_green = land_event_json(spark, sf_dir, green / "landed")
+    gate(spark, landed_green, green)
+
+
+def test_streaming_sessionize_gate_goes_red_on_gap_flip(spark, sf_dir):
+    """Shrink the inactivity gap to 1 minute: emitted sessions can now be
+    as short as 60 s, and the laws gate's session-length law (every
+    session >= the 30-minute gap, since end = last event + gap) must
+    fail — the one emitted-row law that pins the gap constant itself."""
+    import bitcoinminingetl_spark.streaming.pipeline as pipe_mod
+    from tests.test_streaming import test_streaming_sessionize_laws as gate
+
+    with _mutated(pipe_mod, "_SESSION_GAP", "1 minute"):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_streaming_interval_join_gate_goes_red_on_tolerance_flip(
+    spark, sf_dir, tmp_path
+):
+    """Shrink the attribution tolerance to 1 minute while the batch twin
+    keeps its independent ±5-minute literal: pairs between 1 and 5
+    minutes apart vanish from the stream side, and the match-batch
+    differential must fail."""
+    import bitcoinminingetl_spark.streaming.pipeline as pipe_mod
+    from tests.test_streaming import (
+        land_event_json,
+        test_stream_stream_interval_join_matches_batch as gate,
+    )
+
+    red = tmp_path / "red"
+    (red / "landed").mkdir(parents=True)
+    landed_red = land_event_json(spark, sf_dir, red / "landed")
+    with _mutated(pipe_mod, "_JOIN_TOLERANCE", "1 minute"):
+        with pytest.raises(AssertionError):
+            gate(spark, landed_red, red)
+    green = tmp_path / "green"
+    (green / "landed").mkdir(parents=True)
+    landed_green = land_event_json(spark, sf_dir, green / "landed")
+    gate(spark, landed_green, green)
+
+
+def test_incremental_dedup_gate_goes_red_on_threshold_flip(spark, tmp_path):
+    """Push the near-dup verify threshold above 1.0: the streamed
+    near-dup of corpus doc 1 survives run 1's LSH+verify stage, the
+    cross-restart gate's run-1 accept-set assertion must fail (the
+    md5-exact stage is unaffected — only the LSH ingest gate dies,
+    which is the regression class this gate pins)."""
+    from tests.test_streaming import (
+        test_incremental_dedup_drops_cross_batch_near_dup_across_restart as gate,
+    )
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(dedup_mod, "_JACCARD_THRESHOLD", 1.01):
+        with pytest.raises(AssertionError):
+            gate(spark, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, green)

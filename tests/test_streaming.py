@@ -647,11 +647,16 @@ def test_streaming_sessionize_laws(spark, sf_dir):
     rows = load_all()["q_streaming_sessionize"].fn(spark, sf_dir).collect()
     assert rows, "no finalized sessions emitted"
     by_user = defaultdict(list)
+    gap_s = 30 * 60
     for r in rows:
         assert r.n_events >= 1
         assert r.session_end >= r.session_start
+        # session_window's end = last event + gap, so EVERY session is at
+        # least gap long — the one law recoverable from emitted rows that
+        # pins the gap constant itself (the consecutive-session checks
+        # below reduce to disjointness and cannot catch a shrunken gap)
+        assert (r.session_end - r.session_start).total_seconds() >= gap_s
         by_user[r.user_id].append(r)
-    gap_s = 30 * 60
     multi = 0
     for sess in by_user.values():
         sess.sort(key=lambda r: r.session_start)
