@@ -186,6 +186,40 @@ def _skip_bench_objection() -> str | None:
     return None
 
 
+def _window_drill_objection() -> str | None:
+    """Reason WINDOW_DRILL.json is unfit to commit as the round's
+    driver-shaped receipt, or None. r10 VERDICT item 2: the drill sat
+    nine commits stale while a covered query's plan changed under it —
+    the committed receipt described code that no longer existed. The
+    snapshot now refuses a drill whose stamp is dirty or separated from
+    the tree being snapshotted by code changes (the regenerate path
+    re-runs the drill, so this only bites --skip-bench)."""
+    path = REPO / "WINDOW_DRILL.json"
+    if not path.exists():
+        return "WINDOW_DRILL.json missing — run scripts/window_drill.py --all"
+    try:
+        stamp = json.loads(path.read_text())
+    except ValueError:
+        return "WINDOW_DRILL.json unparseable"
+    if stamp.get("mode") != "all_windows":
+        return "WINDOW_DRILL.json is an ad-hoc single-window run, not the --all receipt"
+    if stamp.get("tree_dirty"):
+        return "WINDOW_DRILL.json stamped at a dirty tree"
+    commit = stamp.get("tree_commit")
+    if not commit:
+        return "WINDOW_DRILL.json carries no tree_commit stamp"
+    code_changed = _code_changed_since(commit)
+    if code_changed is None:
+        return f"WINDOW_DRILL.json tree_commit {commit} is not a concrete commit"
+    if code_changed:
+        return (
+            f"code changed since the drill ran at {commit}: "
+            + ", ".join(code_changed[:5])
+            + " — rerun scripts/window_drill.py --all"
+        )
+    return None
+
+
 def _artifact_hygiene_objection() -> str | None:
     """Re-run the artifact-consistency hygiene gates against the
     WORKING-TREE artifacts before the snapshot commit exists (r9
@@ -252,6 +286,24 @@ def main() -> int:
         if err:
             print(f"refusing to commit the run just made: {err}")
             return 1
+        # r10 VERDICT item 2: the driver-shaped window drill is part of
+        # the snapshot contract — regenerate it at this exact tree so
+        # the committed receipt can never describe a stale plan.
+        print("running full window drill (driver-shaped oracle replay)...")
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "window_drill.py"), "--all"],
+            cwd=REPO,
+        )
+        if proc.returncode != 0:
+            print("window drill failed; not committing")
+            return 1
+
+    # both paths: the drill receipt must be stamped at this code tree
+    # (the regenerate path just ran it; --skip-bench must refuse stale)
+    drill_err = _window_drill_objection()
+    if drill_err:
+        print(f"refusing to commit: {drill_err}")
+        return 1
 
     # r9 VERDICT item 1: the hygiene gates that judge the artifacts must
     # run AFTER the artifacts are (re)generated — on both paths — so the
@@ -330,7 +382,7 @@ def verify_stamp_staged() -> int:
     alone exited 1 but left the stale-artifact snapshot in history,
     which an unattended caller ignoring the exit code would publish."""
     problems = []
-    for name in ("BENCH_FULL.json", "ORACLE_LOCAL.json"):
+    for name in ("BENCH_FULL.json", "ORACLE_LOCAL.json", "WINDOW_DRILL.json"):
         p = REPO / name
         raw = p.read_text() if p.exists() else None
         problems += _stamp_problems(name, raw, "HEAD")
@@ -360,7 +412,7 @@ def verify_stamp_exactness(at: str = "HEAD") -> int:
     ORACLE_LOCAL.json) so the contract is asserted end-to-end on real
     history at any point mid-round, not on a fixture."""
     problems = []
-    for name in ("BENCH_FULL.json", "ORACLE_LOCAL.json"):
+    for name in ("BENCH_FULL.json", "ORACLE_LOCAL.json", "WINDOW_DRILL.json"):
         try:
             raw = _git("show", f"{at}:{name}")
         except subprocess.CalledProcessError:

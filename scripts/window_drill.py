@@ -74,19 +74,35 @@ def _counts(results: dict[str, dict]) -> dict[str, int]:
     return counts
 
 
-def _tree_commit() -> str:
-    return subprocess.run(
+def _tree_stamp() -> dict:
+    """tree_commit + tree_dirty, with the same artifact exemptions as
+    bench.py's stamp (shared name list from snapshot_round, so the
+    drill's dirty flag and the snapshot's staging can't drift)."""
+    from scripts.snapshot_round import ARTIFACT_PREFIXES, ARTIFACTS
+
+    head = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         cwd=REPO,
         capture_output=True,
         text=True,
     ).stdout.strip()
+    dirty = any(
+        line[3:] not in ARTIFACTS
+        and not line[3:].startswith(ARTIFACT_PREFIXES)
+        for line in subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        ).stdout.splitlines()
+    )
+    return {"tree_commit": head, "tree_dirty": dirty}
 
 
 def _emit(out: dict, results: dict[str, dict]) -> int:
     counts = _counts(results)
     out["counts"] = counts
-    out["tree_commit"] = _tree_commit()
+    out.update(_tree_stamp())
     out["queries"] = results
     (REPO / "WINDOW_DRILL.json").write_text(json.dumps(out, indent=1))
     bad = (

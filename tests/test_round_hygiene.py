@@ -566,6 +566,37 @@ def test_window_drill_receipt_spans_registry_and_is_green():
     assert bad == 0, d["counts"]
 
 
+def test_window_drill_receipt_is_snapshot_fresh():
+    """r10 VERDICT item 2: the drill is part of the snapshot contract.
+    The commit that last touched WINDOW_DRILL.json must be separated
+    from the drill's own tree_commit stamp by artifact-only changes —
+    i.e. the committed receipt describes exactly the code tree it rode
+    in with, never a plan nine commits stale (the r10 finding). Runs on
+    real history, so a future round that commits a stale drill goes red
+    here on its own tree."""
+    import subprocess
+
+    import scripts.snapshot_round as sr
+
+    last = subprocess.run(
+        ["git", "log", "-1", "--format=%H", "--", "WINDOW_DRILL.json"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert last, "WINDOW_DRILL.json has never been committed"
+    stamp = json.loads(
+        subprocess.run(
+            ["git", "show", f"{last}:WINDOW_DRILL.json"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout
+    )
+    assert stamp.get("tree_dirty") is not True
+    changed = sr._code_changed_since(stamp["tree_commit"], at=last)
+    assert changed == [], (
+        f"committed drill stamped at {stamp['tree_commit']} but its "
+        f"snapshot commit {last[:7]} carries code changes: {changed[:5]}"
+    )
+
+
 def test_bench_budget_verdict_reads_committed_canonical():
     """r9 VERDICT stretch 7: the bench carries a declared per-round
     budget — plan_cost_total vs the COMMITTED canonical total, breach
