@@ -123,10 +123,62 @@ def _budget_verdict(current_total: float) -> dict:
     # The operator states the reason in the env; it is STAMPED into the
     # committed artifact so the acceptance is auditable, and
     # snapshot_round admits an exceeded-but-accepted stamp.
+    # r10 VERDICT item 3: the reason must NAME a committed adjudication
+    # receipt and at least one query that receipt actually covers — a
+    # one-word wave-through is recorded as rejected and the breach
+    # stands (the gate still exits 1 and --skip-bench still refuses).
     reason = os.environ.get("SPARK_GRAFT_BUDGET_ACCEPT", "").strip()
     if verdict["exceeded"] and reason:
-        verdict["accepted_reason"] = reason
+        receipt = _acceptance_receipt(reason)
+        if receipt is None:
+            verdict["acceptance_rejected"] = (
+                "reason names no committed adjudication receipt "
+                "(OUTLIERS_AB.json / GUARDS_AB.json / "
+                "SUITE_EXPANSION.json) plus a query it covers: "
+                f"{reason!r}"
+            )
+        else:
+            verdict["accepted_reason"] = reason
+            verdict["accepted_receipt"] = receipt
     return verdict
+
+
+# Receipts an acceptance may cite: each is a committed JSON artifact
+# whose `queries` mapping names the adjudicated/added queries.
+ACCEPTANCE_RECEIPTS = (
+    "OUTLIERS_AB.json",
+    "GUARDS_AB.json",
+    "SUITE_EXPANSION.json",
+)
+
+
+def _acceptance_receipt(reason: str) -> dict | None:
+    """Validate a budget-acceptance reason against COMMITTED receipts:
+    it must mention one of ACCEPTANCE_RECEIPTS by name AND at least one
+    query that receipt's `queries` mapping actually covers (read from
+    git HEAD — the working-tree copy can be freely fabricated). Returns
+    {"file": ..., "queries": [...]} or None if unbacked."""
+    import subprocess
+
+    for name in ACCEPTANCE_RECEIPTS:
+        if name not in reason:
+            continue
+        try:
+            committed = json.loads(
+                subprocess.run(
+                    ["git", "show", f"HEAD:{name}"],
+                    cwd=_REPO, capture_output=True, text=True, check=True,
+                ).stdout
+            )
+        except (subprocess.CalledProcessError, ValueError, OSError):
+            continue
+        covered = committed.get("queries")
+        if not isinstance(covered, dict):
+            continue
+        cited = sorted(q for q in covered if q in reason)
+        if cited:
+            return {"file": name, "queries": cited}
+    return None
 
 
 def main() -> None:

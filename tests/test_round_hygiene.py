@@ -618,18 +618,41 @@ def test_bench_budget_verdict_reads_committed_canonical():
     assert v["applied"] and not v["exceeded"]
     assert v["committed_total"] > 0
 
-    # sanctioned acceptance path: a declared reason is stamped into the
-    # verdict (auditable), and only an exceeded verdict carries it
+    # sanctioned acceptance path (r10 VERDICT item 3): the reason must
+    # NAME a committed adjudication receipt plus a query it covers — a
+    # fabricated one-word acceptance is recorded as rejected and the
+    # breach stands; a receipt-backed one is stamped with the receipt.
     import os
 
-    os.environ["SPARK_GRAFT_BUDGET_ACCEPT"] = "intentional suite expansion"
+    os.environ["SPARK_GRAFT_BUDGET_ACCEPT"] = "because"
     try:
         v = b._budget_verdict(1e9)
-        assert v["exceeded"] and v["accepted_reason"] == (
-            "intentional suite expansion"
-        )
+        assert v["exceeded"] and "accepted_reason" not in v
+        assert "acceptance_rejected" in v
+    finally:
+        del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
+
+    os.environ["SPARK_GRAFT_BUDGET_ACCEPT"] = (
+        "q_bitext_mine drift adjudicated in OUTLIERS_AB.json round 8"
+    )
+    try:
+        v = b._budget_verdict(1e9)
+        assert v["exceeded"] and v["accepted_reason"]
+        assert v["accepted_receipt"]["file"] == "OUTLIERS_AB.json"
+        assert "q_bitext_mine" in v["accepted_receipt"]["queries"]
         v = b._budget_verdict(0.001)
         assert "accepted_reason" not in v
+    finally:
+        del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
+
+    # a receipt-backed reason citing a query the receipt does NOT cover
+    # is also rejected
+    os.environ["SPARK_GRAFT_BUDGET_ACCEPT"] = (
+        "q_nonexistent_query per OUTLIERS_AB.json"
+    )
+    try:
+        v = b._budget_verdict(1e9)
+        assert "accepted_reason" not in v and "acceptance_rejected" in v
     finally:
         del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
 
