@@ -442,6 +442,28 @@ def q_compaction_plan(
     if target_bytes is not None and target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     target = _COMPACT_TARGET_BYTES if target_bytes is None else target_bytes
+    binned = compaction_file_bins(spark, sf_dir, target)
+    return (
+        binned.groupBy("ds", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.sum("rows").cast("long").alias("total_rows"),
+            (F.count(F.lit(1)) > 1).alias("rewrite_worthwhile"),
+        )
+    )
+
+
+def compaction_file_bins(
+    spark: SparkSession, sf_dir: str, target: int
+) -> DataFrame:
+    """The shared inventory + binning relation behind the compaction
+    plan: one row per sub-target parquet file of the date-partitioned
+    events layout with its (ds, file, bytes, rows, bin) assignment.
+    q_compaction_plan aggregates it to (ds, bin) totals;
+    sources/sink.compact_by_plan EXECUTES it (r10 VERDICT item 6) —
+    factoring it out is what guarantees the planner and the executor
+    can never disagree on which file belongs to which merge group."""
     path = _partitioned_events(spark, sf_dir)
     listing = (
         spark.read.format("binaryFile")
@@ -472,7 +494,7 @@ def q_compaction_plan(
         .filter(F.col("bytes") < target)  # small files only — see above
     )
     w = Window.partitionBy("ds").orderBy("file")
-    binned = per_file.withColumn(
+    return per_file.withColumn(
         "bin",
         F.floor(
             (F.coalesce(
@@ -481,13 +503,4 @@ def q_compaction_plan(
             ))
             / F.lit(target)
         ).cast("long"),
-    )
-    return (
-        binned.groupBy("ds", "bin")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_files"),
-            F.sum("bytes").cast("long").alias("total_bytes"),
-            F.sum("rows").cast("long").alias("total_rows"),
-            (F.count(F.lit(1)) > 1).alias("rewrite_worthwhile"),
-        )
     )

@@ -72,6 +72,55 @@ def compact_small_files(
     return n_files
 
 
+def compact_by_plan(
+    spark: SparkSession, layout_path: str, bins: "DataFrame"
+) -> dict:
+    """Execute a compaction plan (r10 VERDICT item 6): for every
+    (ds, bin) merge group in the shared binning relation
+    (operators/scans.compaction_file_bins — the SAME relation
+    q_compaction_plan aggregates, so planner and executor cannot
+    disagree on inventory) with more than one file, read EXACTLY that
+    group's files, rewrite them as ONE parquet file back into the
+    partition directory, and delete the originals. Single-file bins and
+    at-target files are untouched — the plan's skip decisions are
+    honored, not re-derived. Returns {(ds, bin): merged_file_path}.
+
+    The driver-side loop is deliberate and bounded: it iterates the
+    |files|-row plan relation (orders of magnitude below the data, the
+    same argument as the plan query); each group's rewrite is a
+    DISTRIBUTED read of just that group's files. Byte sizes after the
+    rewrite differ from the plan's total_bytes (parquet re-encoding
+    changes compression framing); ROW totals are preserved exactly,
+    and that is what the differential test pins."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    groups: dict[tuple, list] = {}
+    for r in bins.collect():
+        groups.setdefault((r.ds, int(r.bin)), []).append(r.file)
+    merged: dict = {}
+    for (ds, b), files in sorted(groups.items()):
+        if len(files) < 2:
+            continue  # the plan's rewrite_worthwhile=False case
+        tmp = f"{layout_path}/._compact_{ds}_{b}"
+        # explicit leaf-file read: no basePath, so the partition column
+        # is NOT inferred and the rewritten file keeps the inner schema
+        # the layout's other files carry
+        spark.read.parquet(*files).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        assert len(part) == 1, part
+        dest = f"{layout_path}/ds={ds}/compact-bin{b}-{part[0]}"
+        shutil.move(os.path.join(tmp, part[0]), dest)
+        shutil.rmtree(tmp)
+        for f in files:
+            os.remove(urlparse(f).path)
+        merged[(ds, b)] = dest
+    return merged
+
+
 def retention_sweep(path: str, keep_days: int, today: str) -> list[str]:
     """Partition-level retention: drop `ds=YYYY-MM-DD` partitions older
     than `keep_days` before `today` from a date-partitioned sink — the

@@ -228,6 +228,12 @@ DECADE_AUDIT = [
     ("q_dedup_simhash", 2.2, "FIXED-granularity blocker: 8-bit chunks pigeonhole ~n^2/256 candidates on a decorrelated corpus; production widens chunks with corpus size (config, not plan) — measured against the declared pigeonhole bound"),
     ("q_knn_join_lsh", 2.2, "FIXED-granularity blocker: 6-plane buckets pigeonhole ~|q||n|/64 per table on isotropic data; production adds planes with corpus size — measured against the declared bound"),
     ("q_dedup_embed_cosine_lsh", 1.35, "label blocks grow in count not size; sign sub-buckets bound within-block pairs -> linear"),
+    # r10 VERDICT item 4: the three most expensive bench queries whose
+    # scale claims had only lower-decade fits — pin their exponents
+    # where fixed cost is amortized.
+    ("q_bpe_train", 1.35, "iterative BPE: corpus touched once into the pair relation; per-round work on the vocab relation with a bounded 1-row collect — rounds constant, so decade growth is the linear relation build"),
+    ("q_semdedup", 2.2, "FIXED-granularity quantizer: k capped at 32 for fixture determinism, so cells grow in SIZE over the decade and within-cell pairs head toward the 2000-row cap regime (measured ~1.3 — between the linear fit and quadratic pair growth); production scales k with n (the paper's ~11k clusters at 5B docs) — config, not plan, like the simhash/knn-LSH blockers"),
+    ("q_ann_ivf_kmeans", 1.35, "KMeans fit linear (fixed k/iters); map-only cell assignment; probe join stays broadcast (queries x nprobe rows) — decade tests the fit-amortized claim"),
 ]
 
 

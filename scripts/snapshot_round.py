@@ -61,6 +61,7 @@ ARTIFACTS = (
     "PLANS.md",
     "MEMGUARD.json",
     "WINDOW_DRILL.json",
+    "STREAMSTATE.json",
 )
 ARTIFACT_PREFIXES = ("BENCH_r", "CORRECTNESS_r")
 ARTIFACT_GLOBS = tuple(p + "*.json" for p in ARTIFACT_PREFIXES)

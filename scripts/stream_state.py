@@ -1,0 +1,158 @@
+"""Streaming state-size receipt (r10 VERDICT item 5).
+
+The five lifecycle queries carry wall-time bands, but wall time cannot
+show the 100 TB streaming killer: UNBOUNDED STATE — a watermark that
+never expires rows makes every batch a little slower and the store a
+little bigger until the job dies days later. This script drives the two
+stateful-join shapes (stream-stream interval join, per-user session
+windows) through a multi-batch AvailableNow drain at sf0.1, records
+`StreamingQueryProgress.stateOperators` (numRowsTotal / numRowsRemoved /
+memoryUsedBytes) per batch, and writes STREAMSTATE.json with a
+per-lifecycle bounded-state verdict: rows removed by expiry > 0 AND
+final state rows < peak state rows. Exit 1 if either lifecycle's state
+is NOT provably bounded — a vacuous receipt must fail the run, not wait
+for the committed-artifact hygiene test.
+
+The timeline helpers are imported from tests/test_streaming.py so the
+per-pytest assertions and this committed receipt read the exact same
+telemetry.
+
+Usage: python scripts/stream_state.py  [SPARK_GRAFT_SF_DIR to override]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _tree_stamp() -> dict:
+    from scripts.snapshot_round import ARTIFACT_PREFIXES, ARTIFACTS
+
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    dirty = any(
+        line[3:] not in ARTIFACTS
+        and not line[3:].startswith(ARTIFACT_PREFIXES)
+        for line in subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout.splitlines()
+    )
+    return {"tree_commit": head, "tree_dirty": dirty}
+
+
+def _land(spark, work: str) -> str:
+    """One week of events as 8 time-range JSON files -> 8 single-file
+    micro-batches with a monotone watermark, so expiry is visible batch
+    by batch (coalesce cannot INCREASE partition count — a low-partition
+    source would collapse the whole week into 2 batches and hide the
+    per-batch expiry the receipt exists to show)."""
+    from bitcoinminingetl_spark.catalog import events_in_range
+
+    landing = f"{work}/landing"
+    (
+        events_in_range(
+            spark, SF_DIR, "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartitionByRange(8, "ts")
+        .write.json(landing)
+    )
+    return landing
+
+
+def run_interval_join(spark, work: str) -> list[dict]:
+    from pyspark.sql import functions as F
+
+    from bitcoinminingetl_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_stream_interval_join,
+    )
+    from tests.test_streaming import state_timeline
+
+    landing = _land(spark, work)
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    q = (
+        stream_stream_interval_join(clicks, views)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return state_timeline(q)
+
+
+def run_sessionize(spark, work: str) -> list[dict]:
+    from bitcoinminingetl_spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_parquet,
+        session_windows,
+    )
+    from tests.test_streaming import state_timeline
+
+    landing = _land(spark, work)
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    q = run_to_parquet(
+        session_windows(stream),
+        f"{work}/out",
+        f"{work}/ckpt",
+        output_mode="append",
+    )
+    q.awaitTermination(300)
+    return state_timeline(q)
+
+
+def main() -> int:
+    from bitcoinminingetl_spark.functions.state import workdir
+    from bitcoinminingetl_spark.session import get_spark
+    from tests.test_streaming import state_expiry_verdict
+
+    spark = get_spark(
+        app_name="stream-state", cpus=16, shuffle_partitions=16
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    lifecycles = {
+        "interval_join": run_interval_join,
+        "sessionize": run_sessionize,
+    }
+    out: dict = {
+        "metric": "stream_state",
+        "sf_dir": SF_DIR,
+        "lifecycles": {},
+    }
+    all_bounded = True
+    for name, fn in lifecycles.items():
+        timeline = fn(spark, workdir(f"bmetl_state_{name}_"))
+        verdict = state_expiry_verdict(timeline)
+        out["lifecycles"][name] = {
+            "timeline": timeline,
+            "verdict": verdict,
+        }
+        print(f"{name}: {verdict}")
+        all_bounded = all_bounded and verdict["bounded"]
+    spark.stop()
+    out.update(_tree_stamp())
+    (REPO / "STREAMSTATE.json").write_text(json.dumps(out, indent=1))
+    print(f"wrote {REPO / 'STREAMSTATE.json'}")
+    print("RESULT:", "OK" if all_bounded else "STATE NOT PROVABLY BOUNDED")
+    return 0 if all_bounded else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -566,6 +566,32 @@ def test_window_drill_receipt_spans_registry_and_is_green():
     assert bad == 0, d["counts"]
 
 
+def test_streamstate_receipt_is_green_and_non_vacuous():
+    """r10 VERDICT item 5: the committed streaming state receipt must
+    prove BOUNDED state for both stateful-join lifecycles — multi-batch
+    timelines where watermark expiry removed rows and final state sits
+    below the peak. A receipt with removed=0 or final>=peak certifies
+    nothing (that shape IS the unbounded-state failure) and must fail
+    here."""
+    d = json.loads((REPO / "STREAMSTATE.json").read_text())
+    assert d["metric"] == "stream_state"
+    assert d.get("tree_dirty") is False
+    assert set(d["lifecycles"]) >= {"interval_join", "sessionize"}
+    for name, rec in d["lifecycles"].items():
+        v = rec["verdict"]
+        assert v["bounded"] is True, (name, v)
+        assert v["batches"] >= 2, (name, v)
+        assert v["rows_removed"] > 0, (name, v)
+        assert v["final_state_rows"] < v["peak_state_rows"], (name, v)
+        # the timeline itself must back the verdict (not be re-stated)
+        totals = [
+            sum(op.get("numRowsTotal") or 0 for op in t["state"])
+            for t in rec["timeline"]
+        ]
+        assert max(totals) == v["peak_state_rows"]
+        assert totals[-1] == v["final_state_rows"]
+
+
 def test_window_drill_receipt_is_snapshot_fresh():
     """r10 VERDICT item 2: the drill is part of the snapshot contract.
     The commit that last touched WINDOW_DRILL.json must be separated

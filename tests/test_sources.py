@@ -432,3 +432,90 @@ def test_compaction_plan_and_rewrite_agree_on_zero_row_files(
     # every remaining physical file carries rows (zero-row plant gone)
     assert len(per_file_rows) == len(remaining)
     assert all(n > 0 for n in per_file_rows.values())
+
+
+def test_compaction_plan_execution_matches_predicted_bins(
+    spark, sf_dir, tmp_path
+):
+    """r10 VERDICT item 6: execute the compaction plan on a planted
+    fragmented layout and assert the resulting layout matches the
+    plan's predicted merge groups EXACTLY — every rewrite_worthwhile
+    (ds, bin) collapses to one file carrying precisely that bin's
+    planned row total, every single-file bin keeps its original file
+    untouched, the per-partition file count equals the plan's bin
+    count, and no data row is lost or duplicated. Byte totals are NOT
+    asserted (parquet re-encoding changes compression framing); rows
+    and file identity are the exact contract."""
+    import glob
+
+    from pyspark.sql import functions as SF
+
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.operators import scans
+    from bitcoinminingetl_spark.sources.sink import compact_by_plan
+
+    frag = str(tmp_path / "frag_exec")
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("ds", SF.date_format("ts", "yyyy-MM-dd"))
+        .filter(SF.col("ds").isin("2024-01-05", "2024-01-06"))
+    )
+    # 3 appends x repartition(2) -> up to 6 small files per ds directory
+    for i in range(3):
+        ev.filter(SF.col("event_id") % 3 == i).repartition(2).write.mode(
+            "append"
+        ).partitionBy("ds").parquet(frag)
+
+    original_files = set(glob.glob(f"{frag}/**/*.parquet", recursive=True))
+    data_rows = spark.read.parquet(frag).count()
+    sizes = sorted(__import__("os").path.getsize(f) for f in original_files)
+    # target ~2.5 median files: forces MULTIPLE bins per partition, with
+    # at least one multi-file (rewrite) bin — and possibly single-file
+    # (skip) bins, exercising both plan decisions
+    target = int(sizes[len(sizes) // 2] * 2.5)
+
+    fake_sf = str(tmp_path / "fake_sf_exec")
+    scans._PARTITIONED_LAYOUTS[fake_sf] = frag
+    try:
+        bins = scans.compaction_file_bins(spark, fake_sf, target)
+        plan = {
+            (r.ds, r.bin): r
+            for r in scans.q_compaction_plan(
+                spark, fake_sf, target_bytes=target
+            ).collect()
+        }
+        to_merge = {k for k, r in plan.items() if r.rewrite_worthwhile}
+        to_skip = {k for k, r in plan.items() if not r.rewrite_worthwhile}
+        assert to_merge, "planted layout produced no multi-file bin"
+
+        skip_files = {
+            r.file
+            for r in bins.collect()
+            if (r.ds, int(r.bin)) in to_skip
+        }
+
+        merged = compact_by_plan(spark, frag, bins)
+    finally:
+        scans._PARTITIONED_LAYOUTS.pop(fake_sf, None)
+
+    # executed groups == planned rewrite groups, nothing more or less
+    assert set(merged) == to_merge
+
+    from urllib.parse import urlparse
+
+    remaining = set(glob.glob(f"{frag}/**/*.parquet", recursive=True))
+    # skip-bins' files untouched; merged bins' originals gone
+    for f in skip_files:
+        assert urlparse(f).path in remaining
+    # layout shape matches the plan exactly: one file per bin
+    for ds in {k[0] for k in plan}:
+        n_bins = sum(1 for k in plan if k[0] == ds)
+        assert len(glob.glob(f"{frag}/ds={ds}/*.parquet")) == n_bins
+
+    # each merged file carries EXACTLY its bin's planned row total
+    for key, dest in merged.items():
+        assert spark.read.parquet(dest).count() == plan[key].total_rows
+
+    # conservation: no row lost or duplicated across the rewrite
+    assert spark.read.parquet(frag).count() == data_rows

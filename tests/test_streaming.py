@@ -934,3 +934,120 @@ def test_interval_join_outer_lifecycle(spark, sf_dir):
     lost_ids = [r.click_id for r in losses]
     assert len(lost_ids) == len(set(lost_ids))
     assert not set(lost_ids) & {c for c, _ in matched}
+
+
+def state_timeline(q) -> list[dict]:
+    """Per-batch state-store readings from a drained query's
+    recentProgress: one entry per batch that carried stateOperators,
+    with (numRowsTotal, numRowsUpdated, numRowsRemoved,
+    memoryUsedBytes) per operator and the batch watermark. Shared by
+    the state-expiry tests here and scripts/stream_state.py's committed
+    receipt (r10 VERDICT item 5) so the two read the same telemetry."""
+    import json as _json
+
+    out = []
+    for p in q.recentProgress:
+        d = _json.loads(p.json) if hasattr(p, "json") else dict(p)
+        ops = d.get("stateOperators") or []
+        if ops:
+            out.append(
+                {
+                    "batch_id": d.get("batchId"),
+                    "watermark": (d.get("eventTime") or {}).get("watermark"),
+                    "state": [
+                        {
+                            k: op.get(k)
+                            for k in (
+                                "operatorName",
+                                "numRowsTotal",
+                                "numRowsUpdated",
+                                "numRowsRemoved",
+                                "memoryUsedBytes",
+                            )
+                        }
+                        for op in ops
+                    ],
+                }
+            )
+    return out
+
+
+def state_expiry_verdict(timeline: list[dict]) -> dict:
+    """The bounded-state claim, reduced to three numbers: peak and
+    final state rows (summed over operators per batch) and total rows
+    removed by watermark expiry. Bounded state = removed > 0 AND final
+    < peak: the store grew, the watermark advanced, and rows actually
+    left — the 100 TB streaming killer is precisely a timeline where
+    removed stays 0 while total ratchets up."""
+    totals = [
+        sum(op.get("numRowsTotal") or 0 for op in t["state"])
+        for t in timeline
+    ]
+    removed = sum(
+        op.get("numRowsRemoved") or 0 for t in timeline for op in t["state"]
+    )
+    return {
+        "batches": len(timeline),
+        "peak_state_rows": max(totals) if totals else 0,
+        "final_state_rows": totals[-1] if totals else 0,
+        "rows_removed": removed,
+        "bounded": bool(
+            totals and removed > 0 and totals[-1] < max(totals)
+        ),
+    }
+
+
+def test_interval_join_state_expires_with_watermark(
+    spark, landed_events, tmp_path
+):
+    """r10 VERDICT item 5: the interval join's symmetric-hash state must
+    SHRINK as the watermark advances across the drain — rows removed by
+    expiry > 0 and final state rows below the peak. Without the
+    time-bound condition this state grows forever; this test is the
+    receipt that it doesn't."""
+    from bitcoinminingetl_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_stream_interval_join,
+    )
+
+    stream = read_event_stream(spark, landed_events, max_files_per_trigger=1)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    q = (
+        stream_stream_interval_join(clicks, views)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    v = state_expiry_verdict(state_timeline(q))
+    assert v["batches"] >= 2, "drain produced too few stateful batches"
+    assert v["rows_removed"] > 0, v
+    assert v["final_state_rows"] < v["peak_state_rows"], v
+
+
+def test_session_state_expires_with_watermark(spark, landed_events, tmp_path):
+    """Session-window state must also be watermark-bounded: finalized
+    sessions leave the store (removed > 0) and the final state row
+    count sits below the peak."""
+    from bitcoinminingetl_spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_parquet,
+        session_windows,
+    )
+
+    stream = read_event_stream(spark, landed_events, max_files_per_trigger=1)
+    q = run_to_parquet(
+        session_windows(stream),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    v = state_expiry_verdict(state_timeline(q))
+    assert v["batches"] >= 2, "drain produced too few stateful batches"
+    assert v["rows_removed"] > 0, v
+    assert v["final_state_rows"] < v["peak_state_rows"], v
