@@ -566,6 +566,20 @@ def test_window_drill_receipt_spans_registry_and_is_green():
     assert bad == 0, d["counts"]
 
 
+def test_architecture_receipt_map_is_current():
+    """r10 VERDICT stretch 7: ARCHITECTURE.md is the generated receipt
+    graph (query -> file:line -> receipts -> tests -> gates). It must
+    match a fresh in-memory build exactly — a query added, moved, or
+    re-gated without regenerating goes red here."""
+    import scripts.gen_architecture as ga
+
+    committed = (REPO / "ARCHITECTURE.md").read_text()
+    fresh = ga.render(ga.build_rows())
+    assert committed == fresh, (
+        "ARCHITECTURE.md is stale — run scripts/gen_architecture.py"
+    )
+
+
 def test_streamstate_receipt_is_green_and_non_vacuous():
     """r10 VERDICT item 5: the committed streaming state receipt must
     prove BOUNDED state for both stateful-join lifecycles — multi-batch
