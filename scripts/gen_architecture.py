@@ -41,9 +41,23 @@ TEST_FILES = tuple(
 )
 
 
+# Streaming lifecycle wrappers whose correctness tests exercise the
+# underlying building block rather than the registry name — the SAME
+# alias doctrine tests/test_round_hygiene.py's coverage invariant uses:
+# a test referencing the function covers the lifecycle query.
+LIFECYCLE_ALIASES = {
+    "q_streaming_window_avg": "windowed_metric_averages",
+    "q_streaming_sessionize": "session_windows",
+    "q_streaming_interval_join": "stream_stream_interval_join",
+    "q_streaming_interval_join_outer": "stream_stream_interval_join",
+    "q_streaming_incremental_dedup": "run_incremental_dedup",
+}
+
+
 def _function_query_refs(path: Path) -> dict[str, set[str]]:
     """{test_function_name: {query names its source references}} for one
-    test file — by q_* literals in the function's source segment."""
+    test file — by q_* literals (or aliased lifecycle building-block
+    names) in the function's source segment."""
     if not path.exists():
         return {}
     src = path.read_text()
@@ -53,6 +67,9 @@ def _function_query_refs(path: Path) -> dict[str, set[str]]:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             seg = ast.get_source_segment(src, node) or ""
             refs = set(re.findall(r"\b(q_[a-z0-9_]+)\b", seg))
+            for q, fn_name in LIFECYCLE_ALIASES.items():
+                if re.search(rf"\b{fn_name}\b", seg):
+                    refs.add(q)
             if refs:
                 out[node.name] = refs
     return out
@@ -86,12 +103,25 @@ def build_rows() -> list[dict]:
     for tf, refs in fn_refs_by_file.items():
         for fn_name, refs_set in refs.items():
             imported_tests.setdefault(fn_name, set()).update(refs_set & known)
+    # module-level aliased imports in the gates file (`from ... import
+    # test_x as _gate_y`): the gate bodies reference the ALIAS, so map
+    # alias -> the original test's query set or the chain breaks
+    for node in ast.walk(gate_tree):
+        if isinstance(node, ast.ImportFrom):
+            for a in node.names:
+                if a.asname and a.name in imported_tests:
+                    imported_tests[a.asname] = imported_tests[a.name]
     gates_by_query: dict[str, set[str]] = {n: set() for n in registry}
     for node in ast.walk(gate_tree):
         if isinstance(node, ast.FunctionDef) and node.name.startswith("test_"):
             seg = ast.get_source_segment(gate_src, node) or ""
             covered = set(re.findall(r"\b(q_[a-z0-9_]+)\b", seg)) & known
-            for imported in re.findall(r"\b(test_[a-z0-9_]+)\b", seg):
+            for q, fn_name in LIFECYCLE_ALIASES.items():
+                if re.search(rf"\b{fn_name}\b", seg):
+                    covered.add(q)
+            for imported in re.findall(
+                r"\b((?:test|_gate)_[a-z0-9_]+)\b", seg
+            ):
                 covered |= imported_tests.get(imported, set())
             for q in covered:
                 gates_by_query[q].add(node.name)

@@ -748,3 +748,92 @@ def test_incremental_dedup_gate_goes_red_on_threshold_flip(spark, tmp_path):
     green = tmp_path / "green"
     green.mkdir()
     gate(spark, green)
+
+
+# --- r11 completion: the last three ungated rows-only families —
+# cluster keywords, the multimodal decode pipeline, and the compaction
+# planner's inventory — so EVERY rows-only query is red/green-proven.
+
+
+def test_cluster_keywords_gate_goes_red_on_min_count_flip(spark, tmp_path):
+    """Raise the keyword min-count past any fixture frequency: no token
+    qualifies, the per-cluster keyword sets empty, and the planted
+    disjoint-vocabulary gate's non-empty assertion must fail."""
+    import bitcoinminingetl_spark.operators.mllib_ops as mllib_mod
+    from tests.test_llm_ops import (
+        test_cluster_keywords_separate_planted_vocabularies as gate,
+    )
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(mllib_mod, "_CKW_MIN_COUNT", 10**9):
+        with pytest.raises(AssertionError):
+            gate(spark, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, green)
+
+
+def test_multimodal_pipeline_gate_goes_red_on_magic_byte_break(
+    spark, sf_dir
+):
+    """Wrap the decode kernel to misdetect every payload as a JPEG with
+    fabricated dimensions (the magic-byte regression class): the
+    honesty law — text stand-ins decode to 'unknown' with NULL dims —
+    must fail. Restored, it must pass."""
+    import bitcoinminingetl_spark.operators.multimodal as mm_mod
+    from tests.test_llm_ops import (
+        test_multimodal_pipeline_deterministic as gate,
+    )
+
+    orig = mm_mod._decode_batches
+
+    def misdetecting(batches):
+        for pdf in orig(batches):
+            pdf = pdf.copy()
+            pdf["format"] = "jpeg"
+            pdf["width"] = 640
+            pdf["height"] = 480
+            yield pdf
+
+    with _mutated(mm_mod, "_decode_batches", misdetecting):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir)
+    gate(spark, sf_dir)
+
+
+def test_compaction_gate_goes_red_on_inventory_miss(spark, sf_dir, tmp_path):
+    """Drop the first file of every partition from the shared binning
+    relation (the inventory-miss regression class — exactly the
+    zero-row-file hole r7 closed): the planner and executor stay
+    CONSISTENT with each other but both miss a physical file, the
+    executed layout carries one more file per partition than the plan
+    predicts, and the plan-vs-execution equality gate must fail.
+    Restored, it must pass."""
+    import pyspark.sql.functions as SF
+    from pyspark.sql.window import Window as W
+
+    import bitcoinminingetl_spark.operators.scans as scans_mod
+    from tests.test_sources import (
+        test_compaction_plan_execution_matches_predicted_bins as gate,
+    )
+
+    orig = scans_mod.compaction_file_bins
+
+    def missing_one(spark_, sf_dir_, target):
+        w = W.partitionBy("ds").orderBy("file")
+        return (
+            orig(spark_, sf_dir_, target)
+            .withColumn("_rn", SF.row_number().over(w))
+            .filter(SF.col("_rn") > 1)
+            .drop("_rn")
+        )
+
+    red = tmp_path / "red"
+    red.mkdir()
+    with _mutated(scans_mod, "compaction_file_bins", missing_one):
+        with pytest.raises(AssertionError):
+            gate(spark, sf_dir, red)
+    green = tmp_path / "green"
+    green.mkdir()
+    gate(spark, sf_dir, green)
