@@ -62,6 +62,7 @@ ARTIFACTS = (
     "MEMGUARD.json",
     "WINDOW_DRILL.json",
     "STREAMSTATE.json",
+    "SUITE_EXPANSION.json",
 )
 ARTIFACT_PREFIXES = ("BENCH_r", "CORRECTNESS_r")
 ARTIFACT_GLOBS = tuple(p + "*.json" for p in ARTIFACT_PREFIXES)

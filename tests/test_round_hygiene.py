@@ -697,6 +697,49 @@ def test_bench_budget_verdict_reads_committed_canonical():
         del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
 
 
+def test_suite_expansion_receipt_refuses_pure_regression(
+    monkeypatch, tmp_path
+):
+    """The third acceptance channel (SUITE_EXPANSION.json) must refuse
+    to mint a receipt when NO query was added vs the committed baseline
+    — an empty receipt could only launder a pure regression — and must
+    record exactly the added queries with their costs when the suite
+    did grow."""
+    import scripts.snapshot_round as sr
+    import scripts.suite_expansion as se
+
+    committed = {
+        "plan_cost_total": 100.0,
+        "queries": {"q_a": 1.0, "q_b": 2.0},
+    }
+    monkeypatch.setattr(sr, "committed_bench_full", lambda repo: committed)
+    monkeypatch.setattr(se, "REPO", tmp_path)
+
+    # pure regression: same query set, bigger total -> refused
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps(
+            {"plan_cost_total": 160.0, "queries": {"q_a": 80.0, "q_b": 80.0}}
+        )
+    )
+    assert se.main() == 1
+    assert not (tmp_path / "SUITE_EXPANSION.json").exists()
+
+    # genuine expansion: new queries recorded with their costs
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps(
+            {
+                "plan_cost_total": 160.0,
+                "queries": {"q_a": 1.0, "q_b": 2.0, "q_new": 57.0},
+            }
+        )
+    )
+    assert se.main() == 0
+    receipt = json.loads((tmp_path / "SUITE_EXPANSION.json").read_text())
+    assert receipt["queries"] == {"q_new": 57.0}
+    assert receipt["added_total"] == 57.0
+    assert receipt["breach_explained"] == round(57.0 / 60.0, 3)
+
+
 def test_every_rows_only_query_is_adjudicated():
     """r9 VERDICT item 6: every rows-only registry query carries a
     one-line convertibility verdict in SURVEY.md's adjudication table
