@@ -232,7 +232,7 @@ DECADE_AUDIT = [
     # scale claims had only lower-decade fits — pin their exponents
     # where fixed cost is amortized.
     ("q_bpe_train", 1.35, "iterative BPE: corpus touched once into the pair relation; per-round work on the vocab relation with a bounded 1-row collect — rounds constant, so decade growth is the linear relation build"),
-    ("q_semdedup", 2.2, "FIXED-granularity quantizer: k capped at 32 for fixture determinism, so cells grow in SIZE over the decade and within-cell pairs head toward the 2000-row cap regime (measured ~1.3 — between the linear fit and quadratic pair growth); production scales k with n (the paper's ~11k clusters at 5B docs) — config, not plan, like the simhash/knn-LSH blockers"),
+    ("q_semdedup", 2.2, "FIXED-granularity quantizer: k capped at 32 for fixture determinism, so cells grow in SIZE over the decade and within-cell pairs head toward the 2000-row cap regime (measured 1.3–1.45 across runs — between the linear fit and quadratic pair growth); production scales k with n (the paper's ~11k clusters at 5B docs) — config, not plan, like the simhash/knn-LSH blockers"),
     ("q_ann_ivf_kmeans", 1.35, "KMeans fit linear (fixed k/iters); map-only cell assignment; probe join stays broadcast (queries x nprobe rows) — decade tests the fit-amortized claim"),
 ]
 
