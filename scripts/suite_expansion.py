@@ -54,6 +54,21 @@ def main() -> int:
     base = committed.get("plan_cost_total") or 0.0
     cur = current.get("plan_cost_total") or 0.0
     added_total = round(sum(s for s in added.values() if s and s > 0), 3)
+    # The additions must EXPLAIN the breach, not merely coexist with it
+    # (r11 review finding): one trivial new query alongside an unrelated
+    # 2x regression must not mint a launderable receipt. Threshold: the
+    # added queries account for at least half of the total delta;
+    # anything less is dominated by regression and belongs to
+    # bench_ab_outliers adjudication instead.
+    if cur > base and added_total / (cur - base) < 0.5:
+        print(
+            f"refusing: added queries explain only "
+            f"{added_total / (cur - base):.1%} of the "
+            f"{round(cur - base, 3)}s delta — the breach is dominated "
+            "by regression, not suite growth; adjudicate with "
+            "scripts/bench_ab_outliers.py"
+        )
+        return 1
     head = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         cwd=REPO, capture_output=True, text=True,

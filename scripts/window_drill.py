@@ -20,7 +20,6 @@ Usage:
 from __future__ import annotations
 
 import json
-import subprocess
 import sys
 from pathlib import Path
 
@@ -75,28 +74,12 @@ def _counts(results: dict[str, dict]) -> dict[str, int]:
 
 
 def _tree_stamp() -> dict:
-    """tree_commit + tree_dirty, with the same artifact exemptions as
-    bench.py's stamp (shared name list from snapshot_round, so the
-    drill's dirty flag and the snapshot's staging can't drift)."""
-    from scripts.snapshot_round import ARTIFACT_PREFIXES, ARTIFACTS
+    """Delegates to snapshot_round.tree_stamp — the ONE stamp
+    implementation shared with bench.py and stream_state.py (r11 review
+    finding: hand-rolled copies drift)."""
+    from scripts.snapshot_round import tree_stamp
 
-    head = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-    ).stdout.strip()
-    dirty = any(
-        line[3:] not in ARTIFACTS
-        and not line[3:].startswith(ARTIFACT_PREFIXES)
-        for line in subprocess.run(
-            ["git", "status", "--porcelain"],
-            cwd=REPO,
-            capture_output=True,
-            text=True,
-        ).stdout.splitlines()
-    )
-    return {"tree_commit": head, "tree_dirty": dirty}
+    return tree_stamp(REPO)
 
 
 def _emit(out: dict, results: dict[str, dict]) -> int:

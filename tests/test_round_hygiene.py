@@ -696,6 +696,30 @@ def test_bench_budget_verdict_reads_committed_canonical():
     finally:
         del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
 
+    # word-boundary matching (r11 review finding): citing a query whose
+    # name merely EXTENDS a covered query's name must not validate via
+    # the prefix — OUTLIERS_AB covers q_dedup_embed_cosine, not its
+    # _lsh twin
+    os.environ["SPARK_GRAFT_BUDGET_ACCEPT"] = (
+        "q_dedup_embed_cosine_lsh regressed per OUTLIERS_AB.json"
+    )
+    try:
+        v = b._budget_verdict(1e9)
+        assert "accepted_reason" not in v and "acceptance_rejected" in v
+    finally:
+        del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
+
+    # SUITE_EXPANSION citations require a committed receipt bound to the
+    # current baseline; none is committed, so this must be rejected
+    os.environ["SPARK_GRAFT_BUDGET_ACCEPT"] = (
+        "q_window_join added per SUITE_EXPANSION.json"
+    )
+    try:
+        v = b._budget_verdict(1e9)
+        assert "accepted_reason" not in v and "acceptance_rejected" in v
+    finally:
+        del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
+
 
 def test_suite_expansion_receipt_refuses_pure_regression(
     monkeypatch, tmp_path
@@ -719,6 +743,20 @@ def test_suite_expansion_receipt_refuses_pure_regression(
     (tmp_path / "BENCH_FULL.json").write_text(
         json.dumps(
             {"plan_cost_total": 160.0, "queries": {"q_a": 80.0, "q_b": 80.0}}
+        )
+    )
+    assert se.main() == 1
+    assert not (tmp_path / "SUITE_EXPANSION.json").exists()
+
+    # laundering attempt (r11 review finding): one trivial added query
+    # coexisting with a dominant unrelated regression must be refused —
+    # the additions explain almost none of the delta
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps(
+            {
+                "plan_cost_total": 200.0,
+                "queries": {"q_a": 95.0, "q_b": 95.0, "q_new": 0.2},
+            }
         )
     )
     assert se.main() == 1

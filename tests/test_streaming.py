@@ -1022,7 +1022,9 @@ def test_interval_join_state_expires_with_watermark(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # the drain must FINISH — a timed-out query's timeline is partial
+    # and its "final" reading meaningless (r11 review finding)
+    assert q.awaitTermination(120), "drain did not finish"
     v = state_expiry_verdict(state_timeline(q))
     assert v["batches"] >= 2, "drain produced too few stateful batches"
     assert v["rows_removed"] > 0, v
@@ -1046,7 +1048,7 @@ def test_session_state_expires_with_watermark(spark, landed_events, tmp_path):
         str(tmp_path / "ckpt"),
         output_mode="append",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "drain did not finish"
     v = state_expiry_verdict(state_timeline(q))
     assert v["batches"] >= 2, "drain produced too few stateful batches"
     assert v["rows_removed"] > 0, v
