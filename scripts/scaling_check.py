@@ -70,6 +70,12 @@ AUDIT = [
     ("q_ann_ivf_kmeans", 1.35, "KMeans per-fit amortized; probe join broadcast"),
     ("q_semdedup", 1.35, "quantizer fit + cluster-cap-bounded within-cell pairs"),
     ("q_cluster_keywords", 1.35, "fit + vocab-cardinality lift joins; corpus tokenized once"),
+    # r11 widening: four queries crossed the 1.0 s threshold in a
+    # noisy snapshot bench — audited for growth shape on arrival
+    ("q_tfidf_terms", 1.35, "explode + two hash aggs; tiny df relation broadcast back"),
+    ("q_tpch_discounted_revenue", 1.35, "TPC-H Q19: disjunctive predicate windows broadcast onto one fact pass"),
+    ("q_tpch_small_qty_revenue", 1.35, "TPC-H Q17: per-part avg-qty aggregate broadcast back onto the fact"),
+    ("q_tpch_sales_opportunity", 1.35, "TPC-H Q22: decorrelated scalar subquery + anti-join, customer-keyed"),
     # r5 VERDICT item 5: the guarded-aggregate family — the dsum/roundn
     # guard doctrine doubles per-group CONSTANTS (twin max(abs) leg,
     # double-eval coalesce), and through rollup/cube Expand it multiplies
