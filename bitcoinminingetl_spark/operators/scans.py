@@ -479,7 +479,21 @@ def compaction_file_bins(
     )
     rows_per_file = (
         spark.read.parquet(path)
-        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .groupBy(
+            # `_metadata.file_path` is a percent-ENCODED URI while
+            # binaryFile's `path` above is NOT (measured: a space in a
+            # file name reads back as %20 here, ' ' there) — without
+            # decoding, the inventory join silently misses any file
+            # whose name needs escaping and the plan books 0 rows for
+            # it. A literal '+' must survive the decode (url_decode
+            # follows URLDecoder, which maps '+' to space), so it is
+            # pre-escaped to %2B first.
+            F.url_decode(
+                F.replace(
+                    F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B")
+                )
+            ).alias("file")
+        )
         .agg(F.count(F.lit(1)).alias("rows"))
     )
     per_file = (

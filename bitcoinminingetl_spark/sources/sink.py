@@ -91,10 +91,22 @@ def compact_by_plan(
     DISTRIBUTED read of just that group's files. Byte sizes after the
     rewrite differ from the plan's total_bytes (parquet re-encoding
     changes compression framing); ROW totals are preserved exactly,
-    and that is what the differential test pins."""
+    and that is what the differential test pins.
+
+    Crash safety (r11 ADVICE): the old sequence moved the merged file
+    in BEFORE deleting the originals, so a crash between the two left
+    the bin's rows DUPLICATED for every reader — and unhealable,
+    because re-planning binned against the corrupted listing. Per
+    group the sequence is now (1) write the merged file to a hidden
+    scratch dir, (2) rename the originals to dot-prefixed tombstones —
+    invisible to Spark readers, bytes intact, each suffix naming the
+    merged file that supersedes it, (3) move the merged file in (one
+    rename), (4) delete the tombstones. No crash point ever shows a
+    reader a duplicated row; a crash inside (2)-(4) hides rows until
+    `recover_compaction` replays the groups' outcomes from the
+    tombstone names themselves."""
     import os
     import shutil
-    from urllib.parse import urlparse
 
     groups: dict[tuple, list] = {}
     for r in bins.collect():
@@ -112,13 +124,81 @@ def compact_by_plan(
         ).parquet(tmp)
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
         assert len(part) == 1, part
-        dest = f"{layout_path}/ds={ds}/compact-bin{b}-{part[0]}"
+        dest_base = f"compact-bin{b}-{part[0]}"
+        tombstones = []
+        for f in files:
+            p = _local_path(f)
+            t = os.path.join(
+                os.path.dirname(p),
+                "." + os.path.basename(p) + _TOMB_SEP + dest_base,
+            )
+            os.rename(p, t)
+            tombstones.append(t)
+        dest = f"{layout_path}/ds={ds}/{dest_base}"
         shutil.move(os.path.join(tmp, part[0]), dest)
         shutil.rmtree(tmp)
-        for f in files:
-            os.remove(urlparse(f).path)
+        for t in tombstones:
+            os.remove(t)
         merged[(ds, b)] = dest
     return merged
+
+
+# Tombstone suffix: ".{original}{_TOMB_SEP}{merged file name}". The
+# suffix makes every tombstone self-describing for recovery — the
+# merged file name carries a per-run uuid, so an old run's compacted
+# file can never be mistaken for a crashed new run's commit marker.
+_TOMB_SEP = ".pending-"
+
+
+def _local_path(file_ref: str) -> str:
+    """Local filesystem path for a file reference from the bins
+    relation. binaryFile's `path` column is an UNENCODED file: URI
+    (measured: a space reads back as ' ', not %20 — it is
+    `_metadata.file_path` that percent-encodes), so the raw URI path is
+    normally already the on-disk name; fall back to percent-decoding
+    only when the raw form does not exist, so a literal '%25' in a
+    file name is never corrupted by an unconditional unquote."""
+    from urllib.parse import unquote, urlparse
+
+    import os
+
+    p = urlparse(file_ref).path
+    return p if os.path.exists(p) else unquote(p)
+
+
+def recover_compaction(layout_path: str) -> dict:
+    """Heal a layout after a compact_by_plan crash. For every tombstone
+    left behind: if the merged file its suffix names EXISTS in the same
+    directory, that group committed — drop the tombstone; otherwise the
+    group never committed — restore the original by stripping the
+    tombstone decoration. Leftover hidden scratch dirs are removed.
+    Idempotent; returns {"restored": [...], "dropped": [...]} so the
+    operator can audit what a crash interrupted. Run it before
+    re-planning: tombstoned files are invisible to the binaryFile
+    listing, so a plan computed over an unhealed layout would silently
+    exclude them."""
+    import os
+    import shutil
+
+    restored: list[str] = []
+    dropped: list[str] = []
+    for entry in sorted(os.listdir(layout_path)):
+        if entry.startswith("._compact_"):
+            shutil.rmtree(os.path.join(layout_path, entry))
+    for dp, _dirs, fs in os.walk(layout_path):
+        for name in sorted(fs):
+            if not (name.startswith(".") and _TOMB_SEP in name):
+                continue
+            orig, dest_base = name[1:].rsplit(_TOMB_SEP, 1)
+            t = os.path.join(dp, name)
+            if os.path.exists(os.path.join(dp, dest_base)):
+                os.remove(t)
+                dropped.append(t)
+            else:
+                back = os.path.join(dp, orig)
+                os.rename(t, back)
+                restored.append(back)
+    return {"restored": restored, "dropped": dropped}
 
 
 def retention_sweep(path: str, keep_days: int, today: str) -> list[str]:

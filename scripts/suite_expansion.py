@@ -39,6 +39,21 @@ def main() -> int:
         print("no committed BENCH_FULL.json to diff against")
         return 1
     current = json.loads((REPO / "BENCH_FULL.json").read_text())
+    base = committed.get("plan_cost_total") or 0.0
+    cur = current.get("plan_cost_total") or 0.0
+    # The breach is a PRECONDITION, not a skippable branch (r11 ADVICE):
+    # run after the bench was re-run on a quieter host (cur <= base),
+    # there is no delta to explain, and a null-breach receipt minted now
+    # — bound only to baseline_total — could later wave through an
+    # unrelated breach at the same baseline, gutting the 50%-explained
+    # rule this receipt exists to enforce.
+    if cur <= base:
+        print(
+            f"refusing: current plan_cost_total {cur}s does not exceed "
+            f"the committed baseline {base}s — no breach to explain; "
+            "rerun this script only against the breaching bench run"
+        )
+        return 1
     added = {
         name: sec
         for name, sec in current.get("queries", {}).items()
@@ -51,8 +66,6 @@ def main() -> int:
             "expansion; adjudicate with scripts/bench_ab_outliers.py"
         )
         return 1
-    base = committed.get("plan_cost_total") or 0.0
-    cur = current.get("plan_cost_total") or 0.0
     added_total = round(sum(s for s in added.values() if s and s > 0), 3)
     # The additions must EXPLAIN the breach, not merely coexist with it
     # (r11 review finding): one trivial new query alongside an unrelated
@@ -60,7 +73,7 @@ def main() -> int:
     # added queries account for at least half of the total delta;
     # anything less is dominated by regression and belongs to
     # bench_ab_outliers adjudication instead.
-    if cur > base and added_total / (cur - base) < 0.5:
+    if added_total / (cur - base) < 0.5:
         print(
             f"refusing: added queries explain only "
             f"{added_total / (cur - base):.1%} of the "
@@ -79,9 +92,7 @@ def main() -> int:
         "baseline_total": base,
         "current_total": cur,
         "added_total": added_total,
-        "breach_explained": round(added_total / (cur - base), 3)
-        if cur > base
-        else None,
+        "breach_explained": round(added_total / (cur - base), 3),
         "queries": {k: added[k] for k in sorted(added)},
     }
     (REPO / "SUITE_EXPANSION.json").write_text(json.dumps(out, indent=1))

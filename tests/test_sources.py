@@ -519,3 +519,126 @@ def test_compaction_plan_execution_matches_predicted_bins(
 
     # conservation: no row lost or duplicated across the rewrite
     assert spark.read.parquet(frag).count() == data_rows
+
+
+def test_compact_by_plan_crash_safe_and_escaped_names(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r11 ADVICE: compact_by_plan used to move the merged file in
+    BEFORE deleting the originals — a crash in between duplicated the
+    bin's rows for every reader, unhealably. The rewrite tombstones the
+    originals first (dot-prefixed: invisible to Spark, bytes intact),
+    then commits the merged file with one rename; `recover_compaction`
+    replays each group's outcome from the tombstone suffix. This test
+    (a) plants a space-named file and asserts the plan counts its rows
+    (the binaryFile-path vs percent-encoded _metadata.file_path join
+    mismatch booked 0 rows for it before), then injects a crash
+    (b) between tombstoning and the merged-file move, and
+    (c) between the move and tombstone deletion — asserting at every
+    point that NO reader ever sees a duplicated row, and that recovery
+    restores (b) and finishes (c)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from bitcoinminingetl_spark.operators import scans
+    from bitcoinminingetl_spark.sources.sink import (
+        _TOMB_SEP,
+        compact_by_plan,
+        recover_compaction,
+    )
+
+    frag = str(tmp_path / "frag_crash")
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("ds", SF.date_format("ts", "yyyy-MM-dd"))
+        .filter(SF.col("ds").isin("2024-01-05", "2024-01-06"))
+    )
+    for i in range(2):
+        ev.filter(SF.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("ds").parquet(frag)
+    # (a) a file whose name needs URI escaping: copy of a real data file
+    src = glob.glob(f"{frag}/ds=2024-01-05/*.parquet")[0]
+    spaced = f"{frag}/ds=2024-01-05/part with space.parquet"
+    shutil.copy(src, spaced)
+    data_rows = spark.read.parquet(frag).count()
+    assert data_rows > 0
+
+    fake_sf = str(tmp_path / "fake_sf_crash")
+    scans._PARTITIONED_LAYOUTS[fake_sf] = frag
+    try:
+        bins = scans.compaction_file_bins(spark, fake_sf, 1 << 40)
+        spaced_rows = [
+            r.rows for r in bins.collect() if "space" in r.file
+        ]
+        assert spaced_rows and spaced_rows[0] > 0
+
+        # (b) crash between tombstoning and the merged-file move:
+        # compact_by_plan processes groups in sorted order, so the
+        # injected failure hits ds=2024-01-05; 2024-01-06 stays intact
+        real_move = shutil.move
+
+        def crashing_move(*a, **kw):
+            raise OSError("injected crash before commit")
+
+        monkeypatch.setattr(shutil, "move", crashing_move)
+        try:
+            compact_by_plan(spark, frag, bins)
+            raise AssertionError("injected crash did not propagate")
+        except OSError:
+            pass
+        monkeypatch.setattr(shutil, "move", real_move)
+        # 01-05's rows are hidden (tombstoned), NEVER duplicated
+        visible = spark.read.parquet(frag).count()
+        assert visible < data_rows
+        healed = recover_compaction(frag)
+        assert healed["restored"] and not healed["dropped"]
+        assert spark.read.parquet(frag).count() == data_rows
+        assert os.path.exists(spaced)
+
+        # (c) crash between the move and tombstone deletion
+        real_remove = os.remove
+
+        def failing_remove(p):
+            if _TOMB_SEP in os.path.basename(str(p)):
+                raise OSError("injected crash after commit")
+            return real_remove(p)
+
+        monkeypatch.setattr(os, "remove", failing_remove)
+        bins = scans.compaction_file_bins(spark, fake_sf, 1 << 40)
+        try:
+            compact_by_plan(spark, frag, bins)
+            raise AssertionError("injected crash did not propagate")
+        except OSError:
+            pass
+        monkeypatch.setattr(os, "remove", real_remove)
+        # 01-05 committed (merged visible, originals tombstoned),
+        # 01-06 untouched: exact row conservation, no duplicates
+        assert spark.read.parquet(frag).count() == data_rows
+        leftover = [
+            n
+            for n in os.listdir(f"{frag}/ds=2024-01-05")
+            if _TOMB_SEP in n
+        ]
+        assert leftover, "crash left no tombstones to recover"
+        healed = recover_compaction(frag)
+        assert healed["dropped"] and not healed["restored"]
+        assert spark.read.parquet(frag).count() == data_rows
+
+        # finish the job cleanly: every partition collapses to one file
+        bins = scans.compaction_file_bins(spark, fake_sf, 1 << 40)
+        compact_by_plan(spark, frag, bins)
+        assert spark.read.parquet(frag).count() == data_rows
+        for ds_dir in sorted(glob.glob(f"{frag}/ds=*")):
+            files = [
+                n for n in os.listdir(ds_dir) if not n.startswith(".")
+            ]
+            assert len(files) == 1, (ds_dir, files)
+        # idempotent on a healthy layout
+        assert recover_compaction(frag) == {"restored": [], "dropped": []}
+    finally:
+        scans._PARTITIONED_LAYOUTS.pop(fake_sf, None)
