@@ -9,6 +9,18 @@ queries; the only pre-warming is one untimed full read of each fixture
 table (OS page cache / parquet footers) plus JVM/MLlib/Arrow spin-up, so
 per-query numbers measure steady-state plan cost rather than which query
 happened to touch a table first.
+
+Reps (r11 VERDICT item 1): a single pass swings ±45% run-to-run on this
+host (measured 143–216 s for identical code), which made every
+round-over-round ratio noise. SPARK_GRAFT_BENCH_REPS (default 1) runs
+the timing loop N times in one session and records the PER-QUERY MIN —
+min, not median, because plan cost is a lower-bound quantity: contention
+only ever adds time, so the min is the best estimate of the plan's
+intrinsic cost (the statistic GUARDS_AB's A/B arms already use). The
+canonical committed artifact must be a min-of-≥3 run (snapshot_round
+sets the env; its --skip-bench gate refuses lesser stamps); plain
+`python bench.py` (the driver, /verify) stays one rep and is stamped as
+such.
 """
 
 from __future__ import annotations
@@ -66,14 +78,23 @@ def _tree_stamp() -> dict:
 
 
 BUDGET_FACTOR = 1.5
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
 
 
-def _budget_verdict(current_total: float) -> dict:
+def _budget_verdict(current_total: float, current_reps: int = 1) -> dict:
     """Compare this run's plan cost against the committed canonical
     bench. Baseline comes from `git show HEAD:BENCH_FULL.json` (never
     the working-tree file — A/B reps overwrite that), and only a
     CANONICAL committed artifact (guards on, oracle not skipped) sets a
-    budget; otherwise the verdict records why no budget applied."""
+    budget; otherwise the verdict records why no budget applied.
+
+    Like statistic to like (r11 VERDICT item 1): a single-run total
+    compared against a min-of-N baseline measures host noise, not plan
+    regressions (singles sit up to ~45% above the per-query min), so
+    the gate only applies when this run's reps are >= the baseline's.
+    The transition direction is fine — a min-of-N run against a
+    single-run baseline is conservative (min <= any single), so the
+    first multi-rep round still gets a meaningful verdict."""
     from scripts.snapshot_round import committed_bench_full
 
     committed = committed_bench_full(Path(_REPO))
@@ -86,6 +107,20 @@ def _budget_verdict(current_total: float) -> dict:
     base = committed.get("plan_cost_total")
     if not base:
         return {"applied": False, "reason": "committed artifact has no total"}
+    committed_reps = committed.get("reps", 1)
+    if current_reps < committed_reps:
+        return {
+            "applied": False,
+            "reason": (
+                f"statistic mismatch: this run is {current_reps} rep(s) "
+                f"vs a min-of-{committed_reps} committed baseline — "
+                "rerun with SPARK_GRAFT_BENCH_REPS="
+                f"{committed_reps} for a comparable total"
+            ),
+            "committed_total": base,
+            "committed_reps": committed_reps,
+            "reps": current_reps,
+        }
     # Compare UNROUNDED: rounding first would let a marginal breach
     # (e.g. 1.5004x → 1.5) slip under the gate. The stamped display
     # value alone is rounded.
@@ -93,6 +128,8 @@ def _budget_verdict(current_total: float) -> dict:
     verdict = {
         "applied": True,
         "committed_total": base,
+        "committed_reps": committed_reps,
+        "reps": current_reps,
         "ratio": round(raw_ratio, 3),
         "limit": BUDGET_FACTOR,
         "exceeded": raw_ratio > BUDGET_FACTOR,
@@ -372,20 +409,36 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — consumers rebuild lazily
         print(f"bench: shared-infra prebuild failed: {exc}", file=sys.stderr)
 
+    # Rep loop (r11 VERDICT item 1): per-query MIN over REPS full
+    # passes — see the module docstring for why min and why the
+    # canonical run is >=3 reps. Each rep executes every plan end to
+    # end through the noop sink: the full plan runs JVM-side, nothing
+    # crosses into Python (a foreach/collect would time row
+    # serialization, not the query).
+    rep_timings: list[dict[str, float]] = []
+    for rep in range(REPS):
+        t_rep: dict[str, float] = {}
+        for name in names:
+            spec = registry[name]
+            t0 = time.perf_counter()
+            try:
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                t_rep[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — bench must survive one bad query
+                print(
+                    f"bench: {name} failed (rep {rep}): {exc}",
+                    file=sys.stderr,
+                )
+                t_rep[name] = -1.0
+        rep_timings.append(t_rep)
+
+    # a query is failed only if NO rep completed it; otherwise its
+    # reading is the min over the reps that did
     timings: dict[str, float] = {}
     for name in names:
-        spec = registry[name]
-        t0 = time.perf_counter()
-        try:
-            df = spec.fn(spark, sf_dir)
-            # noop sink: materializes every row JVM-side (full plan runs,
-            # nothing crosses into Python — a foreach/collect would time
-            # row serialization, not the query).
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — bench must survive one bad query
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+        ok_vals = [r[name] for r in rep_timings if r.get(name, -1.0) >= 0]
+        timings[name] = min(ok_vals) if ok_vals else -1.0
 
     total = round(
         sum(t for t in timings.values() if t >= 0)
@@ -474,6 +527,19 @@ def main() -> None:
         "lifecycle_total": round(
             sum(t for t in lifecycle.values() if t >= 0), 3
         ),
+        # statistic stamp (r11 VERDICT item 1): how many full passes
+        # this artifact's per-query numbers are the min of, plus each
+        # pass's raw plan-cost total so the scatter itself is on record
+        # (the ±45% the min exists to defeat stays auditable).
+        "reps": REPS,
+        "statistic": "min" if REPS > 1 else "single",
+        "rep_plan_cost_totals": [
+            round(
+                sum(t for n, t in r.items() if t >= 0 and n not in lifecycle),
+                3,
+            )
+            for r in rep_timings
+        ],
         "sf": sf,
         "cpus": cpus,
         # Run-configuration stamp: an A/B arm (bench_ab_guards.py) writes
@@ -506,7 +572,7 @@ def main() -> None:
     # The verdict is stamped into the artifact, printed to stderr, and
     # the process exits 1 AFTER the compact line prints — the driver
     # still gets its JSON, snapshot_round refuses to commit the breach.
-    full["budget"] = _budget_verdict(full["plan_cost_total"])
+    full["budget"] = _budget_verdict(full["plan_cost_total"], REPS)
     (Path(_REPO) / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
 
     # Per-round tail gate (round-3 VERDICT item 4): the external driver
