@@ -28,10 +28,16 @@ def test_minhash_candidates_subset_of_exact(spark, sf_dir):
 
 
 def test_simhash_finds_planted_duplicates(spark, sf_dir):
-    """Exact duplicates have identical simhash -> hamming 0 pairs exist."""
-    rows = REGISTRY["q_dedup_simhash"].fn(spark, sf_dir).collect()
-    assert rows
-    assert any(r.hamming == 0 for r in rows)
+    """Exact duplicates have identical simhash -> hamming 0 pairs exist
+    — for the xxhash64 production path AND its md5-bit oracle twin
+    (q_dedup_simhash_md5, r11 VERDICT item 3: same vote/chunk/Hamming
+    machinery over engine-portable bits). The exact-duplicate property
+    is hash-function independent, so both variants must find the
+    planted byte dups at hamming 0."""
+    for name in ("q_dedup_simhash", "q_dedup_simhash_md5"):
+        rows = REGISTRY[name].fn(spark, sf_dir).collect()
+        assert rows, name
+        assert any(r.hamming == 0 for r in rows), name
 
 
 def test_ann_lsh_is_subset_of_exact_ranking(spark, sf_dir):
