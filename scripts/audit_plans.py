@@ -14,8 +14,12 @@ What counts as an anti-pattern (and the allowed exceptions):
   fact-sized (full-outer window join, bloom-join probe); a SMJ against a
   dimension means a broadcast was missed.
 - BroadcastNestedLoopJoin    — allowed only for tiny-side literal/stat
-  relations (1-row aggregates, centroid tables, offset maps); plans
-  carrying one are listed so a reviewer can spot a non-tiny side.
+  relations (1-row aggregates, centroid tables, offset maps). This is
+  ASSERTED, not eyeballed (r11 VERDICT item 2): every BNLJ's broadcast
+  side must measure <= BNLJ_BUILD_ROWS_MAX rows (read from the
+  BroadcastExchange's numOutputRows runtime metric in the executed
+  plan), so a build side growing to fact scale fails the audit instead
+  of riding a human-review list.
 
 Run: python scripts/audit_plans.py   (exit 1 on violations)
 """
@@ -93,6 +97,75 @@ SMJ_OK = {
 }
 
 
+# Hard ceiling on a sanctioned BNLJ broadcast side. Every carrier today
+# is a 1-row aggregate or a <=32-row centroid/offset/boundary table —
+# relations whose size is a CONSTANT of the plan (k, bucket count, a
+# scalar), not a function of the corpus. 64 gives those constants 2x
+# headroom while sitting orders of magnitude below anything data-sized;
+# a carrier that needs more is by definition no longer a tiny-side
+# literal/stat relation and must be redesigned (equi-join or re-keyed
+# broadcast hash join), not waved through by raising this.
+BNLJ_BUILD_ROWS_MAX = 64
+
+
+def _plan_nodes(node):
+    """Yield every SparkPlan node, descending through the AQE wrappers:
+    AdaptiveSparkPlanExec -> its final executedPlan, QueryStageExec ->
+    its materialized plan, ReusedExchangeExec -> the original exchange."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _plan_nodes(node.executedPlan())
+        return
+    yield node
+    if cls.endswith("QueryStageExec"):
+        yield from _plan_nodes(node.plan())
+        return
+    if cls == "ReusedExchangeExec":
+        yield from _plan_nodes(node.child())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _plan_nodes(children.apply(i))
+
+
+def bnlj_build_rows(df) -> list[int]:
+    """Measured broadcast-side row counts of every
+    BroadcastNestedLoopJoin in df's EXECUTED plan — the caller must have
+    executed the query first, because the counts come from the build
+    side's BroadcastExchange numOutputRows runtime metric (the rows that
+    were ACTUALLY broadcast, not an estimate). One entry per BNLJ node
+    in tree order; -1 when no exchange was found under the build side
+    (unmeasurable == not sanctioned)."""
+    counts: list[int] = []
+    for node in _plan_nodes(df._jdf.queryExecution().executedPlan()):
+        if node.getClass().getSimpleName() != "BroadcastNestedLoopJoinExec":
+            continue
+        side = 1 if node.buildSide().toString() == "BuildRight" else 0
+        build = node.children().apply(side)
+        rows = [
+            int(n.metrics().apply("numOutputRows").value())
+            for n in _plan_nodes(build)
+            if n.getClass().getSimpleName() == "BroadcastExchangeExec"
+        ]
+        counts.append(rows[0] if rows else -1)
+    return counts
+
+
+def bnlj_violation(name: str, rows: list[int]) -> str | None:
+    """The per-plan BNLJ verdict main() applies to bnlj_build_rows'
+    measurements: None when every build side is within
+    BNLJ_BUILD_ROWS_MAX, else the violation line."""
+    bad = [r for r in rows if r < 0 or r > BNLJ_BUILD_ROWS_MAX]
+    if bad:
+        return (
+            f"{name}: BroadcastNestedLoopJoin build side measured "
+            f"{bad} rows (limit {BNLJ_BUILD_ROWS_MAX}; -1 = no "
+            "measurable BroadcastExchange) — a BNLJ is sanctioned only "
+            "for tiny literal/stat relations"
+        )
+    return None
+
+
 def main() -> int:
     from bitcoinminingetl_spark.registry import load_all
     from bitcoinminingetl_spark.session import get_spark
@@ -124,10 +197,20 @@ def main() -> int:
         if "SortMergeJoin" in plan and name not in SMJ_OK:
             violations.append(f"{name}: unexpected SortMergeJoin")
         if "BroadcastNestedLoopJoin" in plan:
-            bnlj_carriers.append(name)
+            # assert, don't list (r11 VERDICT item 2): the measured
+            # broadcast rows ride in the carrier line for the record,
+            # and any side over the ceiling is a hard violation
+            rows = bnlj_build_rows(df)
+            bnlj_carriers.append(f"{name}={rows}")
+            err = bnlj_violation(name, rows)
+            if err:
+                violations.append(err)
 
     print(f"audited {len(reg) - len(LIFECYCLE)} plans at {SF_DIR}")
-    print("BNLJ carriers (verify tiny-side):", " ".join(bnlj_carriers))
+    print(
+        f"BNLJ carriers (build rows asserted <= {BNLJ_BUILD_ROWS_MAX}):",
+        " ".join(bnlj_carriers),
+    )
     if violations:
         print("VIOLATIONS:")
         for v in violations:

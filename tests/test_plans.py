@@ -4,6 +4,8 @@ point is 100 TB behavior, not sf0.001 output."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from bitcoinminingetl_spark.registry import load_all
 
 REGISTRY = load_all()
@@ -699,3 +701,36 @@ def test_length_buckets_single_ntile_window(spark, sf_dir):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_bnlj_build_side_gate_red_green(spark):
+    """r11 VERDICT item 2: the plan audit's BNLJ check is an ASSERTION
+    on the measured broadcast-side row count, not a human-review list.
+    Red: a planted fact-sized broadcast (10k rows through a
+    BroadcastNestedLoopJoin) must be flagged. Green: the sanctioned
+    shape (1-row aggregate) must pass with its measured count."""
+    import scripts.audit_plans as ap
+
+    big = spark.range(10_000).withColumnRenamed("id", "b")
+    fact = spark.range(50).withColumnRenamed("id", "a")
+
+    bad = fact.crossJoin(F.broadcast(big))
+    bad.collect()  # metrics exist only after execution
+    rows = ap.bnlj_build_rows(bad)
+    assert rows == [10_000]
+    err = ap.bnlj_violation("q_planted_fact_bnlj", rows)
+    assert err is not None and "10000" in err and "q_planted_fact_bnlj" in err
+
+    good = fact.crossJoin(F.broadcast(big.agg(F.count("*").alias("n"))))
+    good.collect()
+    rows = ap.bnlj_build_rows(good)
+    assert rows == [1]
+    assert ap.bnlj_violation("q_tiny", rows) is None
+
+    # unmeasurable (no BroadcastExchange found) is a violation, never a
+    # silent pass
+    assert ap.bnlj_violation("q_unknown", [-1]) is not None
+    # a plan with no BNLJ at all yields no measurements
+    none_df = fact.join(big, fact.a == big.b)
+    none_df.collect()
+    assert ap.bnlj_build_rows(none_df) == []
