@@ -344,7 +344,11 @@ _SEMDEDUP_CLUSTER_CAP = 2000  # max within-cluster pair fan-out guard
 
 @query("q_semdedup")  # rows-only: KMeans centroid ulps make pairs engine-specific
 def q_semdedup(
-    spark: SparkSession, sf_dir: str, *, fit_sample_fraction: float = 1.0
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    fit_sample_fraction: float = 1.0,
+    k_max: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     clustering embeddings with KMeans, then dropping all but one member
@@ -376,9 +380,14 @@ def q_semdedup(
     # docs): more cells = quadratically smaller within-cell pair stage.
     # n/8 keeps expected cell size ~8 at fixture scale while capping k
     # so tiny planted corpora don't get one cell per point (which would
-    # split genuine near-dup groups across cells).
+    # split genuine near-dup groups across cells). `k_max` overrides
+    # the fixture cap (default 32, pinned for test determinism) so the
+    # scaled-k decade run (scripts/scaling_check.py DECADE_RUNNERS,
+    # r11 VERDICT item 4) can measure the production k∝n configuration
+    # where cell size — and with it the within-cell pair relation per
+    # row — stays constant as the corpus grows.
     n = emb.count()
-    k = max(2, min(_SEMDEDUP_K_MAX, n // 8))
+    k = max(2, min(_SEMDEDUP_K_MAX if k_max is None else k_max, n // 8))
     km = _fit_kmeans(emb, k, fit_sample_fraction=fit_sample_fraction)
     assigned = km.transform(emb).select("vec_id", "embedding", "norm", "cell")
     # sub-split oversized cells: block = (cell, hash(vec_id) % splits)

@@ -67,6 +67,7 @@ AUDIT = [
     ("q_collation_ci", 1.35, "single collated hash aggregate (comparator folds case in-agg)"),
     ("q_decontaminate", 1.35, "one shingle pass + 8-byte-key equi-join"),
     ("q_dedup_simhash", 1.35, "chunk-blocked candidates + popcount verify"),
+    ("q_dedup_simhash_md5", 1.35, "oracle twin: same chunk-blocked plan, md5+conv token bits"),
     ("q_dedup_clusters", 1.35, "pointer-jumping CC: O(log diameter) rounds, linear per round"),
     ("q_bpe_train", 1.35, "corpus touched once; merge rounds run on the vocab relation"),
     ("q_ann_ivf_kmeans", 1.35, "KMeans per-fit amortized; probe join broadcast"),
@@ -263,6 +264,7 @@ DECADE_AUDIT = [
     ("q_dedup_minhash_lsh", 1.35, "banded LSH: 64-bit band signatures collide only on similarity -> candidates track near-dup pairs, linear on replica-local dups"),
     ("q_corpus_dedup_lsh", 1.35, "shippable end-to-end dedup: md5 exact stage + banded candidates + verify"),
     ("q_dedup_simhash", 2.2, "FIXED-granularity blocker: 8-bit chunks pigeonhole ~n^2/256 candidates on a decorrelated corpus; production widens chunks with corpus size (config, not plan) — measured against the declared pigeonhole bound"),
+    ("q_dedup_simhash_md5", 2.2, "oracle twin of the row above: identical vote/chunk/Hamming plan over md5 bits, same declared pigeonhole bound"),
     ("q_knn_join_lsh", 2.2, "FIXED-granularity blocker: 6-plane buckets pigeonhole ~|q||n|/64 per table on isotropic data; production adds planes with corpus size — measured against the declared bound"),
     ("q_dedup_embed_cosine_lsh", 1.35, "label blocks grow in count not size; sign sub-buckets bound within-block pairs -> linear"),
     # r10 VERDICT item 4: the three most expensive bench queries whose
@@ -271,7 +273,42 @@ DECADE_AUDIT = [
     ("q_bpe_train", 1.35, "iterative BPE: corpus touched once into the pair relation; per-round work on the vocab relation with a bounded 1-row collect — rounds constant, so decade growth is the linear relation build"),
     ("q_semdedup", 2.2, "FIXED-granularity quantizer: k capped at 32 for fixture determinism, so cells grow in SIZE over the decade and within-cell pairs head toward the 2000-row cap regime (measured 1.3–1.45 across runs — between the linear fit and quadratic pair growth); production scales k with n (the paper's ~11k clusters at 5B docs) — config, not plan, like the simhash/knn-LSH blockers"),
     ("q_ann_ivf_kmeans", 1.35, "KMeans fit linear (fixed k/iters); map-only cell assignment; probe join stays broadcast (queries x nprobe rows) — decade tests the fit-amortized claim"),
+    # r11 VERDICT item 4: the row above this one (q_semdedup, fixed
+    # k=32) was accepted at alpha=1.29 under a PROSE argument that
+    # production scales k with n. This row MEASURES that claim: the hi
+    # leg runs the production configuration — k∝n (32 -> 320 over the
+    # 10x embedding decade, holding expected cell size ~constant) with
+    # a fixed-size fit sample (fit_sample_fraction=0.1 at 10x == the
+    # lo leg's full-fit row count, the documented per-fit
+    # amortization) — so the within-cell pair relation grows LINEARLY
+    # where the fixed-k twin's grows ~quadratically. Exact assignment
+    # is n·k (quadratic in the k∝n limit) but at ~1e-8 s per distance
+    # eval stays sub-dominant for several more decades; production
+    # swaps it for hierarchical/ANN centroid probing (config, not
+    # plan, like the simhash chunk width).
+    ("q_semdedup_scaledk", 1.35, "k∝n quantizer (32→320) + fixed-size fit sample: constant cell size makes within-cell pair work linear — the measured counterpart of the fixed-k row's prose claim"),
 ]
+
+# Decade rows that are CONFIGURATIONS of a registry query rather than
+# registry entries themselves: name -> {leg: fn(registry, spark,
+# sf_dir) -> DataFrame}. Everything else resolves through the registry.
+DECADE_RUNNERS = {
+    "q_semdedup_scaledk": {
+        "lo": lambda reg, spark, d: reg["q_semdedup"].fn(spark, d),
+        "hi": lambda reg, spark, d: reg["q_semdedup"].fn(
+            spark, d, k_max=320, fit_sample_fraction=0.1
+        ),
+    },
+}
+
+
+def _decade_fn(registry, name: str, leg: str):
+    """Resolve a decade entry to a runnable (spark, sf_dir) -> DataFrame
+    for the given leg ('lo' at sf0.1, 'hi' at sf1eq)."""
+    special = DECADE_RUNNERS.get(name)
+    if special is not None:
+        return lambda spark, d: special[leg](registry, spark, d)
+    return lambda spark, d: registry[name].fn(spark, d)
 
 
 def run_decade(registry) -> list[tuple]:
@@ -301,18 +338,21 @@ def run_decade(registry) -> list[tuple]:
                 "overwrite"
             ).save()
     for name, _bound, _why in DECADE_AUDIT:
-        registry[name].fn(spark, SF_DIRS[1][0]).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        # warm BOTH leg configurations (a DECADE_RUNNERS hi leg can
+        # carry its own plan — e.g. the scaled-k fit-sample variant)
+        for leg in ("lo", "hi"):
+            _decade_fn(registry, name, leg)(spark, SF_DIRS[1][0]).write.format(
+                "noop"
+            ).mode("overwrite").save()
 
     decade_rows = []
     for name, bound, why in DECADE_AUDIT:
         times = {}
         for leg, sf_dir in (("lo", SF_DIRS[2][0]), ("hi", sf1_dir)):
             t0 = time.perf_counter()
-            registry[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            _decade_fn(registry, name, leg)(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
             times[leg] = time.perf_counter() - t0
         alpha = math.log10(
             max(times["hi"], 1e-3) / max(times["lo"], 1e-3)
