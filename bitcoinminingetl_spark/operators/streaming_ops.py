@@ -204,14 +204,27 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query("q_streaming_incremental_dedup")  # rows-only: stateful streaming lifecycle
-def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str, *, stage_times: dict | None = None
+) -> DataFrame:
     """The incremental LSH dedup pipeline (streaming/incremental_dedup)
     through a full lifecycle: bootstrap the persisted index from the
     first 80% of documents (q_dedup_incremental's corpus/new split),
     land the remaining 20% as JSON micro-batches, stream them through
     exact + LSH near-dup stages against the growing index, drain with
     AvailableNow, and return the accepted new docs. Output: the ingest
-    gate's accept list — (doc_id, batch_id) per surviving new doc."""
+    gate's accept list — (doc_id, batch_id) per surviving new doc.
+
+    ``stage_times`` (r11 VERDICT item 5): when passed, the lifecycle's
+    wall time is attributed stage by stage — bootstrap index build,
+    landing write, stream drain (with per-batch foreachBatch rows from
+    run_incremental_dedup), accepted read-back — so the bench's most
+    expensive lifecycle entry carries a committed cost breakdown
+    (scripts/stream_state.py -> STREAMSTATE.json) instead of one
+    opaque number. The bench path passes nothing; the timers then cost
+    two perf_counter calls per stage."""
+    import time
+
     from bitcoinminingetl_spark.catalog import table
     from bitcoinminingetl_spark.streaming.incremental_dedup import (
         accepted_docs,
@@ -238,10 +251,12 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.floor(F.max("doc_id") * 0.95).cast("long").alias("hi"),
     )
     with_cut = docs.join(F.broadcast(cut))
+    t0 = time.perf_counter()
     build_corpus_index(
         with_cut.filter(F.col("doc_id") <= F.col("cut")).select("doc_id", "text"),
         index_dir,
     )
+    t1 = time.perf_counter()
     (
         with_cut.filter(F.col("doc_id") > F.col("hi"))
         .select(
@@ -252,12 +267,20 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         .coalesce(1)
         .write.json(landing)
     )
+    t2 = time.perf_counter()
     q = run_incremental_dedup(
         spark,
         read_doc_stream(spark, landing),
         index_dir,
         out,
         ckpt,
+        stage_times=stage_times,
     )
     q.awaitTermination(300)
-    return accepted_docs(spark, out).select("doc_id", "batch_id")
+    t3 = time.perf_counter()
+    result = accepted_docs(spark, out).select("doc_id", "batch_id")
+    if stage_times is not None:
+        stage_times["bootstrap_index_s"] = round(t1 - t0, 3)
+        stage_times["landing_write_s"] = round(t2 - t1, 3)
+        stage_times["drain_s"] = round(t3 - t2, 3)
+    return result

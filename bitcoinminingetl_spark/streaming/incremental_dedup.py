@@ -106,19 +106,41 @@ def run_incremental_dedup(
     checkpoint_dir: str,
     lateness: str = "10 minutes",
     available_now: bool = True,
+    stage_times: dict | None = None,
 ):
     """Start the incremental-dedup stream (see module docstring).
-    ``build_corpus_index`` must have populated ``index_dir`` first."""
+    ``build_corpus_index`` must have populated ``index_dir`` first.
+
+    ``stage_times`` (r11 VERDICT item 5): when a dict is passed, every
+    foreachBatch invocation appends a per-batch cost row under
+    ``stage_times["batches"]`` splitting the batch's wall time into the
+    dedup-compute-plus-accept write (the exact anti-join, LSH candidate
+    join and verify all execute lazily inside the survivors write) and
+    the index-increment writes (hashes/shingles/signatures) — so the
+    lifecycle's cost can be attributed between trigger/drain overhead
+    and actual dedup work (scripts/stream_state.py commits the
+    breakdown into STREAMSTATE.json)."""
+    import time
+
     hashed = stream.withColumn("content_hash", F.md5("text"))
     deduped = hashed.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t_batch = time.perf_counter()
         # availableNow drains end with a state-flush batch of zero rows;
         # running the full index pipeline on it is pure overhead, and an
         # empty batch writes nothing, so skipping preserves idempotence.
         if batch_df.isEmpty():
+            if stage_times is not None:
+                stage_times.setdefault("batches", []).append(
+                    {
+                        "batch_id": batch_id,
+                        "empty": True,
+                        "total_s": round(time.perf_counter() - t_batch, 3),
+                    }
+                )
             return
         sess = batch_df.sparkSession
         # keep-lowest within the batch (dropDuplicatesWithinWatermark
@@ -143,12 +165,12 @@ def run_incremental_dedup(
 
         try:
             fresh = _p(batch.join(hash_idx, "content_hash", "left_anti"))
-            _run_batch(sess, fresh, _p, index_dir, out_dir, batch_id)
+            _run_batch(sess, fresh, _p, index_dir, out_dir, batch_id, t_batch)
         finally:
             for df in batch_persists:
                 df.unpersist()
 
-    def _run_batch(sess, fresh, _p, index_dir, out_dir, batch_id):
+    def _run_batch(sess, fresh, _p, index_dir, out_dir, batch_id, t_batch):
         # near-dup stage: candidates vs the corpus index (asymmetric)
         # plus new-vs-new within the batch; exact verify on candidates
         sh_new = _p(_shingled(fresh.select("doc_id", "text")))
@@ -184,13 +206,31 @@ def run_incremental_dedup(
         )
         survivors = _p(fresh.join(dups.distinct(), "doc_id", "left_anti"))
 
-        # idempotent per-batch writes: overwrite <dir>/batch_id=N
+        # idempotent per-batch writes: overwrite <dir>/batch_id=N. The
+        # survivors write is where the batch's ENTIRE dedup compute
+        # (exact anti-join, banded candidates, Jaccard verify) actually
+        # executes — everything above is lazy — so its wall time IS the
+        # dedup-work number the cost attribution records.
+        t_dedup = time.perf_counter()
         survivors.select("doc_id", "ts", "text", "content_hash").write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/batch_id={batch_id}")
+        t_accept = time.perf_counter()
         _write_index_increment(
             survivors.select("doc_id", "text"), index_dir, batch_id
         )
+        if stage_times is not None:
+            t_end = time.perf_counter()
+            stage_times.setdefault("batches", []).append(
+                {
+                    "batch_id": batch_id,
+                    "empty": False,
+                    "batch_prep_s": round(t_dedup - t_batch, 3),
+                    "dedup_and_accept_write_s": round(t_accept - t_dedup, 3),
+                    "index_increment_s": round(t_end - t_accept, 3),
+                    "total_s": round(t_end - t_batch, 3),
+                }
+            )
 
     writer = (
         deduped.writeStream.outputMode("update")

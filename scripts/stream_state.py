@@ -122,6 +122,63 @@ def run_sessionize(spark, work: str) -> list[dict]:
     return state_timeline(q)
 
 
+def run_incremental_dedup_cost(spark) -> dict:
+    """Cost attribution for the bench's single most expensive lifecycle
+    entry (r11 VERDICT item 5): drive the REGISTERED
+    q_streaming_incremental_dedup — the same function the bench times,
+    not a parallel reconstruction — with its stage_times hook and split
+    the wall total into bootstrap index build / landing write / drain /
+    read-back, with the drain further split into per-batch foreachBatch
+    work (batch prep, dedup-compute-plus-accept write, index
+    increments) vs pure trigger/scheduling overhead. The attribution
+    decides whether the ~11 s reading is avoidable recompute (a fix) or
+    the lifecycle's fixed drain floor (documented cost)."""
+    import time
+
+    from bitcoinminingetl_spark.registry import load_all
+
+    reg = load_all()
+    stages: dict = {}
+    t0 = time.perf_counter()
+    accepted = reg["q_streaming_incremental_dedup"].fn(
+        spark, SF_DIR, stage_times=stages
+    )
+    n_accepted = accepted.count()
+    total = round(time.perf_counter() - t0, 3)
+    batches = stages.get("batches", [])
+    foreach_total = round(sum(b["total_s"] for b in batches), 3)
+    drain = stages.get("drain_s", 0.0)
+    return {
+        "sf_dir": SF_DIR,
+        "total_s": total,
+        "accepted_rows": n_accepted,
+        "stages": stages,
+        "attribution": {
+            "bootstrap_index_s": stages.get("bootstrap_index_s"),
+            "landing_write_s": stages.get("landing_write_s"),
+            "drain_s": drain,
+            "foreach_batch_total_s": foreach_total,
+            "drain_overhead_s": round(drain - foreach_total, 3),
+            "dedup_and_accept_write_s": round(
+                sum(
+                    b.get("dedup_and_accept_write_s", 0.0) for b in batches
+                ),
+                3,
+            ),
+            "index_increment_s": round(
+                sum(b.get("index_increment_s", 0.0) for b in batches), 3
+            ),
+            "readback_and_session_s": round(
+                total
+                - drain
+                - (stages.get("bootstrap_index_s") or 0.0)
+                - (stages.get("landing_write_s") or 0.0),
+                3,
+            ),
+        },
+    }
+
+
 def main() -> int:
     from bitcoinminingetl_spark.functions.state import workdir
     from bitcoinminingetl_spark.session import get_spark
@@ -150,6 +207,17 @@ def main() -> int:
         }
         print(f"{name}: {verdict}")
         all_bounded = all_bounded and verdict["bounded"]
+    # r11 VERDICT item 5: the committed receipt also carries the cost
+    # attribution of the most expensive lifecycle entry (kept OUTSIDE
+    # `lifecycles`, whose entries are bounded-STATE verdicts — the
+    # incremental-dedup drain's dropDuplicates state legitimately never
+    # expires within one constant-ts landing, so it has no expiry story
+    # to certify, only a cost one).
+    out["incremental_dedup_cost"] = run_incremental_dedup_cost(spark)
+    print(
+        "incremental_dedup attribution:",
+        out["incremental_dedup_cost"]["attribution"],
+    )
     spark.stop()
     out.update(_tree_stamp())
     (REPO / "STREAMSTATE.json").write_text(json.dumps(out, indent=1))
