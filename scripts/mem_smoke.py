@@ -64,6 +64,34 @@ ARM_TIMEOUT_S = 600
 UNGUARDED_TIMEOUT_S = 300
 
 
+def _tree_stamp() -> dict:
+    """Delegates to snapshot_round.tree_stamp — the ONE stamp
+    implementation (bench.py / window_drill.py / stream_state.py
+    doctrine; r11 VERDICT item 6 brought this receipt under it)."""
+    from scripts.snapshot_round import tree_stamp
+
+    return tree_stamp(REPO)
+
+
+def guarded_module_paths() -> set[str]:
+    """Repo-relative source files whose code this receipt certifies:
+    the modules implementing every guarded query, the unguarded
+    contrast, and this harness itself. The hygiene lag rule
+    (tests/test_round_hygiene.py::test_memguard_receipt_is_stamp_fresh)
+    allows the committed receipt to lag HEAD only by commits that touch
+    NONE of these — change one and the receipt must be regenerated."""
+    import importlib
+
+    from bitcoinminingetl_spark.registry import load_all
+
+    reg = load_all()
+    paths = {"scripts/mem_smoke.py"}
+    for q in [*GUARDED, UNGUARDED]:
+        mod = importlib.import_module(reg[q].fn.__module__)
+        paths.add(str(Path(mod.__file__).resolve().relative_to(REPO)))
+    return paths
+
+
 def build_corpus() -> None:
     import numpy as np
     import pyarrow as pa
@@ -231,12 +259,6 @@ def main() -> int:
         f"after {results['unguarded_contrast']['wall_sec']}s"
     )
 
-    commit = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-    ).stdout.strip()
     guarded_rows = {
         r["query"]: r["rows"] for r in results["guarded"]["queries"]
     }
@@ -263,7 +285,13 @@ def main() -> int:
             "labels": 1,
             "unguarded_pair_bound": N_DOCS * (N_DOCS - 1) // 2,
         },
-        "tree_commit": commit,
+        # the ONE shared stamp implementation (r11 VERDICT item 6:
+        # MEMGUARD was the only receipt outside the stamp contract —
+        # it now carries tree_commit AND tree_dirty like every other
+        # artifact, and tests/test_round_hygiene.py pins the allowed
+        # lag: no guarded-module code change between stamp and HEAD)
+        **_tree_stamp(),
+        "guarded_modules": sorted(guarded_module_paths()),
         "arms": results,
         "verdict": {
             "guarded_completed_under_heap": guarded_ok,
