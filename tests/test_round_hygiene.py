@@ -697,6 +697,72 @@ def test_streamstate_receipt_is_green_and_non_vacuous():
         assert totals[-1] == v["final_state_rows"]
 
 
+def test_memguard_receipt_is_stamp_fresh():
+    """r11 VERDICT item 6: MEMGUARD.json was the one receipt exempt
+    from the stamp-exactness contract (its r11 stamp lagged the
+    snapshot by sanctioned-but-unchecked commits). The pinned lag rule:
+    the receipt may trail HEAD only by commits that touch NONE of the
+    guarded modules it certifies. The module list is recorded in the
+    receipt itself and cross-checked against the live harness, so
+    neither side can silently go stale."""
+    import subprocess
+
+    import scripts.mem_smoke as ms
+
+    m = json.loads((REPO / "MEMGUARD.json").read_text())
+    assert m.get("tree_dirty") is False, (
+        "MEMGUARD.json stamped at a dirty tree — rerun scripts/mem_smoke.py"
+    )
+    tc = m.get("tree_commit")
+    assert tc, "MEMGUARD.json carries no tree_commit — rerun scripts/mem_smoke.py"
+    live = sorted(ms.guarded_module_paths())
+    assert m.get("guarded_modules") == live, (
+        "receipt's guarded-module list differs from the live harness "
+        f"({m.get('guarded_modules')} vs {live}) — rerun scripts/mem_smoke.py"
+    )
+    changed = subprocess.run(
+        ["git", "diff", "--name-only", f"{tc}..HEAD"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.splitlines()
+    touched = sorted(set(changed) & set(live))
+    assert not touched, (
+        f"guarded modules changed since the MEMGUARD stamp {tc}: "
+        f"{touched} — the committed receipt certifies code that no "
+        "longer exists; rerun scripts/mem_smoke.py"
+    )
+
+
+def test_streamstate_cost_attribution_is_non_vacuous():
+    """r11 VERDICT item 5: the committed streaming receipt must carry
+    the incremental-dedup lifecycle's per-stage cost breakdown, and the
+    breakdown must actually decompose the drain (foreachBatch work +
+    overhead == drain) with at least one non-empty batch — an
+    attribution that doesn't add up certifies nothing."""
+    d = json.loads((REPO / "STREAMSTATE.json").read_text())
+    c = d["incremental_dedup_cost"]
+    a = c["attribution"]
+    batches = c["stages"]["batches"]
+    assert any(not b.get("empty") for b in batches), batches
+    assert a["drain_s"] > 0 and a["foreach_batch_total_s"] > 0
+    assert (
+        abs(a["drain_overhead_s"] + a["foreach_batch_total_s"] - a["drain_s"])
+        < 0.05
+    )
+    # per-batch stage rows must themselves decompose their totals
+    for b in batches:
+        if b.get("empty"):
+            continue
+        parts = (
+            b["batch_prep_s"]
+            + b["dedup_and_accept_write_s"]
+            + b["index_increment_s"]
+        )
+        assert abs(parts - b["total_s"]) < 0.05, b
+    # the named stages cover the lifecycle (readback residual is small)
+    covered = a["bootstrap_index_s"] + a["landing_write_s"] + a["drain_s"]
+    assert 0 < covered <= c["total_s"] + 0.05
+
+
 def test_window_drill_receipt_is_snapshot_fresh():
     """r10 VERDICT item 2: the drill is part of the snapshot contract.
     The commit that last touched WINDOW_DRILL.json must be separated
