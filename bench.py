@@ -479,7 +479,14 @@ def main() -> None:
         # (dedup state probes + sink rows) is the remaining 0-8 s of the
         # band: a reading near 16 s at sf0.1 means per-row work grew
         # ~4x, NOT that the floor moved — diagnose against the sf0.001
-        # lifecycle timing before blaming volume.
+        # lifecycle timing before blaming volume. Measured attribution
+        # (r11 VERDICT item 5, STREAMSTATE.json incremental_dedup_cost):
+        # bootstrap index ~2.3 s, drain ~7 s of which foreachBatch work
+        # ~6.5 s (dedup verify+accept write ~3.8, index increments
+        # ~1.1, batch prep ~1.6) and trigger overhead only ~0.5 s — the
+        # cost is real one-time index build + per-batch dedup work, not
+        # avoidable recompute, so no cross-batch caching fix applies at
+        # this batch cardinality.
         "q_streaming_incremental_dedup": [8.0, 16.0],
         # stream-stream join: per-micro-batch cost is the symmetric-hash
         # state stores (4 per shuffle partition) checkpointing to disk,
