@@ -181,14 +181,18 @@ def _acceptance_receipt(reason: str) -> dict | None:
     covers only its prefix q_dedup_embed_cosine (r11 review finding).
     A SUITE_EXPANSION receipt must additionally be bound to the CURRENT
     committed baseline (its baseline_total equals the committed
-    plan_cost_total) so a receipt minted against an older baseline
-    cannot wave through a later, unrelated breach. Returns
+    plan_cost_total), and an OUTLIERS_AB receipt likewise (r11 verdict
+    residual, closed r12): every cited query's recorded `committed`
+    reading must equal the canonical artifact's current reading, so an
+    adjudication minted against an older baseline cannot wave through a
+    later, unrelated breach — a fresh breach requires a fresh
+    bench_ab_outliers run. Returns
     {"file": ..., "queries": [...], "receipt_commit": ...} or None.
 
-    Known residual (documented, not closed): an OUTLIERS_AB/GUARDS_AB
-    receipt has no mechanical binding to the current breach's outliers —
-    the stamp records which receipt and commit the acceptance cited, so
-    the judge can audit the link, but the validator cannot prove it."""
+    Known residual (documented, not closed): a GUARDS_AB receipt's
+    on/off minima carry no committed reading to bind — the stamp
+    records which receipt and commit the acceptance cited, so the judge
+    can audit the link, but the validator cannot prove it."""
     import re as _re
     import subprocess
 
@@ -220,6 +224,23 @@ def _acceptance_receipt(reason: str) -> dict | None:
             for q in covered
             if _re.search(rf"\b{_re.escape(q)}\b", reason)
         )
+        if cited and name == "OUTLIERS_AB.json":
+            from scripts.snapshot_round import committed_bench_full
+
+            base_q = (committed_bench_full(Path(_REPO)) or {}).get(
+                "queries", {}
+            )
+
+            def _bound(q: str) -> bool:
+                row = covered.get(q)
+                return (
+                    isinstance(row, dict)
+                    and row.get("committed") is not None
+                    and row.get("committed") == base_q.get(q)
+                )
+
+            if not all(_bound(q) for q in cited):
+                continue  # adjudication minted against a different baseline
         if cited:
             try:
                 receipt_commit = subprocess.run(

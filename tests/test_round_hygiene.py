@@ -838,16 +838,20 @@ def test_bench_budget_verdict_reads_committed_canonical():
     finally:
         del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
 
+    # r12: an OUTLIERS_AB acceptance must be minted against the CURRENT
+    # committed baseline — the repo's committed receipt adjudicated a
+    # round-8 breach, its recorded committed readings no longer match
+    # the canonical artifact, so citing it is REJECTED (a fresh breach
+    # needs a fresh bench_ab_outliers run; the accept branch is proven
+    # on a matching receipt in
+    # test_outliers_acceptance_binds_to_current_baseline)
     os.environ["SPARK_GRAFT_BUDGET_ACCEPT"] = (
         "q_bitext_mine drift adjudicated in OUTLIERS_AB.json round 8"
     )
     try:
         v = b._budget_verdict(1e9, current_reps=9)
-        assert v["exceeded"] and v["accepted_reason"]
-        assert v["accepted_receipt"]["file"] == "OUTLIERS_AB.json"
-        assert "q_bitext_mine" in v["accepted_receipt"]["queries"]
-        v = b._budget_verdict(0.001, current_reps=9)
-        assert "accepted_reason" not in v
+        assert v["exceeded"]
+        assert "accepted_reason" not in v and "acceptance_rejected" in v
     finally:
         del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
 
@@ -887,6 +891,27 @@ def test_bench_budget_verdict_reads_committed_canonical():
         del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
 
 
+def test_snapshot_bench_env_enforces_min_reps():
+    """The regenerate path must hand bench.py a >=3-rep environment no
+    matter what the caller shell carries — a 1-rep canonical would only
+    be caught by _skip_bench_objection AFTER the 20-minute run."""
+    import scripts.snapshot_round as sr
+
+    assert sr._bench_env({})["SPARK_GRAFT_BENCH_REPS"] == "3"
+    assert sr._bench_env({"SPARK_GRAFT_BENCH_REPS": "1"})[
+        "SPARK_GRAFT_BENCH_REPS"
+    ] == "3"
+    assert sr._bench_env({"SPARK_GRAFT_BENCH_REPS": "junk"})[
+        "SPARK_GRAFT_BENCH_REPS"
+    ] == "3"
+    # more reps than the floor is the caller's call
+    assert sr._bench_env({"SPARK_GRAFT_BENCH_REPS": "5"})[
+        "SPARK_GRAFT_BENCH_REPS"
+    ] == "5"
+    # unrelated env rides through
+    assert sr._bench_env({"OTHER": "x"})["OTHER"] == "x"
+
+
 def test_bench_budget_compares_like_statistic_to_like(monkeypatch):
     """r11 VERDICT item 1: once the committed baseline is a min-of-N,
     a lesser-rep run's total sits up to ~45% above it on pure host
@@ -923,6 +948,67 @@ def test_bench_budget_compares_like_statistic_to_like(monkeypatch):
     )
     v = b._budget_verdict(120.0, current_reps=3)
     assert v["applied"] and not v["exceeded"] and v["committed_reps"] == 1
+
+
+def test_outliers_acceptance_binds_to_current_baseline(tmp_path):
+    """r11 verdict residual, closed r12: an OUTLIERS_AB acceptance
+    validates ONLY while the receipt's recorded committed readings
+    equal the current canonical baseline's — the moment the baseline
+    moves, the same receipt stops validating and a new breach requires
+    a fresh adjudication, never a wave-through from an old one."""
+    import importlib.util
+    import os
+    import subprocess
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_bind", REPO / "bench.py"
+    )
+    b = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(b)
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+
+    def git(*a):
+        subprocess.run(["git", *a], cwd=repo, capture_output=True, check=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (repo / "BENCH_FULL.json").write_text(json.dumps({
+        "plan_cost_total": 100.0, "reps": 3, "statistic": "min",
+        "queries": {"q_x": 1.25},
+    }))
+    (repo / "OUTLIERS_AB.json").write_text(json.dumps({
+        "queries": {"q_x": {"committed": 1.25,
+                            "attribution": "environment noise"}},
+    }))
+    git("add", "-A")
+    git("commit", "-qm", "snapshot + adjudication")
+
+    b._REPO = str(repo)
+    os.environ["SPARK_GRAFT_BUDGET_ACCEPT"] = (
+        "q_x adjudicated in OUTLIERS_AB.json"
+    )
+    try:
+        # receipt matches the live baseline -> acceptance validates
+        v = b._budget_verdict(1e9, current_reps=3)
+        assert v["exceeded"] and v["accepted_receipt"]["file"] == (
+            "OUTLIERS_AB.json"
+        )
+        assert v["accepted_receipt"]["queries"] == ["q_x"]
+
+        # the baseline moves; the SAME receipt must stop validating
+        (repo / "BENCH_FULL.json").write_text(json.dumps({
+            "plan_cost_total": 120.0, "reps": 3, "statistic": "min",
+            "queries": {"q_x": 1.4},
+        }))
+        git("add", "-A")
+        git("commit", "-qm", "next snapshot")
+        v = b._budget_verdict(1e9, current_reps=3)
+        assert "accepted_reason" not in v and "acceptance_rejected" in v
+    finally:
+        del os.environ["SPARK_GRAFT_BUDGET_ACCEPT"]
 
 
 def test_suite_expansion_receipt_refuses_pure_regression(
