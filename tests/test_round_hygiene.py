@@ -539,26 +539,38 @@ def test_every_expensive_query_is_scaling_audited():
     lifecycle = set(bench.get("lifecycle_queries", {}))
     # HYSTERESIS (r11 review finding): on this host a single bench run
     # can swing 40%+, so "expensive" needs two independent runs to
-    # agree — over 1.0 s NOW and over 0.75 s in the PREVIOUS committed
-    # canonical run. One noisy spike can no longer deadlock successive
-    # snapshots on a different borderline query each time, while
-    # genuine growth (which persists across rounds) and genuinely new
-    # expensive queries (absent from the previous run) are still
+    # agree — over 1.0 s NOW and over the prev-band in the PREVIOUS
+    # committed canonical run. One noisy spike can no longer deadlock
+    # successive snapshots on a different borderline query each time,
+    # while genuine growth (which persists across rounds) and genuinely
+    # new expensive queries (absent from the previous run) are still
     # flagged on arrival. `previous_bench_full` (r11 ADVICE medium)
     # resolves "previous" identically pre- and post-commit: HEAD's copy
     # while the judged copy is newer, else the copy at the parent of
     # the last commit touching the artifact — so a snapshot that passed
     # this gate pre-commit cannot fail it on its own committed tree.
-    prev = (previous_bench_full(REPO, current=bench) or {}).get("queries", {})
+    # Prev-band: 0.75 while canonical artifacts were single runs
+    # (±45% swing); tightened to 0.9 once both sides became min-of->=3
+    # (r11 VERDICT item 1's anticipated follow-through — the r12 rep
+    # scatter was ±6% of total, so a real >1.0 s plan reads >0.9 in the
+    # previous min too, while legacy single-run prevs keep the loose
+    # band so the transition round can't deadlock).
+    prev_artifact = previous_bench_full(REPO, current=bench) or {}
+    prev = prev_artifact.get("queries", {})
+    both_min = (
+        bench.get("reps", 0) >= 3 and prev_artifact.get("reps", 0) >= 3
+    )
+    prev_band = 0.9 if both_min else 0.75
     expensive = {
         n
         for n, t in bench["queries"].items()
-        if n not in lifecycle and t > 1.0 and prev.get(n, 99.0) > 0.75
+        if n not in lifecycle and t > 1.0 and prev.get(n, 99.0) > prev_band
     }
     unaudited = sorted(expensive - audited)
     assert not unaudited, (
-        f"plan cost > 1.0 s (and > 0.75 s in the previous committed "
-        f"run) in BENCH_FULL but not in scaling_check.AUDIT: {unaudited}"
+        f"plan cost > 1.0 s (and > {prev_band} s in the previous "
+        f"committed run) in BENCH_FULL but not in scaling_check.AUDIT: "
+        f"{unaudited}"
     )
 
     import re
