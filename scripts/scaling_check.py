@@ -16,10 +16,19 @@ Quadratic-by-design ground-truth twins (q_knn_join's guarded all-pairs)
 are listed with their declared exponent and audited against THAT bound
 instead: the point is no query grows faster than its plan claims.
 
+Every timing leg is the MIN of TIMING_REPS executions (r12, the bench's
+min-of-reps doctrine applied here): an alpha is a ratio of two timings,
+so single-run host noise (±40% on this box) lands directly in the
+exponent — q_semdedup's decade read anywhere in 1.3-1.45 across runs of
+identical code. Plan cost is a lower-bound quantity (contention only
+adds time), so the min of each leg is the cleanest ratio numerator and
+denominator; the 1.35 linear-band margin keeps its single-run sizing
+until a couple of min-based rounds justify tightening it.
+
 Run: python scripts/scaling_check.py   (rewrites SCALING.md, exits 1 on
-any exponent violation). ~20 min: the sf1eq decade legs (the guarded
-quadratic twins run 1.5-2 min each at 10x) dominate; the 3-SF lower
-audit itself is a few minutes even at 140 queries.
+any exponent violation). ~40 min at 2 reps: the sf1eq decade legs (the
+guarded quadratic twins run 1.5-2 min each at 10x) dominate; the 3-SF
+lower audit itself is minutes even at 140 queries.
 """
 
 from __future__ import annotations
@@ -37,6 +46,20 @@ SF_DIRS = [
     ("/root/testdata/sf0.01", 0.01),
     ("/root/testdata/sf0.1", 0.1),
 ]
+
+# min-of-N per timing leg (see module docstring); 2 halves the noise
+# for a 2x runtime — the knee of that trade at this suite size
+TIMING_REPS = 2
+
+
+def _timed_min(run) -> float:
+    """Wall time of `run()`, min over TIMING_REPS executions."""
+    best = float("inf")
+    for _ in range(TIMING_REPS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 # (query, declared exponent bound, why)
 AUDIT = [
@@ -349,11 +372,13 @@ def run_decade(registry) -> list[tuple]:
     for name, bound, why in DECADE_AUDIT:
         times = {}
         for leg, sf_dir in (("lo", SF_DIRS[2][0]), ("hi", sf1_dir)):
-            t0 = time.perf_counter()
-            _decade_fn(registry, name, leg)(spark, sf_dir).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            times[leg] = time.perf_counter() - t0
+            fn = _decade_fn(registry, name, leg)
+            times[leg] = _timed_min(
+                lambda: fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
         alpha = math.log10(
             max(times["hi"], 1e-3) / max(times["lo"], 1e-3)
         )
@@ -402,11 +427,14 @@ def main() -> int:
     for name, bound, why in AUDIT:
         times = []
         for sf_dir, _sf in SF_DIRS:
-            t0 = time.perf_counter()
-            registry[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            times.append(time.perf_counter() - t0)
+            times.append(
+                _timed_min(
+                    lambda: registry[name].fn(spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+            )
         # exponent over the upper decade (0.01 -> 0.1)
         alpha = math.log10(max(times[2], 1e-3) / max(times[1], 1e-3))
         ok = alpha <= bound
@@ -423,7 +451,10 @@ def main() -> int:
         "# SCALING — measured growth exponents",
         "",
         "Generated by `scripts/scaling_check.py`: each audited query runs at",
-        "sf0.001/sf0.01/sf0.1 (100× input growth) on warm caches; `alpha` is",
+        f"sf0.001/sf0.01/sf0.1 (100× input growth) on warm caches, every",
+        f"timing the MIN of {TIMING_REPS} executions (r12 — single-run host",
+        "noise lands directly in a fitted exponent, so each ratio leg gets",
+        "the bench's min-of-reps treatment); `alpha` is",
         "the fitted exponent of t ~ n^alpha over the upper decade",
         "(sf0.01→sf0.1). Linear-plan queries must stay ≤1.35 (noise margin on",
         "sub-second timings); the guarded quadratic ground-truth twins are",
