@@ -16,14 +16,21 @@ Quadratic-by-design ground-truth twins (q_knn_join's guarded all-pairs)
 are listed with their declared exponent and audited against THAT bound
 instead: the point is no query grows faster than its plan claims.
 
-Every timing leg is the MIN of TIMING_REPS executions (r12, the bench's
-min-of-reps doctrine applied here): an alpha is a ratio of two timings,
-so single-run host noise (±40% on this box) lands directly in the
-exponent — q_semdedup's decade read anywhere in 1.3-1.45 across runs of
-identical code. Plan cost is a lower-bound quantity (contention only
-adds time), so the min of each leg is the cleanest ratio numerator and
-denominator; the 1.35 linear-band margin keeps its single-run sizing
-until a couple of min-based rounds justify tightening it.
+Every timing is the per-cell MIN over TIMING_REPS FULL PASSES of the
+audit (r12, the bench's min-of-reps doctrine applied here): an alpha is
+a ratio of two timings, so single-run host noise (±40% on this box)
+lands directly in the exponent — q_semdedup's decade read anywhere in
+1.3-1.45 across runs of identical code. Pass-level, NOT back-to-back
+per-query reps: many audited queries read session-persisted relations
+(pair_overlaps, shingle_index) that earlier queries in the pass
+materialize, so an immediate second execution times a cached read —
+measured: the declared-quadratic ngram twin collapsed from 3.7 s to
+0.1 s, vacuously passing every bound. The second pass instead runs
+behind spark.catalog.clearCache(), replaying the exact same
+cold-relation discipline, so the min compares two equivalent
+measurements of the same work. The 1.35 linear-band margin keeps its
+single-run sizing until a couple of min-based rounds justify
+tightening it.
 
 Run: python scripts/scaling_check.py   (rewrites SCALING.md, exits 1 on
 any exponent violation). ~40 min at 2 reps: the sf1eq decade legs (the
@@ -47,18 +54,31 @@ SF_DIRS = [
     ("/root/testdata/sf0.1", 0.1),
 ]
 
-# min-of-N per timing leg (see module docstring); 2 halves the noise
-# for a 2x runtime — the knee of that trade at this suite size
+# min-of-N passes (see module docstring); 2 halves the noise for a 2x
+# runtime — the knee of that trade at this suite size
 TIMING_REPS = 2
 
 
-def _timed_min(run) -> float:
-    """Wall time of `run()`, min over TIMING_REPS executions."""
-    best = float("inf")
-    for _ in range(TIMING_REPS):
-        t0 = time.perf_counter()
-        run()
-        best = min(best, time.perf_counter() - t0)
+def _min_over_passes(spark, cells, run_cell) -> dict:
+    """Per-cell min wall time over TIMING_REPS full passes of `cells`
+    in their given order, with spark.catalog.clearCache() between
+    passes so every pass pays (and amortizes) the same persisted-
+    relation builds — see the module docstring for why back-to-back
+    per-cell reps would instead time cached reads."""
+    best: dict = {}
+    for p in range(TIMING_REPS):
+        if p:
+            spark.catalog.clearCache()
+        print(
+            f"timing pass {p + 1}/{TIMING_REPS}: {len(cells)} cells",
+            file=sys.stderr,
+        )
+        for key in cells:
+            t0 = time.perf_counter()
+            run_cell(key)
+            dt = time.perf_counter() - t0
+            if dt < best.get(key, float("inf")):
+                best[key] = dt
     return best
 
 # (query, declared exponent bound, why)
@@ -368,17 +388,25 @@ def run_decade(registry) -> list[tuple]:
                 "noop"
             ).mode("overwrite").save()
 
+    leg_dirs = {"lo": SF_DIRS[2][0], "hi": sf1_dir}
+    cells = [
+        (name, leg)
+        for name, _bound, _why in DECADE_AUDIT
+        for leg in ("lo", "hi")  # lo leg immediately before hi leg
+    ]
+    timings = _min_over_passes(
+        spark,
+        cells,
+        lambda cell: _decade_fn(registry, cell[0], cell[1])(
+            spark, leg_dirs[cell[1]]
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
     decade_rows = []
     for name, bound, why in DECADE_AUDIT:
-        times = {}
-        for leg, sf_dir in (("lo", SF_DIRS[2][0]), ("hi", sf1_dir)):
-            fn = _decade_fn(registry, name, leg)
-            times[leg] = _timed_min(
-                lambda: fn(spark, sf_dir)
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
+        times = {leg: timings[(name, leg)] for leg in ("lo", "hi")}
         alpha = math.log10(
             max(times["hi"], 1e-3) / max(times["lo"], 1e-3)
         )
@@ -423,18 +451,22 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
+    audit_cells = [
+        (name, sf_dir)
+        for name, _bound, _why in AUDIT
+        for sf_dir, _sf in SF_DIRS  # per query, the 3 SFs consecutively
+    ]
+    audit_timings = _min_over_passes(
+        spark,
+        audit_cells,
+        lambda cell: registry[cell[0]].fn(spark, cell[1])
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
     rows = []
     for name, bound, why in AUDIT:
-        times = []
-        for sf_dir, _sf in SF_DIRS:
-            times.append(
-                _timed_min(
-                    lambda: registry[name].fn(spark, sf_dir)
-                    .write.format("noop")
-                    .mode("overwrite")
-                    .save()
-                )
-            )
+        times = [audit_timings[(name, sf_dir)] for sf_dir, _sf in SF_DIRS]
         # exponent over the upper decade (0.01 -> 0.1)
         alpha = math.log10(max(times[2], 1e-3) / max(times[1], 1e-3))
         ok = alpha <= bound
@@ -451,10 +483,11 @@ def main() -> int:
         "# SCALING — measured growth exponents",
         "",
         "Generated by `scripts/scaling_check.py`: each audited query runs at",
-        f"sf0.001/sf0.01/sf0.1 (100× input growth) on warm caches, every",
-        f"timing the MIN of {TIMING_REPS} executions (r12 — single-run host",
-        "noise lands directly in a fitted exponent, so each ratio leg gets",
-        "the bench's min-of-reps treatment); `alpha` is",
+        "sf0.001/sf0.01/sf0.1 (100× input growth) on warm caches, every",
+        f"timing the per-cell MIN over {TIMING_REPS} full passes with the",
+        "Spark cache cleared between passes (r12 — single-run host noise",
+        "lands directly in a fitted exponent; pass-level reps keep the",
+        "persisted-relation build inside every measurement); `alpha` is",
         "the fitted exponent of t ~ n^alpha over the upper decade",
         "(sf0.01→sf0.1). Linear-plan queries must stay ≤1.35 (noise margin on",
         "sub-second timings); the guarded quadratic ground-truth twins are",
