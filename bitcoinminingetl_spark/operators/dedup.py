@@ -78,6 +78,17 @@ def _shingled(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
     shuffle-volume term. Collision odds ~n_shingles²/2⁶⁴ — immaterial
     below ~10⁹ distinct shingles, and a collision only inflates one
     intersection count."""
+    return _shingle_strings(docs, n).select(
+        "doc_id", F.xxhash64("s").alias("shingle")
+    )
+
+
+def _shingle_strings(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
+    """(doc_id, s: string) with distinct n-word shingles per document,
+    UNHASHED — the engine-portable relation the md5 MinHash twin
+    (q_dedup_minhash_md5) draws its min-hashes from; _shingled is this
+    plus the xxhash64 projection every production-path consumer joins
+    on."""
     shingles = F.array_distinct(ngram_array(F.split("text", " "), n))
     return (
         # NULL text contributes NO shingles (the doc has no content to
@@ -89,7 +100,6 @@ def _shingled(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
         # shingle on BOTH sides.
         docs.filter(F.col("text").isNotNull())
         .select("doc_id", F.explode(shingles).alias("s"))
-        .select("doc_id", F.xxhash64("s").alias("shingle"))
     )
 
 
@@ -482,6 +492,133 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification."""
     sh = shingle_index(spark, sf_dir)
     return _verify_candidates(sh, _candidate_pairs(minhash_bands(sh)))
+
+
+def minhash_bands_md5(shs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) banded MinHash signatures over ENGINE-PORTABLE
+    hashes — the md5 twin of minhash_bands: each of 4 salted md5s yields
+    4 independent 8-hex-char lanes, so mh[k] = min over shingles of
+    substr(md5(shingle || '|' || k//4), 1 + 8*(k%4), 8), KEPT AS THE HEX
+    STRING — fixed-width lowercase hex compares lexicographically ==
+    numerically and identically in Spark's UTF8_BINARY and DuckDB's
+    binary VARCHAR order, so the min needs no conv/cast at all. Band
+    signature = md5 of the comma-joined lane strings. A/B at sf0.1
+    (shared shingle index warm, 3 reps): 16-md5 + conv 4.2 s, 4-md5
+    lanes + conv 3.4 s, 4-md5 lanes + string-min 2.8 s — the adopted
+    form. `shs` is the UNHASHED (doc_id, s) string-shingle relation —
+    min-of-md5 must be taken over the same strings DuckDB sees, not
+    over xxhash64 keys. Same plan shape as the production path: ONE
+    16-min aggregate, one 4-way band explode."""
+    sig = shs.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(F.concat_ws("|", "s", F.lit(str(k // 4)))),
+                    1 + 8 * (k % 4),
+                    8,
+                )
+            ).alias(f"mh{k}")
+            for k in range(_MINHASH_K)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{b * _ROWS_PER_BAND + r}")
+                                    for r in range(_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("sig"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+
+def _minhash_md5_salt_sql(k: int) -> str:
+    """DuckDB twin of one md5 min-hash lane column (see
+    minhash_bands_md5: 4 salted md5s × 4 hex lanes, string min)."""
+    return (
+        f"min(substr(md5(concat(shingle, '|{k // 4}')),"
+        f" {1 + 8 * (k % 4)}, 8)) AS mh{k}"
+    )
+
+
+# DuckDB twin of q_dedup_minhash_md5: same 16 md5-lane min-hashes, same
+# md5-of-comma-joined-lanes band signatures, same bucket-cap'd candidate
+# generation, same exact-Jaccard verify — over the string shingles both
+# engines derive identically (_SHINGLE_SQL ↔ _shingle_strings).
+_MINHASH_MD5_ORACLE = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+mh AS (
+    SELECT doc_id,
+           {', '.join(_minhash_md5_salt_sql(k) for k in range(_MINHASH_K))}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {' UNION ALL '.join(
+        "SELECT doc_id, " + str(b) + " AS band, md5(concat_ws(',', "
+        + ', '.join(
+            f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        )
+        + ")) AS sig FROM mh"
+        for b in range(_BANDS)
+    )}
+),
+bsz AS (SELECT band, sig, count(*) AS g FROM bands GROUP BY 1, 2),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    JOIN bsz z ON z.band = a.band AND z.sig = a.sig
+    WHERE z.g <= {_LSH_BUCKET_CAP}
+),
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       {roundn_sql('n_inter * 1.0 / (sa.n + sb.n - n_inter)', 6)} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("q_dedup_minhash_md5", oracle=_MINHASH_MD5_ORACLE)
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-hashed MinHash+LSH twin (r12 VERDICT item 1): the exact
+    band/candidate/verify machinery of q_dedup_minhash_lsh — same
+    _candidate_pairs skeleton (one groupBy(band, sig) + in-group pair
+    generation, bucket cap), same _verify_candidates exact-Jaccard
+    stage — with min-hashes and band signatures drawn from md5 instead
+    of xxhash64. md5 bits are engine-portable (the r12 SimHash
+    conversion pattern, q_dedup_simhash_md5), so the ENTIRE verified
+    pair set value-hashes against a DuckDB oracle, putting the banding
+    machinery that q_dedup_minhash_lsh / q_corpus_dedup_lsh /
+    q_dedup_pagerank_lsh all share under a full value hash. xxhash64
+    stays the production path (fastest JVM-side hash; no string
+    round-trip through hex/conv)."""
+    docs = table(spark, sf_dir, "documents")
+    cand = _candidate_pairs(minhash_bands_md5(_shingle_strings(docs)))
+    return _verify_candidates(shingle_index(spark, sf_dir), cand)
 
 
 def _verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
