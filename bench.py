@@ -389,6 +389,13 @@ def main() -> None:
                 "pair_overlaps_uncapped",
                 _mat(lambda: _dedup.pair_overlaps(spark, sf_dir)),
             ),
+            # (doc_id, token) distinct-token relation shared by the
+            # SimHash twin pair (r12 VERDICT item 6) — one corpus scan
+            # + tokenize + distinct explode, previously paid twice
+            (
+                "simhash_tokens",
+                _mat(lambda: _dedup.simhash_tokens(spark, sf_dir)),
+            ),
             (
                 "pair_overlaps_df_cap",
                 _mat(

@@ -1424,7 +1424,16 @@ def q_leadlag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GAP_THRESHOLD_S = 3600  # an hour of silence on a metric stream
+# Relative outage threshold: a gap is an outage when it exceeds this
+# multiple of ITS OWN stream's median cadence. r13 (ORACLE_SF01 receipt
+# finding): the previous fixed 1-hour threshold matched 46 gaps at
+# sf0.01 but ZERO at sf0.1 — event density grows with scale factor, so
+# any absolute threshold degenerates to a vacuous always-empty match on
+# denser data. Cadence-relative detection is also the operationally
+# correct form: "silent for 8x its normal beat" means the same thing on
+# a 1 Hz stream and a 1/day stream. Non-vacuous at every fixture SF
+# (measured: 10 / 46 / 418 flagged gaps at sf0.001/0.01/0.1).
+_GAP_MEDIAN_MULT = 8
 
 
 @query(
@@ -1435,41 +1444,65 @@ _GAP_THRESHOLD_S = 3600  # an hour of silence on a metric stream
                lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
                    AS prev_ts
         FROM events
+    ),
+    gg AS (
+        SELECT event_type, ts, prev_ts,
+               date_diff('microsecond', prev_ts, ts) AS gap_us
+        FROM g WHERE prev_ts IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, quantile_cont(gap_us, 0.5) AS med_us
+        FROM gg GROUP BY event_type
     )
-    SELECT event_type,
+    SELECT gg.event_type,
            prev_ts AS gap_start,
            ts AS gap_end,
-           {roundn_sql(
-               "date_diff('microsecond', prev_ts, ts) * 1.0 / 1000000", 6
-           )} AS gap_seconds
-    FROM g
-    WHERE date_diff('microsecond', prev_ts, ts) > {_GAP_THRESHOLD_S * 1_000_000}
+           {roundn_sql("gap_us * 1.0 / 1000000", 6)} AS gap_seconds
+    FROM gg JOIN m ON m.event_type = gg.event_type
+    WHERE gap_us > {_GAP_MEDIAN_MULT} * med_us
     """,
 )
 def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feed-outage detection: intervals where a metric stream went
-    silent for more than an hour — the operational question behind the
-    reference's fetch cadence and retry config (main.py:19-21,75-76: a
-    poller that swallows errors, extract.py:13-20, shows up ONLY as a
-    gap in the data). One lag window per event_type partition (ordered
-    by ts with event_id tiebreak for determinism under duplicate
-    timestamps) on a single shuffle keyed by event_type; gap arithmetic
-    in exact integer microseconds so both engines derive the identical
-    double. At 100 TB the partition count equals the stream count —
-    parallelism matches the monitored surface, and no global ordering
-    exists anywhere."""
+    silent for more than {_GAP_MEDIAN_MULT}x its own median cadence —
+    the operational question behind the reference's fetch cadence and
+    retry config (main.py:19-21,75-76: a poller that swallows errors,
+    extract.py:13-20, shows up ONLY as a gap in the data). One lag
+    window per event_type partition (ordered by ts with event_id
+    tiebreak for determinism under duplicate timestamps) on a single
+    shuffle keyed by event_type; per-stream median cadence via the
+    exact interpolated percentile (the q_percentiles cross-engine
+    doctrine: Spark `percentile` == DuckDB `quantile_cont`) broadcast
+    back onto the gap relation; gap arithmetic in exact integer
+    microseconds so both engines derive the identical double. The
+    threshold is RELATIVE by design — see _GAP_MEDIAN_MULT: the sf0.1
+    oracle sweep caught the old absolute threshold matching on zero
+    rows at 10x density. At 100 TB the partition count equals the
+    stream count — parallelism matches the monitored surface, and no
+    global ordering exists anywhere; the median relation is one row
+    per stream (broadcast by construction)."""
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
-    return (
+    gaps = (
         table(spark, sf_dir, "events")
         .select("event_type", "ts", "event_id")
         .withColumn("prev_ts", F.lag("ts").over(w))
-        .filter(gap_us > _GAP_THRESHOLD_S * 1_000_000)
+        .withColumn("gap_us", gap_us)
+        .filter(F.col("gap_us").isNotNull())
+    )
+    med = gaps.groupBy("event_type").agg(
+        F.percentile("gap_us", F.lit(0.5)).alias("med_us")
+    )
+    return (
+        gaps.join(F.broadcast(med), "event_type")
+        .filter(F.col("gap_us") > _GAP_MEDIAN_MULT * F.col("med_us"))
         .select(
             "event_type",
             F.col("prev_ts").alias("gap_start"),
             F.col("ts").alias("gap_end"),
-            roundn(gap_us * 1.0 / 1_000_000, 6).alias("gap_seconds"),
+            roundn(F.col("gap_us") * 1.0 / 1_000_000, 6).alias(
+                "gap_seconds"
+            ),
         )
     )
 

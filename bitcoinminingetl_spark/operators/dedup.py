@@ -678,18 +678,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     its full value-hash correctness receipt is the md5-bit twin below
     (q_dedup_simhash_md5), which runs the SAME vote/chunk/Hamming
     machinery over engine-portable bits."""
-    tok = _simhash_tokens(spark, sf_dir).withColumn(
+    tok = simhash_tokens(spark, sf_dir).withColumn(
         "th", F.xxhash64("token")
     )
     return _simhash_pairs(tok)
 
 
-def _simhash_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SIMHASH_TOKENS_CACHE: dict[str, DataFrame] = {}
+
+
+def simhash_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, token) with per-doc distinct tokens — the shared input
-    of both SimHash variants."""
-    return table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    of both SimHash variants, persisted once per (session, corpus)
+    through the functions/cache.py stack (r12 VERDICT item 6: the two
+    twins each recomputed the scan + tokenize + distinct explode —
+    ~one corpus scan saved across the pair; the 32-vote aggregates
+    stay deliberately separate so the twin keeps mirroring the
+    production plan past the shared scan)."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:simhash_tokens"
+    return lru_persisted(
+        _SIMHASH_TOKENS_CACHE,
+        key,
+        lambda: table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias(
+                "token"
+            ),
+        ),
     )
 
 
@@ -752,7 +767,7 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the twin also certifies the machinery's plan, not just its
     values (same pattern as q_ann_ivf's deterministic-quantizer
     conversion in r10)."""
-    tok = _simhash_tokens(spark, sf_dir).withColumn(
+    tok = simhash_tokens(spark, sf_dir).withColumn(
         "th",
         F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long"),
     )

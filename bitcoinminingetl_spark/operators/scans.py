@@ -9,7 +9,7 @@ tests/test_plans.py asserts both properties on the physical plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -454,6 +454,18 @@ def q_compaction_plan(
     )
 
 
+def _decoded_file_path() -> Column:
+    """Percent-decoded `_metadata.file_path` matching binaryFile's raw
+    `path` form — see the call-site comment in compaction_file_bins for
+    the encoding-mismatch story and the try_url_decode fallback."""
+    encoded = F.replace(
+        F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B")
+    )
+    if hasattr(F, "try_url_decode"):
+        return F.coalesce(F.try_url_decode(encoded), encoded)
+    return F.url_decode(encoded)
+
+
 def compaction_file_bins(
     spark: SparkSession, sf_dir: str, target: int
 ) -> DataFrame:
@@ -482,17 +494,19 @@ def compaction_file_bins(
         .groupBy(
             # `_metadata.file_path` is a percent-ENCODED URI while
             # binaryFile's `path` above is NOT (measured: a space in a
-            # file name reads back as %20 here, ' ' there) — without
-            # decoding, the inventory join silently misses any file
-            # whose name needs escaping and the plan books 0 rows for
-            # it. A literal '+' must survive the decode (url_decode
+            # file name reads back as %20 here, ' ' there; a literal '%'
+            # as %25 — regression-pinned by the escaped-names test) —
+            # without decoding, the inventory join silently misses any
+            # file whose name needs escaping and the plan books 0 rows
+            # for it. A literal '+' must survive the decode (url_decode
             # follows URLDecoder, which maps '+' to space), so it is
-            # pre-escaped to %2B first.
-            F.url_decode(
-                F.replace(
-                    F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B")
-                )
-            ).alias("file")
+            # pre-escaped to %2B first. Defensive fallback (r12 ADVICE):
+            # if a filesystem or future Spark ever surfaces an UNescaped
+            # '%' here, url_decode would RAISE on the malformed sequence
+            # and kill the whole inventory query — try_url_decode +
+            # coalesce degrades that one file to its raw (join-missing,
+            # 0-rows-booked) form instead.
+            _decoded_file_path().alias("file")
         )
         .agg(F.count(F.lit(1)).alias("rows"))
     )

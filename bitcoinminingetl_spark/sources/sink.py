@@ -104,7 +104,19 @@ def compact_by_plan(
     rename), (4) delete the tombstones. No crash point ever shows a
     reader a duplicated row; a crash inside (2)-(4) hides rows until
     `recover_compaction` replays the groups' outcomes from the
-    tombstone names themselves."""
+    tombstone names themselves.
+
+    CONCURRENCY CONTRACT (r12 ADVICE): compaction requires EXCLUSIVE
+    access to the layout. Even on the healthy path there is a transient
+    window — between step (2) tombstoning the originals and step (3)
+    moving the merged file in — where a concurrent Spark reader sees
+    the bin's rows MISSING (never duplicated, but absent). That window
+    exists on every successful run, not only after a crash. True
+    reader isolation would need a manifest/commit-marker protocol
+    (atomically swap a manifest the readers resolve file lists
+    through — the Delta/Iceberg design); this layout is plain
+    directory-listed parquet, so the contract is scheduling, not
+    protocol: run compaction when no readers are active."""
     import os
     import shutil
 

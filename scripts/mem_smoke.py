@@ -53,11 +53,13 @@ BOILERPLATE = "shared boilerplate sentence every document carries"
 GUARDED = [
     "q_dedup_ngram_pruned",      # df_cap stop-shingle prune
     "q_dedup_minhash_lsh",       # banded LSH + bucket_cap
+    "q_dedup_minhash_md5",       # oracle twin: same band join + bucket_cap (r13)
     "q_corpus_dedup_lsh",        # end-to-end pipeline on LSH candidates
     "q_dedup_simhash",           # chunk blocking
     "q_dedup_embed_cosine_lsh",  # sign-bit sub-buckets inside the block
     "q_semdedup",                # cluster-size cap
     "q_knn_join_lsh",            # narrow-id candidate relation
+    "q_knn_join_lsh_md5",        # oracle twin: same narrow-id relation (r13)
 ]
 UNGUARDED = "q_dedup_ngram_jaccard"  # unpruned exact twin: must die here
 ARM_TIMEOUT_S = 600

@@ -59,13 +59,20 @@ SF_DIRS = [
 TIMING_REPS = 2
 
 
-def _min_over_passes(spark, cells, run_cell) -> dict:
+def _min_over_passes(spark, cells, run_cell) -> tuple[dict, dict]:
     """Per-cell min wall time over TIMING_REPS full passes of `cells`
     in their given order, with spark.catalog.clearCache() between
     passes so every pass pays (and amortizes) the same persisted-
     relation builds — see the module docstring for why back-to-back
-    per-cell reps would instead time cached reads."""
+    per-cell reps would instead time cached reads.
+
+    Returns (per-cell min, per-cell list of ALL pass times). The
+    all-pass times feed SCALING.md's scatter section (r12 ADVICE item
+    3): the 1.35 linear band keeps its single-run sizing until a couple
+    of min-based rounds put the retightening evidence on file — this IS
+    that evidence, accumulated per committed SCALING.md."""
     best: dict = {}
+    all_times: dict = {key: [] for key in cells}
     for p in range(TIMING_REPS):
         if p:
             spark.catalog.clearCache()
@@ -77,9 +84,27 @@ def _min_over_passes(spark, cells, run_cell) -> dict:
             t0 = time.perf_counter()
             run_cell(key)
             dt = time.perf_counter() - t0
+            all_times[key].append(dt)
             if dt < best.get(key, float("inf")):
                 best[key] = dt
-    return best
+    return best, all_times
+
+
+def _scatter_stats(all_times: dict) -> tuple[float, float, float, int]:
+    """(median, p90, max, n) of per-cell relative scatter
+    (max-min)/min across cells with >=2 passes and a non-trivial floor
+    (min >= 0.2 s — sub-floor cells measure constant overhead whose
+    scatter says nothing about the band)."""
+    rel = sorted(
+        (max(ts) - min(ts)) / min(ts)
+        for ts in all_times.values()
+        if len(ts) >= 2 and min(ts) >= 0.2
+    )
+    if not rel:
+        return 0.0, 0.0, 0.0, 0
+    med = rel[len(rel) // 2]
+    p90 = rel[min(len(rel) - 1, int(0.9 * len(rel)))]
+    return med, p90, rel[-1], len(rel)
 
 # (query, declared exponent bound, why)
 AUDIT = [
@@ -96,6 +121,7 @@ AUDIT = [
     ("q_corpus_dedup_lsh", 1.35, "the shippable dedup composition"),
     ("q_cosine_topk", 1.35, "broadcast query side, corpus never shuffles"),
     ("q_knn_join_lsh", 1.35, "blocked ANN join, narrow candidates"),
+    ("q_knn_join_lsh_md5", 1.35, "oracle twin: same blocked plan, exact-int quantized planes"),
     ("q_dup_span_stats", 1.35, "gram agg + skew-aware flag join"),
     ("q_tokenize_to_ids", 1.35, "vocab broadcast + one doc shuffle"),
     ("q_unigram_logprob", 1.35, "tf agg + token join"),
@@ -311,6 +337,7 @@ DECADE_AUDIT = [
     ("q_dedup_simhash", 2.2, "FIXED-granularity blocker: 8-bit chunks pigeonhole ~n^2/256 candidates on a decorrelated corpus; production widens chunks with corpus size (config, not plan) — measured against the declared pigeonhole bound"),
     ("q_dedup_simhash_md5", 2.2, "oracle twin of the row above: identical vote/chunk/Hamming plan over md5 bits, same declared pigeonhole bound"),
     ("q_knn_join_lsh", 2.2, "FIXED-granularity blocker: 6-plane buckets pigeonhole ~|q||n|/64 per table on isotropic data; production adds planes with corpus size — measured against the declared bound"),
+    ("q_knn_join_lsh_md5", 2.2, "oracle twin of the row above: identical blocked plan over exact-int quantized planes, same declared pigeonhole bound"),
     ("q_dedup_embed_cosine_lsh", 1.35, "label blocks grow in count not size; sign sub-buckets bound within-block pairs -> linear"),
     # r10 VERDICT item 4: the three most expensive bench queries whose
     # scale claims had only lower-decade fits — pin their exponents
@@ -396,7 +423,7 @@ def run_decade(registry) -> list[tuple]:
         for name, _bound, _why in DECADE_AUDIT
         for leg in ("lo", "hi")  # lo leg immediately before hi leg
     ]
-    timings = _min_over_passes(
+    timings, decade_all_times = _min_over_passes(
         spark,
         cells,
         lambda cell: _decade_fn(registry, cell[0], cell[1])(
@@ -422,7 +449,7 @@ def run_decade(registry) -> list[tuple]:
             file=sys.stderr,
         )
     spark.stop()
-    return decade_rows
+    return decade_rows, decade_all_times
 
 
 def main() -> int:
@@ -430,7 +457,7 @@ def main() -> int:
     from bitcoinminingetl_spark.session import get_spark
 
     registry = load_all()
-    decade_rows = run_decade(registry)
+    decade_rows, decade_all_times = run_decade(registry)
     failures = [
         (name + "@decade", alpha, bound)
         for name, _lo, _hi, alpha, bound, ok, _why in decade_rows
@@ -458,7 +485,7 @@ def main() -> int:
         for name, _bound, _why in AUDIT
         for sf_dir, _sf in SF_DIRS  # per query, the 3 SFs consecutively
     ]
-    audit_timings = _min_over_passes(
+    audit_timings, audit_all_times = _min_over_passes(
         spark,
         audit_cells,
         lambda cell: registry[cell[0]].fn(spark, cell[1])
@@ -539,6 +566,22 @@ def main() -> int:
         md.append(
             f"| {name} | {t_lo:.2f} | {t_hi:.2f} | {alpha:.2f} "
             f"| {bound} | {'ok' if ok else 'FAIL'} | {why} |"
+        )
+    # r12 ADVICE item 3: per-pass scatter on file, so the documented
+    # plan to retighten the 1.35 linear band after a couple of
+    # min-based rounds has its evidence committed per round. Relative
+    # scatter (max-min)/min over cells timing >= 0.2 s; a future band
+    # of 10^max_scatter-ish plus fit margin is the retightening target.
+    md += ["", "## Per-pass scatter (band-retightening evidence)", ""]
+    for phase, all_times in (
+        ("3-SF audit", audit_all_times),
+        ("sf0.1→sf1eq decade", decade_all_times),
+    ):
+        med, p90, mx, n = _scatter_stats(all_times)
+        md.append(
+            f"- {phase}: relative scatter (max−min)/min over {n} cells "
+            f"≥0.2 s across {TIMING_REPS} passes — median {med:.2f}, "
+            f"p90 {p90:.2f}, max {mx:.2f}"
         )
     md.append("")
     (REPO / "SCALING.md").write_text("\n".join(md))

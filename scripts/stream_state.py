@@ -179,6 +179,72 @@ def run_incremental_dedup_cost(spark) -> dict:
     }
 
 
+def run_incremental_dedup_decade(spark) -> dict:
+    """Streaming decade receipt (r12 VERDICT item 5): the ingest gate
+    carries bounded-state and cost-attribution receipts but no SCALING
+    receipt. Drive the registered lifecycle on the sf1-equivalent 10x
+    corpus (scripts/make_sf1 — same replica-disjoint construction the
+    batch decade audit uses): the bootstrap corpus grows ~10x and the
+    streamed increment (top-5%-of-id-range slice) grows with it, both
+    measured directly. The verdict pins the DRAIN exponent — log of the
+    drain-time ratio over log of the measured landed-volume ratio — to
+    the linear band: a super-linear drain means per-batch work that
+    re-touches history (index rescan, state blow-up), exactly the
+    100 TB streaming killer this file exists to catch. The fixed
+    trigger floor deflates the exponent at these scales (the
+    q_streaming_* band doctrine in bench.py), so the in-band assertion
+    is one-sided by design."""
+    import time
+
+    import scripts.make_sf1 as make_sf1
+
+    from pyspark.sql import functions as F
+
+    from bitcoinminingetl_spark.catalog import table
+    from bitcoinminingetl_spark.registry import load_all
+
+    reg = load_all()
+    legs: dict = {}
+    for leg, d in (("lo", SF_DIR), ("hi", str(make_sf1.ensure()))):
+        docs = table(spark, d, "documents")
+        cut = docs.agg(
+            F.floor(F.max("doc_id") * 0.8).cast("long").alias("cut"),
+            F.floor(F.max("doc_id") * 0.95).cast("long").alias("hi"),
+        ).collect()[0]
+        landed = docs.filter(F.col("doc_id") > cut.hi).count()
+        corpus = docs.filter(F.col("doc_id") <= cut.cut).count()
+        stages: dict = {}
+        t0 = time.perf_counter()
+        accepted = reg["q_streaming_incremental_dedup"].fn(
+            spark, d, stage_times=stages
+        )
+        n_accepted = accepted.count()
+        legs[leg] = {
+            "sf_dir": d,
+            "total_s": round(time.perf_counter() - t0, 3),
+            "drain_s": stages.get("drain_s"),
+            "bootstrap_index_s": stages.get("bootstrap_index_s"),
+            "landed_rows": landed,
+            "corpus_rows": corpus,
+            "accepted_rows": n_accepted,
+        }
+        print(f"incremental_dedup decade {leg}: {legs[leg]}")
+    import math
+
+    vol_ratio = legs["hi"]["landed_rows"] / max(legs["lo"]["landed_rows"], 1)
+    drain_ratio = legs["hi"]["drain_s"] / max(legs["lo"]["drain_s"], 1e-3)
+    alpha = math.log(drain_ratio) / math.log(max(vol_ratio, 1.01))
+    bound = 1.35
+    return {
+        "legs": legs,
+        "volume_ratio": round(vol_ratio, 3),
+        "drain_ratio": round(drain_ratio, 3),
+        "alpha_drain": round(alpha, 3),
+        "bound": bound,
+        "ok": alpha <= bound,
+    }
+
+
 def main() -> int:
     from bitcoinminingetl_spark.functions.state import workdir
     from bitcoinminingetl_spark.session import get_spark
@@ -218,12 +284,28 @@ def main() -> int:
         "incremental_dedup attribution:",
         out["incremental_dedup_cost"]["attribution"],
     )
+    # r12 VERDICT item 5: the streaming decade row — drain time must
+    # grow in-band with landed volume on the 10x corpus
+    out["incremental_dedup_decade"] = run_incremental_dedup_decade(spark)
+    decade_ok = out["incremental_dedup_decade"]["ok"]
+    print("incremental_dedup decade:", {
+        k: v
+        for k, v in out["incremental_dedup_decade"].items()
+        if k != "legs"
+    })
     spark.stop()
     out.update(_tree_stamp())
     (REPO / "STREAMSTATE.json").write_text(json.dumps(out, indent=1))
     print(f"wrote {REPO / 'STREAMSTATE.json'}")
-    print("RESULT:", "OK" if all_bounded else "STATE NOT PROVABLY BOUNDED")
-    return 0 if all_bounded else 1
+    ok = all_bounded and decade_ok
+    print(
+        "RESULT:",
+        "OK" if ok else (
+            "STATE NOT PROVABLY BOUNDED" if not all_bounded
+            else "DECADE EXPONENT OUT OF BAND"
+        ),
+    )
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

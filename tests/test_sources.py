@@ -561,10 +561,15 @@ def test_compact_by_plan_crash_safe_and_escaped_names(
         ev.filter(SF.col("event_id") % 2 == i).coalesce(1).write.mode(
             "append"
         ).partitionBy("ds").parquet(frag)
-    # (a) a file whose name needs URI escaping: copy of a real data file
+    # (a) files whose names need URI escaping: copies of a real data
+    # file — a space (encodes as %20) and a literal '%' (encodes as
+    # %25; r12 ADVICE regression: an unconditional decode of a path
+    # containing a raw '%' would raise on the malformed sequence)
     src = glob.glob(f"{frag}/ds=2024-01-05/*.parquet")[0]
     spaced = f"{frag}/ds=2024-01-05/part with space.parquet"
     shutil.copy(src, spaced)
+    percented = f"{frag}/ds=2024-01-05/part with 100% literal.parquet"
+    shutil.copy(src, percented)
     data_rows = spark.read.parquet(frag).count()
     assert data_rows > 0
 
@@ -576,6 +581,10 @@ def test_compact_by_plan_crash_safe_and_escaped_names(
             r.rows for r in bins.collect() if "space" in r.file
         ]
         assert spaced_rows and spaced_rows[0] > 0
+        percent_rows = [
+            r.rows for r in bins.collect() if "100%" in r.file
+        ]
+        assert percent_rows and percent_rows[0] > 0
 
         # (b) crash between tombstoning and the merged-file move:
         # compact_by_plan processes groups in sorted order, so the
