@@ -727,13 +727,25 @@ def _knn_bucket_udf_md5():
     @pandas_udf("array<long>")
     def buckets(emb):  # pd.Series of list<float> -> pd.Series of list<long>
         V = np.array(emb.tolist(), dtype=np.float64)  # (n, 64)
-        Q = np.floor(V * _KNN_Q_SCALE).astype(np.int64)
+        X = V * _KNN_Q_SCALE
+        # floor_long doctrine (functions/numeric._FLOOR_SAFE): a scaled
+        # component at or past 2^63 cannot quantize — numpy's int64
+        # cast is UB there and DuckDB's CAST raises — so it contributes
+        # 0 to the bucket dots, IDENTICALLY in both engines (NaN/Inf
+        # compare not-less-than the bound on both sides, so the one
+        # predicate masks them too; found by the adversarial
+        # differential sweep's huge-component embedding row).
+        ok = np.abs(X) < _KNN_FLOOR_SAFE  # False for NaN/Inf/overflow
+        Q = np.floor(np.where(ok, X, 0.0)).astype(np.int64)
         bits = (Q @ planes.T >= 0).astype(np.int64)  # exact int64 dots
         per_table = bits.reshape(len(V), _KNN_TABLES, _KNN_PLANES)
         out = per_table @ weights  # (n, T)
         return __import__("pandas").Series(list(out))
 
     return buckets
+
+
+_KNN_FLOOR_SAFE = float(2**63)
 
 
 def _knn_md5_bucket_sql(t: int) -> str:
@@ -758,9 +770,16 @@ WITH base AS (
     WHERE {_usable_norm_sql('e')}
 ),
 qv AS (
+    -- floor_long doctrine: scaled components at/past 2^63 (incl.
+    -- NaN/Inf, which compare not-less-than the bound) quantize to 0 —
+    -- matching the UDF's mask exactly; an unguarded CAST raises here
     SELECT vec_id,
            list_transform(CAST(embedding AS DOUBLE[]),
-                          v -> CAST(floor(v * {_KNN_Q_SCALE!r}) AS BIGINT)) AS q
+                          v -> CASE WHEN abs(v * {_KNN_Q_SCALE!r})
+                                        < 9223372036854775808.0
+                                    THEN CAST(floor(v * {_KNN_Q_SCALE!r})
+                                              AS BIGINT)
+                                    ELSE 0 END) AS q
     FROM base
 ),
 bk AS (

@@ -169,6 +169,11 @@ AUDIT = [
     ("q_python_udtf", 1.35, "arrow-batched table-generating UDTF, map-only fan-out"),
     ("q_dq_profile", 1.35, "single-pass multi-aggregate constraint sweep"),
     ("q_join_asof", 1.35, "as-of backward join: key equi-join + row_number over time"),
+    # r13: crossed into the 0.75-1.0 s band when the fixed 1-hour
+    # threshold became cadence-relative (adds a per-stream exact-median
+    # aggregate + broadcast join) — audited on arrival per the
+    # within-25%-of-threshold admission rule
+    ("q_gap_detect", 1.35, "per-stream lag window + exact-median broadcast join; streams x gaps linear"),
     ("q_event_transitions", 1.35, "per-user lag window + transition-pair hash agg"),
     ("q_peak_concurrency", 1.35, "sweep line: +1/-1 explode + running-sum window per stream"),
     ("q_join_salted", 1.35, "salted hot-key join: key+salt exchange, replicated small side"),
