@@ -1242,6 +1242,105 @@ def q_corpus_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of q_corpus_dedup_lsh_md5: the WHOLE shipped composition —
+# md5(text) exact stage, md5-lane banded MinHash over the survivor
+# shingles, bucket-cap'd candidates, exact-Jaccard verify, higher-id
+# drop — in one value-hashed query (same band CTEs as
+# _MINHASH_MD5_ORACLE, restricted to the exact-stage survivors).
+_CORPUS_DEDUP_LSH_MD5_ORACLE = f"""
+WITH canon AS (
+    SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1
+),
+survivors AS (SELECT doc_id FROM canon),
+sh0 AS ({_SHINGLE_SQL}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN survivors USING (doc_id)),
+mh AS (
+    SELECT doc_id,
+           {', '.join(_minhash_md5_salt_sql(k) for k in range(_MINHASH_K))}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {' UNION ALL '.join(
+        "SELECT doc_id, " + str(b) + " AS band, md5(concat_ws(',', "
+        + ', '.join(
+            f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        )
+        + ")) AS sig FROM mh"
+        for b in range(_BANDS)
+    )}
+),
+bsz AS (SELECT band, sig, count(*) AS g FROM bands GROUP BY 1, 2),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    JOIN bsz z ON z.band = a.band AND z.sig = a.sig
+    WHERE z.g <= {_LSH_BUCKET_CAP}
+),
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+),
+near_dups AS (
+    SELECT DISTINCT doc_b AS doc_id
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+)
+SELECT doc_id FROM survivors
+WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
+"""
+
+
+@query("q_corpus_dedup_lsh_md5", oracle=_CORPUS_DEDUP_LSH_MD5_ORACLE)
+def q_corpus_dedup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-hashed twin of the SHIPPED composition (q_corpus_dedup_lsh):
+    exact stage -> banded MinHash LSH candidates -> exact-Jaccard verify
+    -> higher-id drop, end to end under one full value hash.
+
+    q_dedup_minhash_md5 value-hashes the band/candidate/verify machinery
+    in isolation; this twin value-hashes the COMPOSITION those stages
+    ship inside — the survivor semi-join feeding the signature aggregate,
+    the keep-policy anti-join consuming the verified pairs — so a wiring
+    bug between stages (e.g. banding the pre-dedup corpus, or anti-
+    joining on the wrong pair side) is caught by the oracle, not only by
+    the planted-composition test. Same plan as the production path
+    (q_corpus_dedup_lsh): min-aggregate exact stage, ONE groupBy band
+    aggregate over the survivor shingles, _candidate_pairs'
+    groupBy(band, sig) pair generation with the bucket cap,
+    _verify_candidates on the hashed shingle index. md5-lane min-hashes
+    (minhash_bands_md5) replace xxhash64 solely for engine portability;
+    xxhash64 stays the production signature."""
+    docs = table(spark, sf_dir, "documents")
+    # min-aggregate keep-lowest (see q_corpus_dedup): no per-hash sort
+    exact_survivors = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # bands draw from the UNHASHED survivor shingles (md5 lanes must see
+    # the same strings DuckDB does); verification joins the shared
+    # xxhash64 shingle index — set cardinalities agree (see _SHINGLE_SQL)
+    shs = _shingle_strings(docs).join(
+        exact_survivors.select("doc_id"), "doc_id", "semi"
+    )
+    sh = shingle_index(spark, sf_dir).join(
+        exact_survivors.select("doc_id"), "doc_id", "semi"
+    )
+    near_pairs = _verify_candidates(sh, _candidate_pairs(minhash_bands_md5(shs)))
+    near_dups = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact_survivors.select("doc_id").join(
+        near_dups, on="doc_id", how="left_anti"
+    )
+
+
 _INCR_SPLIT_FRAC = 0.8  # stand-in: first 80% of doc_ids are "the corpus"
 
 INCR_DEDUP_ORACLE = f"""

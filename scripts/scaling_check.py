@@ -119,6 +119,7 @@ AUDIT = [
     ("q_dedup_minhash_lsh", 1.35, "banded LSH: O(docs x bands) shuffle"),
     ("q_dedup_minhash_md5", 1.35, "oracle twin: same band/candidate/verify plan, md5-lane min-hashes"),
     ("q_corpus_dedup_lsh", 1.35, "the shippable dedup composition"),
+    ("q_corpus_dedup_lsh_md5", 1.35, "oracle twin: same composition plan, md5-lane band signatures"),
     ("q_cosine_topk", 1.35, "broadcast query side, corpus never shuffles"),
     ("q_knn_join_lsh", 1.35, "blocked ANN join, narrow candidates"),
     ("q_knn_join_lsh_md5", 1.35, "oracle twin: same blocked plan, exact-int quantized planes"),
@@ -339,6 +340,7 @@ DECADE_AUDIT = [
     ("q_dedup_minhash_lsh", 1.35, "banded LSH: 64-bit band signatures collide only on similarity -> candidates track near-dup pairs, linear on replica-local dups"),
     ("q_dedup_minhash_md5", 1.35, "oracle twin of the row above: identical band/candidate/verify plan over md5-lane min-hashes, same linearity claim"),
     ("q_corpus_dedup_lsh", 1.35, "shippable end-to-end dedup: md5 exact stage + banded candidates + verify"),
+    ("q_corpus_dedup_lsh_md5", 1.35, "oracle twin of the row above: identical composition over md5-lane bands, same linearity claim"),
     ("q_dedup_simhash", 2.2, "FIXED-granularity blocker: 8-bit chunks pigeonhole ~n^2/256 candidates on a decorrelated corpus; production widens chunks with corpus size (config, not plan) — measured against the declared pigeonhole bound"),
     ("q_dedup_simhash_md5", 2.2, "oracle twin of the row above: identical vote/chunk/Hamming plan over md5 bits, same declared pigeonhole bound"),
     ("q_knn_join_lsh", 2.2, "FIXED-granularity blocker: 6-plane buckets pigeonhole ~|q||n|/64 per table on isotropic data; production adds planes with corpus size — measured against the declared bound"),

@@ -360,22 +360,27 @@ def test_corpus_dedup_lsh_composition(spark, sf_dir, tmp_path):
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).write.parquet(str(tmp_path / "documents.parquet"))
-    lsh_survivors = {
-        r.doc_id
-        for r in REGISTRY["q_corpus_dedup_lsh"].fn(spark, str(tmp_path)).collect()
-    }
-    assert 1 in lsh_survivors and 4 in lsh_survivors
-    assert 2 not in lsh_survivors  # byte dup
-    assert 3 not in lsh_survivors  # near dup (jaccard 9/11 > 0.3, LSH-caught)
+    # xxhash64 production path AND the md5-lane oracle twin
+    # (q_corpus_dedup_lsh_md5, r13): same composition, so the planted
+    # drops are hash-function independent
+    for name in ("q_corpus_dedup_lsh", "q_corpus_dedup_lsh_md5"):
+        lsh_survivors = {
+            r.doc_id
+            for r in REGISTRY[name].fn(spark, str(tmp_path)).collect()
+        }
+        assert 1 in lsh_survivors and 4 in lsh_survivors, name
+        assert 2 not in lsh_survivors, name  # byte dup
+        assert 3 not in lsh_survivors, name  # near dup (9/11 > 0.3)
 
     # superset property on the real corpus
     exact = {
         r.doc_id for r in REGISTRY["q_corpus_dedup"].fn(spark, sf_dir).collect()
     }
-    lsh = {
-        r.doc_id for r in REGISTRY["q_corpus_dedup_lsh"].fn(spark, sf_dir).collect()
-    }
-    assert lsh >= exact
+    for name in ("q_corpus_dedup_lsh", "q_corpus_dedup_lsh_md5"):
+        lsh = {
+            r.doc_id for r in REGISTRY[name].fn(spark, sf_dir).collect()
+        }
+        assert lsh >= exact, name
 
 
 def test_embed_cosine_lsh_finds_planted_near_dups(spark, tmp_path):
