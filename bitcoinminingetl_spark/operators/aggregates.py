@@ -134,6 +134,13 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregate: (flag, status), (flag), () — grand total in
     one pass via Expand (each input row contributes to 3 grouping sets).
 
+    EMPTY-INPUT corner (pinned, found by the r13 fuzz grammar): over an
+    empty relation Spark's rollup/cube emit NOTHING where ANSI (and the
+    DuckDB oracle) emit the () grand-total row; the oracles here compare
+    over the never-empty fixture tables, and the behavior is pinned in
+    tests/test_properties.py::test_rollup_empty_input_pinned with the
+    exact HAVING count(*) > 0 encoding the fuzzer uses.
+
     bounded=True static range contract: l_quantity is DECIMAL(15,2) in
     [1, 50] by TPC-H schema, 12 orders of magnitude under the dsum poison
     bound — so the max(abs) guard leg is dropped. Through Expand that leg

@@ -17,6 +17,13 @@ then value-hash-compares the two with the driver's own canonicalization
 (`oracle_check.canon`: column-name set, row count, order-insensitive
 9-dp-rounded values — exactly the external driver's contract).
 
+r13 grammar widening (second pass, same determinism doctrine): ROLLUP /
+CUBE with GROUPING() markers (grouping-null vs data-null corners),
+semi/anti joins as EXISTS / NOT EXISTS (NULL-key anti-join 3VL), 3-table
+left-deep FK join chains (join reordering + two-hop NULL propagation),
+count(DISTINCT), COALESCE over outer-join columns, month/day extraction,
+UNION DISTINCT and INTERSECT ALL.
+
 Determinism doctrine (what keeps a fuzz failure a REAL divergence):
 - float SUM/AVG fragments route through the engine's own portable
   aggregate helpers (functions/numeric.dsum/davg + their *_sql twins) —
@@ -150,6 +157,15 @@ FK_EDGES = [
     ("supplier", "s_nationkey", "nation", "n_nationkey"),
 ]
 
+# two-hop chains for 3-table joins: consecutive edges sharing the middle
+# table (all column names are prefix-unique, so no qualification issues)
+FK_CHAINS = [
+    (e1, e2)
+    for e1 in FK_EDGES
+    for e2 in FK_EDGES
+    if e1[2] == e2[0] and e1[0] != e2[2]
+]
+
 
 @dataclass
 class Expr:
@@ -236,12 +252,28 @@ class Gen:
         if pick < 0.6:
             k = self.rng.randint(2, 9)
             return Expr(base.col * k, f"({base.sql} * {k})", base.dtype)
-        if pick < 0.8 and base.dtype == "int":
+        if pick < 0.75 and base.dtype == "int":
             k = self.rng.randint(2, 13)
             # pmod parity: Spark % and DuckDB % agree on non-negative
             # fixture keys; keep the operand non-negative via abs
             return Expr(
                 F.abs(base.col) % k, f"(abs({base.sql}) % {k})", "int"
+            )
+        if pick < 0.85:
+            # COALESCE over two numeric columns — the 3VL fragment that
+            # actually fires on outer-join NULL sides (r13 widening).
+            # Both operands cast to DOUBLE so the engines agree on the
+            # result type regardless of int/float mix.
+            other = self.col(tables, self.rng.choice(["int", "float"]))
+            if other is None:
+                return base
+            return Expr(
+                F.coalesce(
+                    base.col.cast("double"), other.col.cast("double")
+                ),
+                f"coalesce(CAST({base.sql} AS DOUBLE),"
+                f" CAST({other.sql} AS DOUBLE))",
+                "float",
             )
         cond = self.bool_expr(tables, depth + 1)
         other = self.num_expr(tables, depth + 1)
@@ -280,8 +312,9 @@ class Gen:
         else:
             e = self.str_expr(tables)
         if e is not None and e.dtype == "ts":
-            return Expr(F.year(e.col).cast("long"),
-                        f"CAST(year({e.sql}) AS BIGINT)", "int")
+            part = self.rng.choice(["year", "month", "day"])
+            return Expr(getattr(F, part)(e.col).cast("long"),
+                        f"CAST({part}({e.sql}) AS BIGINT)", "int")
         return e
 
     def bool_expr(self, tables: list[str], depth: int = 0) -> Expr | None:
@@ -374,13 +407,24 @@ class Gen:
             return Expr(
                 F.count(F.lit(1)).alias(alias), f"count(*) AS {alias}", "int"
             )
-        if pick < 0.35:
+        if pick < 0.3:
             e = self.col(tables)
             if e is None:
                 return None
             return Expr(
                 F.count(e.col).alias(alias),
                 f"count({e.sql}) AS {alias}",
+                "int",
+            )
+        if pick < 0.4:
+            # exact distinct count (r13 widening): exercises Spark's
+            # distinct-aggregate expand rewrite vs DuckDB's native path
+            e = self.col(tables, self.rng.choice(["int", "str"]))
+            if e is None:
+                return None
+            return Expr(
+                F.count_distinct(e.col).alias(alias),
+                f"count(DISTINCT {e.sql}) AS {alias}",
                 "int",
             )
         if pick < 0.55:
@@ -422,20 +466,43 @@ class Gen:
 
     # -- query shapes ------------------------------------------------------
 
+    _SQL_HOW = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "right": "RIGHT JOIN",
+        "full": "FULL JOIN",
+    }
+
     def _from_clause(self) -> tuple[list[str], "callable", str]:
-        """A FROM fragment: either one table or an FK join (inner / left /
-        right / full). Returns (visible tables, spark_df builder, sql)."""
-        if self.rng.random() < 0.45:
+        """A FROM fragment: one table, an FK join (inner / left / right /
+        full), or (r13) a 3-table left-deep FK chain with independent
+        join types per hop. Returns (visible tables, spark_df builder,
+        sql). Both engines evaluate the chain left-deep with per-hop ON
+        conditions, so mixed outer types are semantics-identical."""
+        pick = self.rng.random()
+        if pick < 0.4:
             t = self.rng.choice(list(CATALOG))
             return [t], (lambda env: env[t]), t
+        if pick < 0.55:
+            (t1, k1, t2, k2), (_, k3, t3, k4) = self.rng.choice(FK_CHAINS)
+            how1 = self.rng.choice(["inner", "left", "right", "full"])
+            how2 = self.rng.choice(["inner", "left", "inner"])
+
+            def build(env):
+                return (
+                    env[t1]
+                    .join(env[t2], on=env[t1][k1] == env[t2][k2], how=how1)
+                    .join(env[t3], on=env[t2][k3] == env[t3][k4], how=how2)
+                )
+
+            return (
+                [t1, t2, t3],
+                build,
+                f"{t1} {self._SQL_HOW[how1]} {t2} ON {t1}.{k1} = {t2}.{k2}"
+                f" {self._SQL_HOW[how2]} {t3} ON {t2}.{k3} = {t3}.{k4}",
+            )
         lt, lk, rt, rk = self.rng.choice(FK_EDGES)
         how = self.rng.choice(["inner", "left", "right", "full", "inner"])
-        sql_how = {
-            "inner": "JOIN",
-            "left": "LEFT JOIN",
-            "right": "RIGHT JOIN",
-            "full": "FULL JOIN",
-        }[how]
 
         def build(env):
             return env[lt].join(
@@ -445,18 +512,22 @@ class Gen:
         return (
             [lt, rt],
             build,
-            f"{lt} {sql_how} {rt} ON {lt}.{lk} = {rt}.{rk}",
+            f"{lt} {self._SQL_HOW[how]} {rt} ON {lt}.{lk} = {rt}.{rk}",
         )
 
     def gen_query(self) -> tuple["callable", str] | None:
         tables, build_from, from_sql = self._from_clause()
         where = self.bool_expr(tables) if self.rng.random() < 0.8 else None
         shape = self.rng.random()
-        if shape < 0.4:
+        if shape < 0.3:
             return self._gen_agg(tables, build_from, from_sql, where)
-        if shape < 0.6:
+        if shape < 0.42:
+            return self._gen_rollup(tables, build_from, from_sql, where)
+        if shape < 0.58:
             return self._gen_window(tables, build_from, from_sql, where)
-        if shape < 0.75 and len(tables) == 1:
+        if shape < 0.68:
+            return self._gen_semijoin()
+        if shape < 0.78 and len(tables) == 1:
             return self._gen_setop(tables[0])
         return self._gen_project(tables, build_from, from_sql, where)
 
@@ -551,6 +622,104 @@ class Gen:
             sql = f"SELECT * FROM ({sql}) WHERE a0 >= {having}"
         return build, sql
 
+    def _gen_rollup(self, tables, build_from, from_sql, where):
+        """ROLLUP / CUBE over 1–2 low-card keys with GROUPING() markers
+        (r13 widening): exercises grouping-null vs data-null separation —
+        the marker columns pin WHICH null is which, so an engine folding
+        a data-NULL key into the subtotal row hashes differently."""
+        keys = [c for t in tables for c in CATALOG[t]["lowcard"]]
+        self.rng.shuffle(keys)
+        keys = keys[: self.rng.randint(1, 2)]
+        op = self.rng.choice(["rollup", "cube"])
+        aggs = []
+        for _ in range(self.rng.randint(1, 2)):
+            a = self.agg_expr(tables, f"a{len(aggs)}")
+            if a is not None:
+                aggs.append(a)
+        if not aggs:
+            return None
+
+        def build(env):
+            df = build_from(env)
+            if where is not None:
+                df = df.filter(where.col)
+            grouped = (
+                df.rollup(*[F.col(k) for k in keys])
+                if op == "rollup"
+                else df.cube(*[F.col(k) for k in keys])
+            )
+            return grouped.agg(
+                *[
+                    F.grouping(F.col(k)).cast("long").alias(f"g{i}")
+                    for i, k in enumerate(keys)
+                ],
+                *[a.col for a in aggs],
+            )
+
+        sel = ", ".join(
+            keys
+            + [
+                f"CAST(grouping({k}) AS BIGINT) AS g{i}"
+                for i, k in enumerate(keys)
+            ]
+            + [a.sql for a in aggs]
+        )
+        w = f" WHERE {where.sql}" if where is not None else ""
+        # EMPTY-INPUT PIN (found by this grammar's first run, i=15/158):
+        # ANSI/DuckDB emit the () grouping set's grand-total row even
+        # over zero input rows; Spark's rollup/cube emit NOTHING on an
+        # empty relation (unlike its own global groupBy().agg(), which
+        # does emit the row). HAVING count(*) > 0 encodes Spark's
+        # behavior exactly: every grouping-set row over non-empty input
+        # aggregates >= 1 rows, so the guard only ever removes the
+        # empty-input grand-total row. Pinned in
+        # tests/test_properties.py::test_rollup_empty_input_pinned.
+        sql = (
+            f"SELECT {sel} FROM {from_sql}{w} GROUP BY {op.upper()} ("
+            + ", ".join(keys)
+            + ") HAVING count(*) > 0"
+        )
+        return build, sql
+
+    def _gen_semijoin(self):
+        """Semi / anti join as EXISTS / NOT EXISTS over an FK edge (r13
+        widening): the NOT EXISTS + NULL-key corner is exactly where
+        left_anti and NOT IN diverge, so value-hashing Spark's
+        semi/anti against DuckDB's EXISTS pins the 3VL the engine's own
+        join operators rely on."""
+        lt, lk, rt, rk = self.rng.choice(FK_EDGES)
+        anti = self.rng.random() < 0.5
+        inner = self.bool_expr([rt]) if self.rng.random() < 0.5 else None
+        where = self.bool_expr([lt]) if self.rng.random() < 0.6 else None
+        cols = list(CATALOG[lt]["pk"]) + [
+            c for c in CATALOG[lt]["lowcard"] if c not in CATALOG[lt]["pk"]
+        ][:1]
+
+        def build(env):
+            r = env[rt]
+            if inner is not None:
+                r = r.filter(inner.col)
+            df = env[lt]
+            if where is not None:
+                df = df.filter(where.col)
+            return df.join(
+                r,
+                on=df[lk] == r[rk],
+                how="left_anti" if anti else "left_semi",
+            ).select(*[F.col(c) for c in cols])
+
+        pred = f"{rt}.{rk} = {lt}.{lk}"
+        if inner is not None:
+            pred += f" AND {inner.sql}"
+        exists = f"EXISTS (SELECT 1 FROM {rt} WHERE {pred})"
+        if anti:
+            exists = f"NOT {exists}"
+        w = f"{where.sql} AND " if where is not None else ""
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {lt} WHERE {w}{exists}"
+        )
+        return build, sql
+
     def _gen_window(self, tables, build_from, from_sql, where):
         part_opts = [c for t in tables for c in CATALOG[t]["lowcard"]]
         part = self.rng.choice(part_opts)
@@ -639,21 +808,29 @@ class Gen:
             for c in CATALOG[t]["lowcard"]
             if c not in CATALOG[t]["pk"]
         ][:1]
-        op = self.rng.choice(["union_all", "intersect", "except"])
+        op = self.rng.choice(
+            ["union_all", "union", "intersect", "intersect_all", "except"]
+        )
 
         def build(env):
             d1 = env[t].filter(a.col).select(*[F.col(c) for c in cols])
             d2 = env[t].filter(b.col).select(*[F.col(c) for c in cols])
             if op == "union_all":
                 return d1.unionAll(d2)
+            if op == "union":
+                return d1.union(d2).distinct()
             if op == "intersect":
                 return d1.intersect(d2)
+            if op == "intersect_all":
+                return d1.intersectAll(d2)
             return d1.exceptAll(d2)
 
         sel = ", ".join(cols)
         sql_op = {
             "union_all": "UNION ALL",
+            "union": "UNION",
             "intersect": "INTERSECT",
+            "intersect_all": "INTERSECT ALL",
             "except": "EXCEPT ALL",
         }[op]
         sql = (
@@ -748,7 +925,7 @@ def run_fuzz(spark, sf_dir: str, seed: int, n: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=1303)
-    ap.add_argument("--n", type=int, default=150)
+    ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 

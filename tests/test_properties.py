@@ -361,3 +361,22 @@ def test_dsum_poison_is_partitioning_invariant(spark):
             for r in df.groupBy("k").agg(dsum(F.col("v")).alias("s")).collect()
         }
         assert got == {"a": None, "b": 7.5}, parts
+
+
+def test_rollup_empty_input_pinned(spark):
+    """PINNED upstream-Spark corner (found by scripts/query_fuzz.py's r13
+    grammar, divergences i=15/158): ANSI SQL — and DuckDB — emit the ()
+    grouping set's grand-total row even over an EMPTY relation; Spark's
+    rollup/cube emit nothing, while Spark's own global groupBy().agg()
+    does emit the row. The fuzzer's DuckDB twin encodes this with
+    HAVING count(*) > 0 (exact: every grouping-set row over non-empty
+    input aggregates >= 1 rows). If an upstream Spark release makes
+    rollup ANSI-conformant, this test fails and the fuzzer guard (and
+    this pin) should be dropped together."""
+    df = spark.createDataFrame([("a", 1)], "k string, v int").filter("v > 99")
+    assert df.rollup("k").agg(F.count("v").alias("c")).collect() == []
+    assert df.cube("k").agg(F.count("v").alias("c")).collect() == []
+    # the contrast that makes this a corner, not a convention: global
+    # aggregation over the same empty relation DOES produce one row
+    [row] = df.groupBy().agg(F.count("v").alias("c")).collect()
+    assert row.c == 0
