@@ -1017,6 +1017,8 @@ def dedup_embed_cosine_lsh(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = _COSINE_LSH_THRESHOLD,
+    bucket_udf=None,
+    require_label: bool = False,
 ) -> DataFrame:
     """The 100 TB embedding near-dup path: label blocks sub-bucketed by
     multi-table sign-bit LSH, then EXACT cosine verification on
@@ -1044,30 +1046,47 @@ def dedup_embed_cosine_lsh(
     the exact pair set is not guaranteed; the planted-fixture test
     (test_embed_cosine_lsh_finds_planted_near_dups) pins recall on
     deterministic seeded planes, and a subset-of-exact test pins the
-    one-sided error direction."""
+    one-sided error direction.
+
+    ``bucket_udf`` swaps the sign-plane assignment (default: the seeded
+    float planes below) so the md5-quantized oracle twin
+    (q_dedup_embed_cosine_lsh_md5) runs the IDENTICAL plan — the same
+    parametrization _knn_lsh_pairs uses. ``require_label`` drops
+    NULL-label vectors up front: struct-grouping puts NULL labels in
+    ONE sub-bucketed block (production behavior — unlabeled vectors
+    still dedup against each other), but the oracle-hashed twins join
+    blocks with SQL equality where NULL ≠ NULL, so the twin excludes
+    them to keep both engines on the exact twin's equality semantics."""
     from pyspark.sql.functions import pandas_udf
 
     emb = normed_embeddings(spark, sf_dir)
+    if require_label:
+        emb = emb.filter(F.col("label").isNotNull())
 
-    @pandas_udf("array<long>")
-    def lsh_buckets(embedding: pd.Series) -> pd.Series:
-        # All TABLES×BITS plane projections in ONE numpy matmul per Arrow
-        # batch — the HOF-per-plane form evaluates 24 interpreted array
-        # aggregates per row and benches ~5× slower at sf0.1.
-        import numpy as np
+    if bucket_udf is None:
 
-        planes = np.asarray(_emb_planes())  # (T, B, D)
-        t, b, d = planes.shape
-        x = np.vstack(embedding.to_numpy())  # (n, D)
-        bits = (x @ planes.reshape(t * b, d).T) >= 0  # (n, T*B)
-        buckets = bits.reshape(len(x), t, b) @ (1 << np.arange(b))  # (n, T)
-        return pd.Series(list(buckets.astype("int64")))
+        @pandas_udf("array<long>")
+        def lsh_buckets(embedding: pd.Series) -> pd.Series:
+            # All TABLES×BITS plane projections in ONE numpy matmul per
+            # Arrow batch — the HOF-per-plane form evaluates 24
+            # interpreted array aggregates per row and benches ~5×
+            # slower at sf0.1.
+            import numpy as np
+
+            planes = np.asarray(_emb_planes())  # (T, B, D)
+            t, b, d = planes.shape
+            x = np.vstack(embedding.to_numpy())  # (n, D)
+            bits = (x @ planes.reshape(t * b, d).T) >= 0  # (n, T*B)
+            buckets = bits.reshape(len(x), t, b) @ (1 << np.arange(b))
+            return pd.Series(list(buckets.astype("int64")))
+
+        bucket_udf = lsh_buckets
 
     bands = (
         emb.select(
             F.col("vec_id").alias("doc_id"),
             "label",
-            F.posexplode(lsh_buckets(F.col("embedding"))).alias("band", "bucket"),
+            F.posexplode(bucket_udf(F.col("embedding"))).alias("band", "bucket"),
         )
         .select(
             "doc_id",
@@ -1123,6 +1142,160 @@ def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic, so oracle-hash agreement with the exact pair set is
     not guaranteed."""
     return dedup_embed_cosine_lsh(spark, sf_dir, threshold=_COSINE_THRESHOLD)
+
+
+# --- md5-quantized twin of the sub-bucket machinery ----------------------
+
+# Quantization scale for the md5-plane twin (the q_knn_join_lsh_md5
+# doctrine, similarity.py): one double multiply + floor per element —
+# IEEE-identical in numpy and DuckDB — then every bucket dot is exact
+# int64 (max |dot| ~ 64 dims * 1e6 * 128 ≈ 8.2e9, far under the edge).
+_EMB_Q_SCALE = 1_000_000.0
+_EMB_FLOOR_SAFE = float(2**63)
+
+
+def _emb_plane_ints() -> list[list[int]]:
+    """(tables*bits) integer hyperplanes from md5 bytes (first byte of
+    md5('embplane|t|b|d') - 128 ∈ [-128, 127]) — engine-portable by
+    CONSTRUCTION: Python-computed constants embedded as literals in
+    both the UDF closure and the DuckDB oracle text."""
+    import hashlib
+
+    return [
+        [
+            hashlib.md5(f"embplane|{t}|{b}|{d}".encode()).digest()[0] - 128
+            for d in range(64)
+        ]
+        for t in range(_EMB_LSH_TABLES)
+        for b in range(_EMB_LSH_BITS)
+    ]
+
+
+def _emb_bucket_udf_md5():
+    """md5-plane twin of the default sign-bucket UDF — SAME Arrow-batched
+    numpy matmul plan over exact int64 arithmetic: embeddings quantize
+    to floor(v·1e6) int64 under the floor_long guard (overflow/NaN/Inf
+    components contribute 0, identically in both engines), planes are
+    small ints, so bucket assignment cannot disagree with the oracle's
+    per-element list_reduce fold."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_emb_plane_ints(), dtype=np.int64)  # (T*B, 64)
+    weights = (2 ** np.arange(_EMB_LSH_BITS)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(embedding: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = np.vstack(embedding.to_numpy()).astype(np.float64)  # (n, D)
+        X = V * _EMB_Q_SCALE
+        ok = np.abs(X) < _EMB_FLOOR_SAFE  # False for NaN/Inf/overflow
+        Q = np.floor(np.where(ok, X, 0.0)).astype(np.int64)
+        bits = (Q @ planes.T >= 0).astype(np.int64)  # exact int64 dots
+        per_table = bits.reshape(len(V), _EMB_LSH_TABLES, _EMB_LSH_BITS)
+        return pd.Series(list(per_table @ weights))
+
+    return buckets
+
+
+def _emb_md5_bucket_sql(t: int) -> str:
+    """DuckDB bucket expression for sub-bucket table `t` over the
+    quantized vector column `q`: sum of 2^b sign bits of exact int64
+    plane dots (mirrors _knn_md5_bucket_sql)."""
+    planes = _emb_plane_ints()
+    terms = []
+    for b in range(_EMB_LSH_BITS):
+        w = planes[t * _EMB_LSH_BITS + b]
+        lit = "[" + ", ".join(str(x) for x in w) + "]"
+        dot = (
+            "list_reduce(list_transform(generate_series(1, len(q)), "
+            f"i -> q[i] * ({lit})[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {2 ** b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+# DuckDB twin of q_dedup_embed_cosine_lsh_md5: quantize -> per-table
+# sign buckets -> candidates sharing (table, label, bucket) under the
+# bucket cap -> exact decimal-rounded cosine verify at the demo
+# threshold. Label blocks join with SQL equality (NULL labels excluded
+# on both sides — see dedup_embed_cosine_lsh's require_label note).
+_EMB_LSH_MD5_ORACLE = f"""
+WITH base AS (
+    SELECT e.vec_id, e.label, e.embedding FROM embeddings e
+    WHERE {_usable_norm_sql('e')} AND e.label IS NOT NULL
+),
+qv AS (
+    -- floor_long doctrine: scaled components at/past 2^63 (incl.
+    -- NaN/Inf, which compare not-less-than the bound) quantize to 0 —
+    -- matching the UDF's mask exactly; an unguarded CAST raises here
+    SELECT vec_id, label,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          v -> CASE WHEN abs(v * {_EMB_Q_SCALE!r})
+                                        < 9223372036854775808.0
+                                    THEN CAST(floor(v * {_EMB_Q_SCALE!r})
+                                              AS BIGINT)
+                                    ELSE 0 END) AS q
+    FROM base
+),
+bk AS (
+    {' UNION ALL '.join(
+        f"SELECT vec_id, label, {t} AS tbl, {{BKT{t}}} AS bkt FROM qv"
+        for t in range(_EMB_LSH_TABLES)
+    )}
+),
+bsz AS (
+    SELECT tbl, label, bkt, count(*) AS g FROM bk GROUP BY 1, 2, 3
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bk a
+    JOIN bk b ON a.tbl = b.tbl AND a.label = b.label AND a.bkt = b.bkt
+             AND a.vec_id < b.vec_id
+    JOIN bsz z ON z.tbl = a.tbl AND z.label = a.label AND z.bkt = a.bkt
+    WHERE z.g <= {_LSH_BUCKET_CAP}
+),
+scored AS (
+    SELECT c.vec_a, c.vec_b, a.label,
+           {roundn_sql(f'{_DOT_SQL} / ({_norm_sql("a")} * {_norm_sql("b")})', 6)}
+               AS cosine
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.vec_a
+    JOIN embeddings b ON b.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, label, cosine FROM scored
+WHERE cosine >= {_COSINE_THRESHOLD}
+""".format(**{
+    f"BKT{t}": _emb_md5_bucket_sql(t) for t in range(_EMB_LSH_TABLES)
+})
+
+
+@query("q_dedup_embed_cosine_lsh_md5", oracle=_EMB_LSH_MD5_ORACLE)
+def q_dedup_embed_cosine_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-hashed twin of the embedding near-dup sub-bucket machinery:
+    the EXACT label-block × multi-table sign-bucket × exact-verify
+    composition of q_dedup_embed_cosine_lsh (same dedup_embed_cosine_lsh
+    body, same _candidate_pairs groupBy skeleton, same bucket cap, same
+    decimal-rounded cosine verify), with the float-order verdict
+    eliminated the q_knn_join_lsh_md5 way: md5-derived integer planes ×
+    floor(v·1e6)-quantized int64 embeddings make every bucket dot exact
+    integer arithmetic, bit-identical to the DuckDB oracle's list_reduce
+    fold. q_knn_join_lsh_md5 value-hashes the family's plane-bucket +
+    re-rank skeleton; this twin value-hashes the machinery UNIQUE to the
+    dedup member — the (label, bucket) struct sub-blocking and the
+    candidate-pair verify against the label-quadratic exact twin's
+    semantics. The seeded float planes stay the production path (no
+    quantization pass on the hot scan); NULL-label vectors are excluded
+    here to match the exact twin's SQL-equality block semantics (the
+    production path keeps them in one block — require_label note)."""
+    return dedup_embed_cosine_lsh(
+        spark,
+        sf_dir,
+        threshold=_COSINE_THRESHOLD,
+        bucket_udf=_emb_bucket_udf_md5(),
+        require_label=True,
+    )
 
 
 

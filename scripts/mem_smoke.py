@@ -58,6 +58,7 @@ GUARDED = [
     "q_corpus_dedup_lsh_md5",    # oracle twin: same composition (r13)
     "q_dedup_simhash",           # chunk blocking
     "q_dedup_embed_cosine_lsh",  # sign-bit sub-buckets inside the block
+    "q_dedup_embed_cosine_lsh_md5",  # oracle twin: same sub-buckets (r13)
     "q_semdedup",                # cluster-size cap
     "q_knn_join_lsh",            # narrow-id candidate relation
     "q_knn_join_lsh_md5",        # oracle twin: same narrow-id relation (r13)

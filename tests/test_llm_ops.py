@@ -446,17 +446,20 @@ def test_embed_cosine_lsh_subset_on_sf_fixture(spark, sf_dir):
     fixture (the production 0.9 matched zero pairs at sf0.01, so the
     driver's rows-only gate proved nothing), and that set must be a
     subset of the exact twin's — one-sided error on the very data the
-    driver hashes."""
-    lsh = {
-        (r.vec_a, r.vec_b)
-        for r in REGISTRY["q_dedup_embed_cosine_lsh"].fn(spark, sf_dir).collect()
-    }
+    driver hashes. Covers the float-plane production path AND the
+    md5-quantized oracle twin (q_dedup_embed_cosine_lsh_md5, r13) —
+    the subset + non-vacuity properties are plane-independent."""
     exact = {
         (r.vec_a, r.vec_b)
         for r in REGISTRY["q_dedup_embed_cosine"].fn(spark, sf_dir).collect()
     }
-    assert lsh, "registered LSH threshold must fire on the sf fixture"
-    assert lsh <= exact
+    for name in ("q_dedup_embed_cosine_lsh", "q_dedup_embed_cosine_lsh_md5"):
+        lsh = {
+            (r.vec_a, r.vec_b)
+            for r in REGISTRY[name].fn(spark, sf_dir).collect()
+        }
+        assert lsh, f"{name}: registered threshold must fire on the fixture"
+        assert lsh <= exact, name
 
 
 def test_dedup_clusters_chain_convergence(spark, tmp_path):
