@@ -8,7 +8,7 @@ This is the measured counterpart to PLANS.md's structural argument: a
 plan whose shape is right for 100 TB should show alpha <= ~1 at the
 scales we can actually run (sub-linear when constant overhead still
 amortizes, ~linear when the scan dominates). A super-linear alpha
-(>1.35, margin for noise on sub-second timings) means the operator's
+(>1.1 since r13 — see LINEAR_BAND's derivation) means the operator's
 cost is growing faster than its input — the thing that kills a 100×
 scale-up — and fails the audit.
 
@@ -28,9 +28,9 @@ measured: the declared-quadratic ngram twin collapsed from 3.7 s to
 0.1 s, vacuously passing every bound. The second pass instead runs
 behind spark.catalog.clearCache(), replaying the exact same
 cold-relation discipline, so the min compares two equivalent
-measurements of the same work. The 1.35 linear-band margin keeps its
-single-run sizing until a couple of min-based rounds justify
-tightening it.
+measurements of the same work. With two min-based rounds of scatter
+and alpha evidence on file, the linear band is retightened to
+LINEAR_BAND = 1.1 (derivation at its definition).
 
 Run: python scripts/scaling_check.py   (rewrites SCALING.md, exits 1 on
 any exponent violation). ~40 min at 2 reps: the sf1eq decade legs (the
@@ -68,9 +68,9 @@ def _min_over_passes(spark, cells, run_cell) -> tuple[dict, dict]:
 
     Returns (per-cell min, per-cell list of ALL pass times). The
     all-pass times feed SCALING.md's scatter section (r12 ADVICE item
-    3): the 1.35 linear band keeps its single-run sizing until a couple
-    of min-based rounds put the retightening evidence on file — this IS
-    that evidence, accumulated per committed SCALING.md."""
+    3): this scatter record was the evidence base for r13's
+    LINEAR_BAND retightening (1.35 -> 1.1) and keeps accruing per
+    committed SCALING.md so future retightenings stay measured."""
     best: dict = {}
     all_times: dict = {key: [] for key in cells}
     for p in range(TIMING_REPS):
@@ -106,142 +106,156 @@ def _scatter_stats(all_times: dict) -> tuple[float, float, float, int]:
     p90 = rel[min(len(rel) - 1, int(0.9 * len(rel)))]
     return med, p90, rel[-1], len(rel)
 
+# Linear-claim exponent band for the 3-SF audit (sf0.01 -> sf0.1 upper
+# decade). RETIGHTENED 1.35 -> 1.1 in r13 per the r12 ADVICE plan, on
+# two consecutive min-of-reps rounds of evidence now on file in
+# SCALING.md's scatter section and audit tables: max fitted alpha over
+# the 136 (r12) / 140 (r13) linear rows was 0.77 / 0.74, with
+# round-over-round drift <= 0.06 on every top row — 1.1 keeps > 0.33
+# headroom (5x the drift) while closing the gap a borderline-
+# quadratic plan (alpha ~1.3) could previously hide in. The sf0.1 ->
+# sf1eq DECADE_AUDIT band stays 1.35: its legs carry fixed fit/
+# lifecycle floors and measured linear alphas reach 0.89 there
+# (semdedup_scaledk), so the same margin arithmetic lands at ~1.35.
+LINEAR_BAND = 1.1
+
 # (query, declared exponent bound, why)
 AUDIT = [
-    ("q_window_join", 1.35, "flagship: two windowed aggs + join — linear scan-bound"),
-    ("q_avg_grouped", 1.35, "partial-agg around one exchange"),
-    ("q_join_inner", 1.35, "fact join, AQE-owned"),
-    ("q_join_broadcast", 1.35, "broadcast dim — fact side linear"),
-    ("q_topk_per_group", 1.35, "rank window per key"),
-    ("q_tpch_local_supplier_volume", 1.35, "6-table snowflake, dims broadcast"),
-    ("q_tpch_returned_items", 1.35, "selective fact agg + broadcast attach"),
-    ("q_dedup_exact", 1.35, "hash aggregate"),
-    ("q_dedup_minhash_lsh", 1.35, "banded LSH: O(docs x bands) shuffle"),
-    ("q_dedup_minhash_md5", 1.35, "oracle twin: same band/candidate/verify plan, md5-lane min-hashes"),
-    ("q_corpus_dedup_lsh", 1.35, "the shippable dedup composition"),
-    ("q_corpus_dedup_lsh_md5", 1.35, "oracle twin: same composition plan, md5-lane band signatures"),
-    ("q_cosine_topk", 1.35, "broadcast query side, corpus never shuffles"),
-    ("q_knn_join_lsh", 1.35, "blocked ANN join, narrow candidates"),
-    ("q_knn_join_lsh_md5", 1.35, "oracle twin: same blocked plan, exact-int quantized planes"),
-    ("q_dup_span_stats", 1.35, "gram agg + skew-aware flag join"),
-    ("q_tokenize_to_ids", 1.35, "vocab broadcast + one doc shuffle"),
-    ("q_unigram_logprob", 1.35, "tf agg + token join"),
-    ("q_text_stats", 1.35, "map-only scan"),
-    ("q_surrogate_key_dist", 1.35, "sketch-bucket ranks, no global window"),
-    ("q_sessionize", 1.35, "keyed lag window"),
-    ("q_curation_funnel", 1.35, "fused funnel: 2 windows + shingle semi-join"),
-    ("q_snapshot_diff", 1.35, "one full-outer key join, unchanged filtered"),
-    ("q_hybrid_rrf", 1.35, "two TakeOrdered pools + tiny fusion aggregate"),
+    ("q_window_join", LINEAR_BAND, "flagship: two windowed aggs + join — linear scan-bound"),
+    ("q_avg_grouped", LINEAR_BAND, "partial-agg around one exchange"),
+    ("q_join_inner", LINEAR_BAND, "fact join, AQE-owned"),
+    ("q_join_broadcast", LINEAR_BAND, "broadcast dim — fact side linear"),
+    ("q_topk_per_group", LINEAR_BAND, "rank window per key"),
+    ("q_tpch_local_supplier_volume", LINEAR_BAND, "6-table snowflake, dims broadcast"),
+    ("q_tpch_returned_items", LINEAR_BAND, "selective fact agg + broadcast attach"),
+    ("q_dedup_exact", LINEAR_BAND, "hash aggregate"),
+    ("q_dedup_minhash_lsh", LINEAR_BAND, "banded LSH: O(docs x bands) shuffle"),
+    ("q_dedup_minhash_md5", LINEAR_BAND, "oracle twin: same band/candidate/verify plan, md5-lane min-hashes"),
+    ("q_corpus_dedup_lsh", LINEAR_BAND, "the shippable dedup composition"),
+    ("q_corpus_dedup_lsh_md5", LINEAR_BAND, "oracle twin: same composition plan, md5-lane band signatures"),
+    ("q_cosine_topk", LINEAR_BAND, "broadcast query side, corpus never shuffles"),
+    ("q_knn_join_lsh", LINEAR_BAND, "blocked ANN join, narrow candidates"),
+    ("q_knn_join_lsh_md5", LINEAR_BAND, "oracle twin: same blocked plan, exact-int quantized planes"),
+    ("q_dup_span_stats", LINEAR_BAND, "gram agg + skew-aware flag join"),
+    ("q_tokenize_to_ids", LINEAR_BAND, "vocab broadcast + one doc shuffle"),
+    ("q_unigram_logprob", LINEAR_BAND, "tf agg + token join"),
+    ("q_text_stats", LINEAR_BAND, "map-only scan"),
+    ("q_surrogate_key_dist", LINEAR_BAND, "sketch-bucket ranks, no global window"),
+    ("q_sessionize", LINEAR_BAND, "keyed lag window"),
+    ("q_curation_funnel", LINEAR_BAND, "fused funnel: 2 windows + shingle semi-join"),
+    ("q_snapshot_diff", LINEAR_BAND, "one full-outer key join, unchanged filtered"),
+    ("q_hybrid_rrf", LINEAR_BAND, "two TakeOrdered pools + tiny fusion aggregate"),
     # r4 VERDICT item 5: every query >= 1.5 s at sf0.1 joins the audit
-    ("q_resample_interpolate", 1.35, "bucket agg persisted once; spine+windows O(streams x buckets)"),
-    ("q_ewma_smooth", 1.35, "keyed ordered window, one exchange"),
-    ("q_collation_ci", 1.35, "single collated hash aggregate (comparator folds case in-agg)"),
-    ("q_decontaminate", 1.35, "one shingle pass + 8-byte-key equi-join"),
-    ("q_dedup_simhash", 1.35, "chunk-blocked candidates + popcount verify"),
-    ("q_dedup_simhash_md5", 1.35, "oracle twin: same chunk-blocked plan, md5+conv token bits"),
-    ("q_dedup_clusters", 1.35, "pointer-jumping CC: O(log diameter) rounds, linear per round"),
-    ("q_bpe_train", 1.35, "corpus touched once; merge rounds run on the vocab relation"),
-    ("q_ann_ivf_kmeans", 1.35, "KMeans per-fit amortized; probe join broadcast"),
-    ("q_semdedup", 1.35, "quantizer fit + cluster-cap-bounded within-cell pairs"),
-    ("q_cluster_keywords", 1.35, "fit + vocab-cardinality lift joins; corpus tokenized once"),
+    ("q_resample_interpolate", LINEAR_BAND, "bucket agg persisted once; spine+windows O(streams x buckets)"),
+    ("q_ewma_smooth", LINEAR_BAND, "keyed ordered window, one exchange"),
+    ("q_collation_ci", LINEAR_BAND, "single collated hash aggregate (comparator folds case in-agg)"),
+    ("q_decontaminate", LINEAR_BAND, "one shingle pass + 8-byte-key equi-join"),
+    ("q_dedup_simhash", LINEAR_BAND, "chunk-blocked candidates + popcount verify"),
+    ("q_dedup_simhash_md5", LINEAR_BAND, "oracle twin: same chunk-blocked plan, md5+conv token bits"),
+    ("q_dedup_clusters", LINEAR_BAND, "pointer-jumping CC: O(log diameter) rounds, linear per round"),
+    ("q_bpe_train", LINEAR_BAND, "corpus touched once; merge rounds run on the vocab relation"),
+    ("q_ann_ivf_kmeans", LINEAR_BAND, "KMeans per-fit amortized; probe join broadcast"),
+    ("q_semdedup", LINEAR_BAND, "quantizer fit + cluster-cap-bounded within-cell pairs"),
+    ("q_cluster_keywords", LINEAR_BAND, "fit + vocab-cardinality lift joins; corpus tokenized once"),
     # r11 widening: four queries crossed the 1.0 s threshold in a
     # noisy snapshot bench — audited for growth shape on arrival
-    ("q_tfidf_terms", 1.35, "explode + two hash aggs; tiny df relation broadcast back"),
-    ("q_tpch_discounted_revenue", 1.35, "TPC-H Q19: disjunctive predicate windows broadcast onto one fact pass"),
-    ("q_tpch_small_qty_revenue", 1.35, "TPC-H Q17: per-part avg-qty aggregate broadcast back onto the fact"),
-    ("q_tpch_sales_opportunity", 1.35, "TPC-H Q22: decorrelated scalar subquery + anti-join, customer-keyed"),
+    ("q_tfidf_terms", LINEAR_BAND, "explode + two hash aggs; tiny df relation broadcast back"),
+    ("q_tpch_discounted_revenue", LINEAR_BAND, "TPC-H Q19: disjunctive predicate windows broadcast onto one fact pass"),
+    ("q_tpch_small_qty_revenue", LINEAR_BAND, "TPC-H Q17: per-part avg-qty aggregate broadcast back onto the fact"),
+    ("q_tpch_sales_opportunity", LINEAR_BAND, "TPC-H Q22: decorrelated scalar subquery + anti-join, customer-keyed"),
     # ... plus the 0.75-1.0 s band of the SAME noisy snapshot bench
     # that admitted the four above
-    ("q_join_range", 1.35, "time-band join: user_id equi conjunct drives the hash join, band is residual"),
-    ("q_approx_percentiles", 1.35, "GK sketch per key: mergeable per-partition state, one narrow exchange"),
-    ("q_rolling_distinct_users", 1.35, "dedup to (user, day) then x7 contribution explode on the tiny distinct relation"),
-    ("q_split_decontaminate", 1.35, "split-aware 13-gram decontamination: shared shingle index, 8-byte-key equi-join"),
+    ("q_join_range", LINEAR_BAND, "time-band join: user_id equi conjunct drives the hash join, band is residual"),
+    ("q_approx_percentiles", LINEAR_BAND, "GK sketch per key: mergeable per-partition state, one narrow exchange"),
+    ("q_rolling_distinct_users", LINEAR_BAND, "dedup to (user, day) then x7 contribution explode on the tiny distinct relation"),
+    ("q_split_decontaminate", LINEAR_BAND, "split-aware 13-gram decontamination: shared shingle index, 8-byte-key equi-join"),
     # ... and the 0.8-1.0 s band of the NEXT (quieter) snapshot bench.
     # Admission rule across both groups: once a query is measured
     # within ~25% of the 1.0 s hygiene threshold in any canonical
     # bench, audit it preemptively — on this host a 40% noise swing is
     # routine, and the hygiene gate's hysteresis (see
     # test_every_expensive_query_is_scaling_audited) handles the rest
-    ("q_histogram_equiheight_approx", 1.35, "sketch boundaries broadcast, map-side bucketing (length_buckets_approx recipe)"),
-    ("q_ohlc_bars", 1.35, "hourly OHLC rollup: one grouped min/max/first/last agg"),
-    ("q_join_asof_nearest", 1.35, "nearest-in-time as-of: union-tag + ordered window, one exchange"),
-    ("q_in_subquery", 1.35, "IN subquery planned as LEFT SEMI join on the fact key"),
-    ("q_date_spine", 1.35, "generated calendar explode + left join to per-month totals"),
-    ("q_python_udtf", 1.35, "arrow-batched table-generating UDTF, map-only fan-out"),
-    ("q_dq_profile", 1.35, "single-pass multi-aggregate constraint sweep"),
-    ("q_join_asof", 1.35, "as-of backward join: key equi-join + row_number over time"),
+    ("q_histogram_equiheight_approx", LINEAR_BAND, "sketch boundaries broadcast, map-side bucketing (length_buckets_approx recipe)"),
+    ("q_ohlc_bars", LINEAR_BAND, "hourly OHLC rollup: one grouped min/max/first/last agg"),
+    ("q_join_asof_nearest", LINEAR_BAND, "nearest-in-time as-of: union-tag + ordered window, one exchange"),
+    ("q_in_subquery", LINEAR_BAND, "IN subquery planned as LEFT SEMI join on the fact key"),
+    ("q_date_spine", LINEAR_BAND, "generated calendar explode + left join to per-month totals"),
+    ("q_python_udtf", LINEAR_BAND, "arrow-batched table-generating UDTF, map-only fan-out"),
+    ("q_dq_profile", LINEAR_BAND, "single-pass multi-aggregate constraint sweep"),
+    ("q_join_asof", LINEAR_BAND, "as-of backward join: key equi-join + row_number over time"),
     # r13: crossed into the 0.75-1.0 s band when the fixed 1-hour
     # threshold became cadence-relative (adds a per-stream exact-median
     # aggregate + broadcast join) — audited on arrival per the
     # within-25%-of-threshold admission rule
-    ("q_gap_detect", 1.35, "per-stream lag window + exact-median broadcast join; streams x gaps linear"),
-    ("q_event_transitions", 1.35, "per-user lag window + transition-pair hash agg"),
-    ("q_peak_concurrency", 1.35, "sweep line: +1/-1 explode + running-sum window per stream"),
-    ("q_join_salted", 1.35, "salted hot-key join: key+salt exchange, replicated small side"),
-    ("q_corpus_dedup", 1.35, "md5 exact stage + df-capped pair verify composition"),
-    ("q_join_bloom", 1.35, "runtime bloom semi-reduction before the fact shuffle join"),
-    ("q_anomaly_zscore", 1.35, "per-stream stats aggregate broadcast back onto the scan"),
-    ("q_leadlag_corr", 1.35, "hourly count relation + bounded lead/lag self-join on hour key"),
-    ("q_retention_cohorts", 1.35, "first-seen aggregate broadcast back; day-offset distinct counts"),
-    ("q_dedup_containment", 1.35, "df-capped pair overlaps, containment ratio on the pair relation"),
+    ("q_gap_detect", LINEAR_BAND, "per-stream lag window + exact-median broadcast join; streams x gaps linear"),
+    ("q_event_transitions", LINEAR_BAND, "per-user lag window + transition-pair hash agg"),
+    ("q_peak_concurrency", LINEAR_BAND, "sweep line: +1/-1 explode + running-sum window per stream"),
+    ("q_join_salted", LINEAR_BAND, "salted hot-key join: key+salt exchange, replicated small side"),
+    ("q_corpus_dedup", LINEAR_BAND, "md5 exact stage + df-capped pair verify composition"),
+    ("q_join_bloom", LINEAR_BAND, "runtime bloom semi-reduction before the fact shuffle join"),
+    ("q_anomaly_zscore", LINEAR_BAND, "per-stream stats aggregate broadcast back onto the scan"),
+    ("q_leadlag_corr", LINEAR_BAND, "hourly count relation + bounded lead/lag self-join on hour key"),
+    ("q_retention_cohorts", LINEAR_BAND, "first-seen aggregate broadcast back; day-offset distinct counts"),
+    ("q_dedup_containment", LINEAR_BAND, "df-capped pair overlaps, containment ratio on the pair relation"),
     # r5 VERDICT item 5: the guarded-aggregate family — the dsum/roundn
     # guard doctrine doubles per-group CONSTANTS (twin max(abs) leg,
     # double-eval coalesce), and through rollup/cube Expand it multiplies
     # by grouping-set count; this audit proves it never bends EXPONENTS
-    ("q_dedup_span_removal", 1.35, "gram agg + x5 coverage explode — linear, no pair term"),
-    ("q_dedup_pagerank", 1.35, "5 static join+agg rounds over the persisted edge relation"),
-    ("q_rollup", 1.35, "Expand x3 grouping sets — constant factor, scan linear"),
-    ("q_cube", 1.35, "Expand x4 grouping sets — constant factor, scan linear"),
-    ("q_grouping_sets", 1.35, "Expand x2 grouping sets via SQL"),
-    ("q_incremental_agg_merge", 1.35, "partition-wise partial aggs merged"),
-    ("q_window_frame", 1.35, "bounded sliding frame, one keyed exchange"),
+    ("q_dedup_span_removal", LINEAR_BAND, "gram agg + x5 coverage explode — linear, no pair term"),
+    ("q_dedup_pagerank", LINEAR_BAND, "5 static join+agg rounds over the persisted edge relation"),
+    ("q_rollup", LINEAR_BAND, "Expand x3 grouping sets — constant factor, scan linear"),
+    ("q_cube", LINEAR_BAND, "Expand x4 grouping sets — constant factor, scan linear"),
+    ("q_grouping_sets", LINEAR_BAND, "Expand x2 grouping sets via SQL"),
+    ("q_incremental_agg_merge", LINEAR_BAND, "partition-wise partial aggs merged"),
+    ("q_window_frame", LINEAR_BAND, "bounded sliding frame, one keyed exchange"),
     # r6 widening: new >= 1.5 s-at-sf0.1 queries join the audit on arrival
-    ("q_zorder_layout", 1.35, "3 per-layout ntile sorts (n log n); production write path is repartitionByRange"),
-    ("q_dedup_triangles", 1.35, "wedge join bounded by near-dup-graph deg^2, corpus never joined"),
-    ("q_tpch_market_share", 1.35, "7-relation tree, all dims broadcast; one fact-keyed shuffle"),
-    ("q_hard_negatives_lsh", 1.35, "label-blind sign-bucket candidates; label filter at re-rank"),
-    ("q_bitext_mine_lsh", 1.35, "sign-bucket candidates + margin windows keyed by src/tgt id"),
+    ("q_zorder_layout", LINEAR_BAND, "3 per-layout ntile sorts (n log n); production write path is repartitionByRange"),
+    ("q_dedup_triangles", LINEAR_BAND, "wedge join bounded by near-dup-graph deg^2, corpus never joined"),
+    ("q_tpch_market_share", LINEAR_BAND, "7-relation tree, all dims broadcast; one fact-keyed shuffle"),
+    ("q_hard_negatives_lsh", LINEAR_BAND, "label-blind sign-bucket candidates; label filter at re-rank"),
+    ("q_bitext_mine_lsh", LINEAR_BAND, "sign-bucket candidates + margin windows keyed by src/tgt id"),
     # r6 VERDICT item 2: the two driver-run outliers join the audit so
     # their growth exponents are on record alongside the OUTLIERS_AB
     # controlled-cost attribution
-    ("q_funnel_stages", 1.35, "per-stage min-after-previous aggs, user_id-keyed joins — linear"),
-    ("q_fingerprint_winnow", 1.35, "rolling-min window over in-scan shingle positions, one exchange"),
+    ("q_funnel_stages", LINEAR_BAND, "per-stage min-after-previous aggs, user_id-keyed joins — linear"),
+    ("q_fingerprint_winnow", LINEAR_BAND, "rolling-min window over in-scan shingle positions, one exchange"),
     # r7 widening: the round's new operators (all sub-second at sf0.1 —
     # audited for growth shape, not absolute cost)
-    ("q_ccnet_buckets", 1.35, "persisted LM scores + per-lang ntile (declared ground truth)"),
-    ("q_ccnet_buckets_approx", 1.35, "per-lang sketch boundaries broadcast, map-side bucketing"),
-    ("q_length_buckets_approx", 1.35, "sketch boundaries broadcast, map-side bucketing"),
-    ("q_mix_epochs", 1.35, "one grouped agg + share-of-total window"),
-    ("q_compaction_plan", 1.35, "per-file _metadata agg + per-partition cumulative window"),
-    ("q_k_anonymity", 1.35, "two hash aggregates, one scan"),
-    ("q_l_diversity", 1.35, "quasi-class agg + two-phase COUNT(DISTINCT)"),
-    ("q_t_closeness", 1.35, "persisted cell relation + broadcast-dim completion"),
+    ("q_ccnet_buckets", LINEAR_BAND, "persisted LM scores + per-lang ntile (declared ground truth)"),
+    ("q_ccnet_buckets_approx", LINEAR_BAND, "per-lang sketch boundaries broadcast, map-side bucketing"),
+    ("q_length_buckets_approx", LINEAR_BAND, "sketch boundaries broadcast, map-side bucketing"),
+    ("q_mix_epochs", LINEAR_BAND, "one grouped agg + share-of-total window"),
+    ("q_compaction_plan", LINEAR_BAND, "per-file _metadata agg + per-partition cumulative window"),
+    ("q_k_anonymity", LINEAR_BAND, "two hash aggregates, one scan"),
+    ("q_l_diversity", LINEAR_BAND, "quasi-class agg + two-phase COUNT(DISTINCT)"),
+    ("q_t_closeness", LINEAR_BAND, "persisted cell relation + broadcast-dim completion"),
     # r8 widening (r7 VERDICT item 5): every query with driver plan cost
     # > 1.0 s in the round's BENCH_FULL joins the audit
-    ("q_dedup_embed_cosine_lsh", 1.35, "sign-bit sub-bucket candidates (one numpy-matmul UDF) + exact re-rank"),
-    ("q_dedup_minhash_mllib", 1.35, "MLlib MinHashLSH twin: O(docs x bands) shuffle"),
-    ("q_cogroup_pandas", 1.35, "cogrouped Arrow kernel, one exchange per side"),
-    ("q_ann_ivf", 1.35, "IVF cells: probe-cell equi-join candidates, exact re-rank"),
-    ("q_bigram_logprob", 1.35, "bigram LM probe: tf agg + 8-byte-key token joins"),
-    ("q_embed_pca", 1.35, "sampled covariance fit; projection is map-only"),
-    ("q_star_join", 1.35, "star schema: all dims broadcast, one fact pass"),
-    ("q_tpch_large_orders", 1.35, "fact-keyed agg + semi-join attach"),
-    ("q_dedup_pagerank_lsh", 1.35, "static power rounds over the persisted LSH edge relation"),
-    ("q_surrogate_key", 1.35, "distributed sketch-rank primary key, no global window"),
-    ("q_dedup_incremental", 1.35, "asymmetric new-vs-corpus joins (corpus never pairs with itself)"),
-    ("q_ann_brp_mllib", 1.35, "MLlib BucketedRandomProjection twin, bucket-join candidates"),
-    ("q_math_funcs", 1.35, "map-only scalar expression scan"),
-    ("q_token_budget_select", 1.35, "sketch-bucket prefix sums, no global window"),
-    ("q_sql_pricing_summary", 1.35, "one-pass grouped agg (TPC-H Q1 shape)"),
-    ("q_ann_lsh", 1.35, "hyperplane sign-bucket candidates + exact re-rank"),
+    ("q_dedup_embed_cosine_lsh", LINEAR_BAND, "sign-bit sub-bucket candidates (one numpy-matmul UDF) + exact re-rank"),
+    ("q_dedup_embed_cosine_lsh_md5", LINEAR_BAND, "oracle twin: same sub-bucket plan, exact-int quantized planes"),
+    ("q_dedup_minhash_mllib", LINEAR_BAND, "MLlib MinHashLSH twin: O(docs x bands) shuffle"),
+    ("q_cogroup_pandas", LINEAR_BAND, "cogrouped Arrow kernel, one exchange per side"),
+    ("q_ann_ivf", LINEAR_BAND, "IVF cells: probe-cell equi-join candidates, exact re-rank"),
+    ("q_bigram_logprob", LINEAR_BAND, "bigram LM probe: tf agg + 8-byte-key token joins"),
+    ("q_embed_pca", LINEAR_BAND, "sampled covariance fit; projection is map-only"),
+    ("q_star_join", LINEAR_BAND, "star schema: all dims broadcast, one fact pass"),
+    ("q_tpch_large_orders", LINEAR_BAND, "fact-keyed agg + semi-join attach"),
+    ("q_dedup_pagerank_lsh", LINEAR_BAND, "static power rounds over the persisted LSH edge relation"),
+    ("q_surrogate_key", LINEAR_BAND, "distributed sketch-rank primary key, no global window"),
+    ("q_dedup_incremental", LINEAR_BAND, "asymmetric new-vs-corpus joins (corpus never pairs with itself)"),
+    ("q_ann_brp_mllib", LINEAR_BAND, "MLlib BucketedRandomProjection twin, bucket-join candidates"),
+    ("q_math_funcs", LINEAR_BAND, "map-only scalar expression scan"),
+    ("q_token_budget_select", LINEAR_BAND, "sketch-bucket prefix sums, no global window"),
+    ("q_sql_pricing_summary", LINEAR_BAND, "one-pass grouped agg (TPC-H Q1 shape)"),
+    ("q_ann_lsh", LINEAR_BAND, "hyperplane sign-bucket candidates + exact re-rank"),
     # r9 widening (r8 VERDICT item 2): every query with committed plan
     # cost > 1.0 s joins the audit — now self-enforced by
     # tests/test_round_hygiene.py::test_every_expensive_query_is_scaling_audited
-    ("q_dedup_representatives", 1.35, "CC labels persisted once; one doc equi-join + per-cluster row_number"),
-    ("q_agg_distinct", 1.35, "Expand x2 multi-distinct, two-phase agg, one scan"),
-    ("q_fuzzy_match", 1.35, "blocked edit-distance: sum-of-block-products, supplier side broadcast"),
-    ("q_hll_union_merge", 1.35, "mergeable HLL sketch aggs, one grouped pass + |keys| blob merge"),
-    ("q_cluster_keywords_ivf", 1.35, "deterministic-quantizer keywords: broadcast centroids, one corpus pass + vocab lift joins"),
+    ("q_dedup_representatives", LINEAR_BAND, "CC labels persisted once; one doc equi-join + per-cluster row_number"),
+    ("q_agg_distinct", LINEAR_BAND, "Expand x2 multi-distinct, two-phase agg, one scan"),
+    ("q_fuzzy_match", LINEAR_BAND, "blocked edit-distance: sum-of-block-products, supplier side broadcast"),
+    ("q_hll_union_merge", LINEAR_BAND, "mergeable HLL sketch aggs, one grouped pass + |keys| blob merge"),
+    ("q_cluster_keywords_ivf", LINEAR_BAND, "deterministic-quantizer keywords: broadcast centroids, one corpus pass + vocab lift joins"),
     # hysteresis margin: everything measured > 0.8 s in any recent bench
     # joins too, so run-to-run jitter around the 1.0 s rule's threshold
     # can't flip the hygiene test (the audit itself is cheap)
@@ -250,46 +264,46 @@ AUDIT = [
     # expensive TPC-H in the suite, so a measured exponent is warranted
     # (expected ~linear: late relation built once, every join reuses the
     # l_orderkey exchange, semi/anti fan-out bounded by lines-per-order)
-    ("q_tpch_waiting_suppliers", 1.35, "Q21: late relation built once; semi+anti reuse one l_orderkey exchange, fan-out bounded by lines-per-order"),
-    ("q_ri_orphans", 1.35, "five broadcast anti-join counts unioned — parent keys broadcast, no fact shuffle"),
-    ("q_kll_quantile_merge", 1.35, "mergeable KLL sketch aggs, one grouped pass + |keys| blob merge"),
+    ("q_tpch_waiting_suppliers", LINEAR_BAND, "Q21: late relation built once; semi+anti reuse one l_orderkey exchange, fan-out bounded by lines-per-order"),
+    ("q_ri_orphans", LINEAR_BAND, "five broadcast anti-join counts unioned — parent keys broadcast, no fact shuffle"),
+    ("q_kll_quantile_merge", LINEAR_BAND, "mergeable KLL sketch aggs, one grouped pass + |keys| blob merge"),
     # r10 hysteresis admissions: committed cost ~0.2-0.3 s but a
     # mid-round bench saw >1.0 s (host jitter — q_window_lag's identical
     # spike was adjudicated environment drift in r9's OUTLIERS_AB);
     # auditing them is cheap and keeps the >1.0 s rule jitter-proof
-    ("q_try_funcs", 1.35, "map-only try_* scalar scan, zero shuffles"),
-    ("q_window_lag", 1.35, "keyed lag window, one exchange"),
+    ("q_try_funcs", LINEAR_BAND, "map-only try_* scalar scan, zero shuffles"),
+    ("q_window_lag", LINEAR_BAND, "keyed lag window, one exchange"),
     # r10 jitter admissions, second batch: sub-second committed costs
     # that crossed 1.0 s in one mid-round bench under ambient load —
     # the same q_window_lag drift class; auditing them is cheap
-    ("q_bm25_rank", 1.35, "map-side tf arrays, 1-row corpus stats broadcast, TakeOrdered top-k"),
-    ("q_bpe_pair_counts", 1.35, "pair explosion on the vocab relation only; corpus contributes one count agg"),
-    ("q_decontaminate_semantic", 1.35, "asymmetric train-eval broadcast join, label-blocked, O(n) norms"),
+    ("q_bm25_rank", LINEAR_BAND, "map-side tf arrays, 1-row corpus stats broadcast, TakeOrdered top-k"),
+    ("q_bpe_pair_counts", LINEAR_BAND, "pair explosion on the vocab relation only; corpus contributes one count agg"),
+    ("q_decontaminate_semantic", LINEAR_BAND, "asymmetric train-eval broadcast join, label-blocked, O(n) norms"),
     # r10 TPC-H completion (all six adapted shapes; Q12 rides along so
     # threshold jitter can't trip the gate on it later)
-    ("q_tpch_late_priority", 1.35, "Q12: year filter pushed, one key join, CASE counts one grouped pass"),
-    ("q_tpch_min_cost_supplier", 1.35, "Q2: supply-catalog agg (one fact exchange), region suppliers broadcast, per-part MIN reuses the small relation"),
-    ("q_tpch_product_profit", 1.35, "Q9: part/supplier dims broadcast; one lineitem-orders key exchange"),
-    ("q_tpch_important_parts", 1.35, "Q11: region suppliers broadcast, per-part value agg persisted once + 1-row mean-threshold broadcast"),
-    ("q_tpch_parts_supplier_count", 1.35, "Q16: 8-byte-pair distinct + broadcast dims + two-phase distinct count"),
-    ("q_tpch_promotion_suppliers", 1.35, "Q20: part keys broadcast, per-(supp,part) agg, LEFT SEMI on the dim"),
-    ("q_sql_text_query", 1.35, "SQL-text entry: dims broadcast, one fact shuffle, window over the ~25-row aggregate"),
-    ("q_dsir_weights", 1.35, "DSIR: one tokenize pass, target/raw token aggs + vocab-cardinality left joins"),
-    ("q_retrieval_eval", 1.35, "two TakeOrdered rank pools + one tiny overlap/nDCG aggregate"),
-    ("q_pmi_collocations", 1.35, "bigram + unigram hash aggs, vocab-cardinality joins"),
-    ("q_zlib_quality", 1.35, "map-only Arrow-batched zlib kernel"),
-    ("q_tpch_volume_shipping", 1.35, "TPC-H Q7 tree: dims broadcast, one fact-keyed shuffle"),
-    ("q_quality_filter_gopher", 1.35, "map-side rule projection, zero shuffles"),
-    ("q_tpch_shipping_priority", 1.35, "TPC-H Q3: selective fact join + TakeOrdered"),
-    ("q_embed_quantize", 1.35, "map-only HOF vector math + decimal error sum"),
-    ("q_json_funcs", 1.35, "map-side JSON extraction scan"),
-    ("q_source_overlap_matrix", 1.35, "shingle equi-join bounded by per-source distinct shingles"),
-    ("q_doc_pack", 1.35, "sequence packing: sketch-bucket two-phase prefix sum, no global sort"),
-    ("q_window_ntile", 1.35, "per-key ntile window, one exchange"),
-    ("q_join_hints", 1.35, "forced SHUFFLE_HASH supplier join — one fact-keyed shuffle, no sort"),
-    ("q_dedup_clusters_minlabel", 1.35, "min-label propagation twin: O(diameter) rounds, linear per round"),
-    ("q_tpch_order_priority", 1.35, "TPC-H Q4: semi-join + grouped count"),
-    ("q_repetition_score", 1.35, "map-only gram fold (pre-projected once, r9)"),
+    ("q_tpch_late_priority", LINEAR_BAND, "Q12: year filter pushed, one key join, CASE counts one grouped pass"),
+    ("q_tpch_min_cost_supplier", LINEAR_BAND, "Q2: supply-catalog agg (one fact exchange), region suppliers broadcast, per-part MIN reuses the small relation"),
+    ("q_tpch_product_profit", LINEAR_BAND, "Q9: part/supplier dims broadcast; one lineitem-orders key exchange"),
+    ("q_tpch_important_parts", LINEAR_BAND, "Q11: region suppliers broadcast, per-part value agg persisted once + 1-row mean-threshold broadcast"),
+    ("q_tpch_parts_supplier_count", LINEAR_BAND, "Q16: 8-byte-pair distinct + broadcast dims + two-phase distinct count"),
+    ("q_tpch_promotion_suppliers", LINEAR_BAND, "Q20: part keys broadcast, per-(supp,part) agg, LEFT SEMI on the dim"),
+    ("q_sql_text_query", LINEAR_BAND, "SQL-text entry: dims broadcast, one fact shuffle, window over the ~25-row aggregate"),
+    ("q_dsir_weights", LINEAR_BAND, "DSIR: one tokenize pass, target/raw token aggs + vocab-cardinality left joins"),
+    ("q_retrieval_eval", LINEAR_BAND, "two TakeOrdered rank pools + one tiny overlap/nDCG aggregate"),
+    ("q_pmi_collocations", LINEAR_BAND, "bigram + unigram hash aggs, vocab-cardinality joins"),
+    ("q_zlib_quality", LINEAR_BAND, "map-only Arrow-batched zlib kernel"),
+    ("q_tpch_volume_shipping", LINEAR_BAND, "TPC-H Q7 tree: dims broadcast, one fact-keyed shuffle"),
+    ("q_quality_filter_gopher", LINEAR_BAND, "map-side rule projection, zero shuffles"),
+    ("q_tpch_shipping_priority", LINEAR_BAND, "TPC-H Q3: selective fact join + TakeOrdered"),
+    ("q_embed_quantize", LINEAR_BAND, "map-only HOF vector math + decimal error sum"),
+    ("q_json_funcs", LINEAR_BAND, "map-side JSON extraction scan"),
+    ("q_source_overlap_matrix", LINEAR_BAND, "shingle equi-join bounded by per-source distinct shingles"),
+    ("q_doc_pack", LINEAR_BAND, "sequence packing: sketch-bucket two-phase prefix sum, no global sort"),
+    ("q_window_ntile", LINEAR_BAND, "per-key ntile window, one exchange"),
+    ("q_join_hints", LINEAR_BAND, "forced SHUFFLE_HASH supplier join — one fact-keyed shuffle, no sort"),
+    ("q_dedup_clusters_minlabel", LINEAR_BAND, "min-label propagation twin: O(diameter) rounds, linear per round"),
+    ("q_tpch_order_priority", LINEAR_BAND, "TPC-H Q4: semi-join + grouped count"),
+    ("q_repetition_score", LINEAR_BAND, "map-only gram fold (pre-projected once, r9)"),
     # r9 widening (r8 VERDICT item 6): the streaming lifecycles join the
     # audit — each times land + AvailableNow drain + sink read-back at
     # all three SFs. The drain's FIXED trigger/scheduling latency
@@ -297,11 +311,11 @@ AUDIT = [
     # shape (land+drain cost ~linear in landed rows on top of a fixed
     # floor); the audit exists to catch a lifecycle whose cost grows
     # FASTER than its landed volume (state leak, per-batch re-scan).
-    ("q_streaming_window_avg", 1.35, "landed week + AvailableNow drain; watermarked window state"),
-    ("q_streaming_sessionize", 1.35, "landed week + drain; session-gap state per user"),
-    ("q_streaming_interval_join", 1.35, "landed week + drain; symmetric-hash join state, time-bound expiry"),
-    ("q_streaming_interval_join_outer", 1.35, "landed week + drain; outer emission on watermark proof"),
-    ("q_streaming_incremental_dedup", 1.35, "two landed batches + two drains; dedup state across restart"),
+    ("q_streaming_window_avg", LINEAR_BAND, "landed week + AvailableNow drain; watermarked window state"),
+    ("q_streaming_sessionize", LINEAR_BAND, "landed week + drain; session-gap state per user"),
+    ("q_streaming_interval_join", LINEAR_BAND, "landed week + drain; symmetric-hash join state, time-bound expiry"),
+    ("q_streaming_interval_join_outer", LINEAR_BAND, "landed week + drain; outer emission on watermark proof"),
+    ("q_streaming_incremental_dedup", LINEAR_BAND, "two landed batches + two drains; dedup state across restart"),
     # declared super-linear ground-truth twins: audited against their claim
     ("q_dedup_embed_cosine", 2.2, "GUARDED label-block all-pairs exact twin (pairs ~ n^2 / |labels|)"),
     ("q_knn_join", 2.2, "GUARDED all-pairs exact twin: |A|·|B| ~ n^2"),
@@ -346,6 +360,7 @@ DECADE_AUDIT = [
     ("q_knn_join_lsh", 2.2, "FIXED-granularity blocker: 6-plane buckets pigeonhole ~|q||n|/64 per table on isotropic data; production adds planes with corpus size — measured against the declared bound"),
     ("q_knn_join_lsh_md5", 2.2, "oracle twin of the row above: identical blocked plan over exact-int quantized planes, same declared pigeonhole bound"),
     ("q_dedup_embed_cosine_lsh", 1.35, "label blocks grow in count not size; sign sub-buckets bound within-block pairs -> linear"),
+    ("q_dedup_embed_cosine_lsh_md5", 1.35, "oracle twin of the row above: identical sub-bucket plan over exact-int quantized planes, same linearity claim"),
     # r10 VERDICT item 4: the three most expensive bench queries whose
     # scale claims had only lower-decade fits — pin their exponents
     # where fixed cost is amortized.
@@ -525,8 +540,10 @@ def main() -> int:
         "lands directly in a fitted exponent; pass-level reps keep the",
         "persisted-relation build inside every measurement); `alpha` is",
         "the fitted exponent of t ~ n^alpha over the upper decade",
-        "(sf0.01→sf0.1). Linear-plan queries must stay ≤1.35 (noise margin on",
-        "sub-second timings); the guarded quadratic ground-truth twins are",
+        f"(sf0.01→sf0.1). Linear-plan queries must stay ≤{LINEAR_BAND}",
+        "(retightened from 1.35 in r13 — two min-based rounds measured",
+        "max alpha 0.77 with <=0.06 drift, so 1.1 keeps >0.33 headroom);",
+        "the guarded quadratic ground-truth twins are",
         "audited against their DECLARED ~n² bound instead. This is the",
         "measured counterpart to PLANS.md's structural scale argument.",
         "",
