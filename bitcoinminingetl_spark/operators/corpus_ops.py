@@ -1179,6 +1179,77 @@ def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_N = 5  # word n-gram width for duplicated-span accounting
 
+_SPAN_GRAMS_CACHE: dict[str, DataFrame] = {}
+_SPAN_DUP_CACHE: dict[str, DataFrame] = {}
+
+
+def span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positional word-5-gram index (doc_id, pos, gram_h) for a
+    corpus, persisted once per (session, corpus) — the ExactSubstr span
+    index the whole span family reads (r13 optimization: q_dup_span_stats
+    and q_dedup_span_removal each re-ran the scan + split + posexplode +
+    xxhash64 pass; one shared build saves a full corpus explode per
+    consumer, the r12 simhash_tokens doctrine). At 100 TB this is the
+    span/suffix index table an ExactSubstr dedup pipeline (Lee et al.
+    2022) materializes once per corpus snapshot.
+
+    8-byte-key doctrine (q_decontaminate, _shingled): downstream shuffles
+    and joins key on xxhash64(gram), never the ~30-byte gram string — 4x
+    less shuffle payload; a collision would need two distinct grams
+    sharing 64 bits within one corpus (negligible below 1e9 distinct
+    grams). NULL text yields no grams via the size filter (split(NULL)
+    has size -1), identical to both consumers' previous inline builds."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:span_grams"
+
+    def build() -> DataFrame:
+        return (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("ws"))
+            # Docs shorter than the span emit no grams (and no output
+            # row, matching the oracles' empty generate_series). Without
+            # this filter sequence(0, size-5) DESCENDS for size<5 and
+            # the slice start goes invalid — Spark sequence is never
+            # empty when stop < start.
+            .filter(F.size("ws") >= _SPAN_N)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - _SPAN_N),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("ws"), i + 1, _SPAN_N)
+                        ),
+                    )
+                ).alias("pos", "gram"),
+            )
+            .select("doc_id", "pos", F.xxhash64("gram").alias("gram_h"))
+        )
+
+    return lru_persisted(_SPAN_GRAMS_CACHE, key, build)
+
+
+def span_dup_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-document gram set (gram_h) — grams occurring in MORE
+    than one distinct document — persisted once per (session, corpus)
+    on top of span_grams. Both span consumers derive their dup signal
+    from exactly this aggregate (stats flags against it, removal
+    semi-joins it), so sharing it saves one full groupBy(gram_h) +
+    count_distinct shuffle per consumer. Hot (stop-)grams skew that
+    aggregate's key; map-side partials collapse them before the
+    exchange, same as the previous inline builds."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:span_dup_grams"
+
+    def build() -> DataFrame:
+        return (
+            span_grams(spark, sf_dir)
+            .groupBy("gram_h")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") > 1)
+            .select("gram_h")
+        )
+
+    return lru_persisted(_SPAN_DUP_CACHE, key, build)
+
 
 @query(
     "q_dup_span_stats",
@@ -1214,48 +1285,21 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_fingerprint (sampled winnowing), this is the dense per-position
     rate over the whole corpus.
 
-    Scale shape: grams explode in-scan (Generate, no shuffle); the
-    shared-gram relation is ONE hash aggregate on the gram (map-side
-    partial collapses hot grams before the exchange) filtered to
-    multi-doc grams; the flag attaches by semi-join-shaped left join on
-    the gram hash and the per-doc rollup reuses the doc_id grouping.
-    Hot (stop-)grams skew the join key — AQE skew-split owns it, and
-    the joined payload is 1 column, so a hot gram costs bytes, not
-    width. dup_rate is decimal-quantized for the oracle hash."""
-    grams = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("words"))
-        # Docs shorter than the span emit no grams (and no output row,
-        # matching the oracle's empty generate_series). Without this
-        # filter sequence(0, size-5) DESCENDS for size<5 and the slice
-        # start goes invalid — Spark sequence is never empty when
-        # stop < start.
-        .filter(F.size("words") >= _SPAN_N)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("words") - _SPAN_N),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("words"), i + 1, _SPAN_N)
-                    ),
-                )
-            ).alias("pos", "gram"),
-        )
-        # 8-byte-key doctrine (q_decontaminate, _shingled): every shuffle
-        # and join keys on xxhash64(gram), never the ~30-byte gram string
-        # — 4x less shuffle payload; a collision would need two distinct
-        # grams sharing 64 bits within one corpus (negligible below 1e9
-        # distinct grams, same argument as the shingle index).
-        # pos is not read downstream (span stats are plain counts) — drop
-        # it so the gram shuffle carries only (doc_id, 8-byte key)
-        .select("doc_id", F.xxhash64("gram").alias("gram_h"))
-    )
-    shared = (
-        grams.groupBy("gram_h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gram_h", F.lit(True).alias("is_dup"))
+    Scale shape: grams come from the shared persisted span index
+    (span_grams — r13: previously an inline re-build of the scan +
+    explode per consumer); the shared-gram relation is the persisted
+    multi-doc aggregate (span_dup_grams, map-side partial collapses hot
+    grams before its one exchange); the flag attaches by
+    semi-join-shaped left join on the gram hash and the per-doc rollup
+    reuses the doc_id grouping. Hot (stop-)grams skew the join key —
+    AQE skew-split owns it, and the joined payload is 1 column, so a
+    hot gram costs bytes, not width. pos is not read here (span stats
+    are plain counts) — the projection prunes it at the cache scan so
+    the gram shuffle carries only (doc_id, 8-byte key). dup_rate is
+    decimal-quantized for the oracle hash."""
+    grams = span_grams(spark, sf_dir).select("doc_id", "gram_h")
+    shared = span_dup_grams(spark, sf_dir).select(
+        "gram_h", F.lit(True).alias("is_dup")
     )
     flagged = grams.join(shared, "gram_h", "left")
     return flagged.groupBy("doc_id").agg(
@@ -1325,42 +1369,24 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive spaces survive both engines identically — verified
     concat_ws/string_agg parity).
 
-    Scale shape: the same gram relation as q_dup_span_stats (Generate
-    in-scan, one hash aggregate on the 8-byte gram hash, semi-join for
-    the dup flag); coverage expansion is explode(sequence(pos, pos+4)) —
-    a bounded x5 fan-out, strictly LINEAR in gram count, unlike pair
-    generation there is no quadratic term anywhere. The rebuild is one
-    per-doc aggregate: array_sort(collect_list(struct(pos, word)))
-    bounds memory at document length, the same per-group bound every
-    text op already carries. Hot (stop-)grams skew the semi-join key —
-    AQE skew-split owns it, payload is (doc_id, pos) longs."""
+    Scale shape: the gram relation IS q_dup_span_stats' — the shared
+    persisted span index (span_grams) plus the shared multi-doc gram
+    set (span_dup_grams), each built once per (session, corpus) instead
+    of inline per consumer (r13); coverage expansion is
+    explode(sequence(pos, pos+4)) — a bounded x5 fan-out, strictly
+    LINEAR in gram count, unlike pair generation there is no quadratic
+    term anywhere. The rebuild is one per-doc aggregate:
+    array_sort(collect_list(struct(pos, word))) bounds memory at
+    document length, the same per-group bound every text op already
+    carries. Hot (stop-)grams skew the semi-join key — AQE skew-split
+    owns it, payload is (doc_id, pos) longs."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     with_words = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split("text", " ").alias("ws")
     )
-    grams = (
-        with_words.filter(F.size("ws") >= _SPAN_N)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - _SPAN_N),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("ws"), i + 1, _SPAN_N)
-                    ),
-                )
-            ).alias("pos", "gram"),
-        )
-        .select("doc_id", "pos", F.xxhash64("gram").alias("gram_h"))
-    )
-    shared = (
-        grams.groupBy("gram_h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gram_h")
-    )
     covered = (
-        grams.join(shared, "gram_h", "semi")
+        span_grams(spark, sf_dir)
+        .join(span_dup_grams(spark, sf_dir), "gram_h", "semi")
         .select(
             "doc_id",
             F.explode(
@@ -1525,8 +1551,14 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE row per round (the sanctioned ≤N-rows collect); the merge
     rewrite is a map-only fold (aggregate HOF) applying left-to-right
     greedy pairing — no Python UDF anywhere. Round count is the fixed
-    merge budget, so the lineage is bounded; the vocab relation is
-    re-cached per round and the previous round unpersisted."""
+    merge budget, so the lineage is bounded (always exactly one cached
+    hop deep). r13: each round's rewrite materializes INSIDE the next
+    round's argmax job — the parent vocab stays cached one extra round
+    and is dropped right after that job, instead of paying a dedicated
+    count() materialization job per round. Same passes over the same
+    relations, minus one scheduler round-trip per merge — and the LAST
+    round's rewrite (whose output no job ever read) is never computed
+    at all."""
     vocab = (
         table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("token"))
@@ -1540,6 +1572,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     merges = []
+    prev = None  # parent vocab, kept cached until the child materializes
     for step in range(1, _BPE_MERGES + 1):
         # NB: Spark's sequence(1, 0) DESCENDS instead of being empty, so
         # fully-merged single-symbol tokens must be filtered before the
@@ -1561,6 +1594,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()
         )
+        # this collect just materialized `vocab`'s cache (reading the
+        # still-cached parent) — the parent's blocks are now dead
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not pairs:
             break
         best = pairs[0]
@@ -1581,11 +1619,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "concat(acc, array(s))))"
             ).alias("syms"),
             "freq",
-        ).cache()
-        merged.count()  # materialize before dropping the parent
-        vocab.unpersist()
-        vocab = merged
+        ).cache()  # lazy: next round's argmax job materializes it
+        prev, vocab = vocab, merged
     vocab.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     )

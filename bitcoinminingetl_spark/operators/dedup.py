@@ -104,6 +104,31 @@ def _shingle_strings(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
 
 
 _SHINGLE_INDEX_CACHE: dict[str, DataFrame] = {}
+_SHINGLE_STRINGS_CACHE: dict[str, DataFrame] = {}
+
+
+def shingle_strings(
+    spark: SparkSession, sf_dir: str, n: int = _NGRAM
+) -> DataFrame:
+    """The UNHASHED (doc_id, s) shingle relation persisted once per
+    (session, corpus, n) — the engine-portable sibling of shingle_index
+    that the md5 MinHash twins draw their lane min-hashes from
+    (min-of-md5 must be taken over the same strings DuckDB sees, never
+    over xxhash64 keys). r13 optimization: q_dedup_minhash_md5 and
+    q_corpus_dedup_lsh_md5 each re-ran the scan + tokenize + shingle
+    explode inline; one shared build saves a full corpus explode per
+    consumer (the r12 simhash_tokens doctrine — the twins' 16-min
+    aggregates stay deliberately separate so each keeps mirroring the
+    production plan past the shared scan). Kept independent of
+    shingle_index (not derived from it, not feeding it) so the
+    production index never pays the wider string persist when no md5
+    twin runs."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{n}:strings"
+    return lru_persisted(
+        _SHINGLE_STRINGS_CACHE,
+        key,
+        lambda: _shingle_strings(table(spark, sf_dir, "documents"), n),
+    )
 
 
 def shingle_index(spark: SparkSession, sf_dir: str, n: int = _NGRAM) -> DataFrame:
@@ -615,9 +640,11 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery that q_dedup_minhash_lsh / q_corpus_dedup_lsh /
     q_dedup_pagerank_lsh all share under a full value hash. xxhash64
     stays the production path (fastest JVM-side hash; no string
-    round-trip through hex/conv)."""
-    docs = table(spark, sf_dir, "documents")
-    cand = _candidate_pairs(minhash_bands_md5(_shingle_strings(docs)))
+    round-trip through hex/conv). The unhashed shingle relation comes
+    from the shared persist-once build (shingle_strings) — r13: the
+    inline rebuild re-ran the corpus scan + tokenize + shingle explode
+    that q_corpus_dedup_lsh_md5 also pays."""
+    cand = _candidate_pairs(minhash_bands_md5(shingle_strings(spark, sf_dir)))
     return _verify_candidates(shingle_index(spark, sf_dir), cand)
 
 
@@ -1500,8 +1527,10 @@ def q_corpus_dedup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bands draw from the UNHASHED survivor shingles (md5 lanes must see
     # the same strings DuckDB does); verification joins the shared
-    # xxhash64 shingle index — set cardinalities agree (see _SHINGLE_SQL)
-    shs = _shingle_strings(docs).join(
+    # xxhash64 shingle index — set cardinalities agree (see _SHINGLE_SQL).
+    # Both relations are the persist-once builds (r13: the string
+    # shingles were an inline rebuild per twin).
+    shs = shingle_strings(spark, sf_dir).join(
         exact_survivors.select("doc_id"), "doc_id", "semi"
     )
     sh = shingle_index(spark, sf_dir).join(

@@ -1465,16 +1465,20 @@ def q_tpch_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusion predicates on brand/type/size, a supplier NOT-IN
     exclusion, COUNT(DISTINCT suppkey) per (brand, type, size).
 
-    Plan: the distinct relation is one (partkey, suppkey) exchange over
-    an 8-byte-pair projection of lineitem; part (brand/type/size
-    predicates pushed) and the good-standing supplier key list both
-    broadcast; the distinct count is the standard two-phase Expand.
-    Exact counts — engine-trivial."""
-    rel = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    Plan (r13): NO standalone distinct — count(DISTINCT suppkey) per
+    (brand, type, size) is invariant to duplicate (partkey, suppkey)
+    pairs, so the oracle's DISTINCT rel CTE is a semantic no-op that
+    cost a full exchange of every lineitem pair BEFORE the selective
+    part predicates could drop anything (guide §2.3/§2.4: aggregate
+    once, filter before the exchange). Instead the raw 8-byte-pair
+    projection map-side joins the broadcast filtered part (brand/type/
+    size predicates prune ~⅞ of parts) and the good-standing supplier
+    key list, and the only exchange left is the distinct-count
+    aggregate's own two-phase dedup — over the filtered relation, with
+    map-side partial dedup collapsing duplicate pairs before the wire.
+    Exact counts — engine-trivial; same oracle, r13-verified match at
+    sf0.01 and sf0.1."""
+    rel = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = (
         table(spark, sf_dir, "part")
         .filter(
