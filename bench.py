@@ -354,10 +354,27 @@ def main() -> None:
     # in the grand total, and every family member's per-query number is
     # then warm plan cost. At 100 TB these are the corpus-snapshot index
     # tables a production pipeline writes once and serves to every query.
+    # r13 measurement fix (guide §1): the infra phase used to be timed
+    # ONCE per bench run while every per-query number is min-of-REPS —
+    # so host noise landing in the single infra pass went straight into
+    # the headline (committed r13 baseline read 124.6 s for a build that
+    # times ~20 s isolated on a quiet host). The infra builds now run
+    # REPS passes with ALL persist-once caches dropped between passes
+    # (honest rebuilds, same clearing discipline as scaling_check) and
+    # each label reports its min; per-pass totals are stamped in
+    # rep_infra_totals so the raw readings stay on record. Write-once
+    # layout builds (parquet directories, not persisted relations) are
+    # timed on the first pass only — a re-run would time a dict hit.
     shared_infra: dict[str, float] = {}
+    rep_infra_totals: list[float] = []
+    _INFRA_RUN_ONCE = {"partitioned_events_layout"}
     try:
+        from bitcoinminingetl_spark.functions import cache as _cache
         from bitcoinminingetl_spark.operators import corpus_ops as _corpus
         from bitcoinminingetl_spark.operators import dedup as _dedup
+        from bitcoinminingetl_spark.operators import (
+            reference_pipeline as _refpipe,
+        )
         from bitcoinminingetl_spark.operators import scans as _scans
         from bitcoinminingetl_spark.operators import text as _text
 
@@ -366,7 +383,7 @@ def main() -> None:
                 build().write.format("noop").mode("overwrite").save()
             )
 
-        for label, run in (
+        infra_entries = (
             (
                 "shingle_index",
                 _mat(lambda: _dedup.shingle_index(spark, sf_dir)),
@@ -395,6 +412,32 @@ def main() -> None:
             (
                 "simhash_tokens",
                 _mat(lambda: _dedup.simhash_tokens(spark, sf_dir)),
+            ),
+            # UNHASHED (doc_id, shingle-string) relation shared by the
+            # md5 MinHash twin pair (r13: one corpus scan + tokenize +
+            # shingle explode, previously paid by each twin inline)
+            (
+                "shingle_strings",
+                _mat(lambda: _dedup.shingle_strings(spark, sf_dir)),
+            ),
+            # positional word-5-gram span index + its multi-doc gram set,
+            # shared by the span family (r13: q_dup_span_stats and
+            # q_dedup_span_removal each re-ran the scan + posexplode +
+            # hash and its groupBy(gram_h) aggregate inline)
+            (
+                "span_grams",
+                _mat(lambda: _corpus.span_grams(spark, sf_dir)),
+            ),
+            (
+                "span_dup_grams",
+                _mat(lambda: _corpus.span_dup_grams(spark, sf_dir)),
+            ),
+            # bucketed orders relation for the distributed surrogate-key
+            # plan (r13: referenced twice per query by two registry
+            # entries — the sketch subtree previously built 4x inline)
+            (
+                "surrogate_buckets",
+                _mat(lambda: _refpipe.surrogate_buckets(spark, sf_dir)),
             ),
             (
                 "pair_overlaps_df_cap",
@@ -430,10 +473,28 @@ def main() -> None:
                 "ccnet_scored",
                 _mat(lambda: _text.ccnet_scored(spark, sf_dir)),
             ),
-        ):
-            t0 = time.perf_counter()
-            run()
-            shared_infra[label] = round(time.perf_counter() - t0, 3)
+        )
+        for infra_rep in range(REPS):
+            if infra_rep:
+                # drop every persist-once relation so this pass rebuilds
+                # for real; the int node-count side cache is the one
+                # non-DataFrame memo (pagerank_graph) and must go too or
+                # its 1-row count job would be skipped on later passes
+                _cache.unpersist_all()
+                _corpus._PR_NODES_CACHE.clear()
+                spark.catalog.clearCache()
+            pass_total = 0.0
+            for label, run in infra_entries:
+                if infra_rep and label in _INFRA_RUN_ONCE:
+                    pass_total += shared_infra[label]
+                    continue
+                t0 = time.perf_counter()
+                run()
+                dt = round(time.perf_counter() - t0, 3)
+                pass_total += dt
+                if label not in shared_infra or dt < shared_infra[label]:
+                    shared_infra[label] = dt
+            rep_infra_totals.append(round(pass_total, 3))
     except Exception as exc:  # noqa: BLE001 — consumers rebuild lazily
         print(f"bench: shared-infra prebuild failed: {exc}", file=sys.stderr)
 
@@ -558,6 +619,10 @@ def main() -> None:
         # rather than whichever query alphabetically runs first
         "shared_infra": shared_infra,
         "shared_infra_total": round(sum(shared_infra.values()), 3),
+        # r13: per-label min over REPS rebuild passes (caches dropped
+        # between passes); raw per-pass totals on record like
+        # rep_plan_cost_totals. Write-once layout labels time pass 0.
+        "rep_infra_totals": rep_infra_totals,
         "lifecycle_bands": lifecycle_bands,
         "lifecycle_bands_calibration": {**bands_calibration, "applied": bands_apply},
         "lifecycle_out_of_band": out_of_band,

@@ -38,6 +38,23 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
+# Every dict ever passed to lru_persisted, by identity — lets the bench
+# drop ALL persist-once relations between shared-infra timing passes
+# (min-of-reps needs each pass to rebuild honestly) without hardcoding
+# the per-module cache list anywhere.
+_ALL_CACHES: list[dict] = []
+
+
+def unpersist_all() -> None:
+    """Unpersist and forget every relation in every registered cache.
+    Used by timing harnesses between passes; consumers lazily rebuild."""
+    for cache in _ALL_CACHES:
+        for key in list(cache):
+            try:
+                cache.pop(key).unpersist()
+            except Exception:  # noqa: BLE001 — owned by a stopped session
+                pass
+
 
 def lru_persisted(
     cache: dict[str, DataFrame],
@@ -47,6 +64,8 @@ def lru_persisted(
 ) -> DataFrame:
     """Return the persisted relation for ``key``, building + persisting
     it on first use and refreshing its LRU position on every hit."""
+    if not any(c is cache for c in _ALL_CACHES):
+        _ALL_CACHES.append(cache)
     df = cache.pop(key, None)
     if df is None:
         if len(cache) >= cap:
