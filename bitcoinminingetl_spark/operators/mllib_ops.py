@@ -434,27 +434,25 @@ def q_semdedup(
         .select("id_b")
         .distinct()
     )
-    survivors = assigned.join(
-        pairs, assigned.vec_id == pairs.id_b, "left_anti"
-    )
-    dropped_per_cell = (
-        assigned.join(pairs, assigned.vec_id == pairs.id_b, "semi")
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_dropped"))
-    )
+    # r13 (guide §2.4 / §1.2-1): one broadcast left join + ONE aggregate
+    # replace the previous anti-join + semi-join + two groupBys + final
+    # join — `assigned` (a transform pass over the persisted embeddings)
+    # is computed 3x instead of 4x and the per-cell rollup shuffles
+    # once. Equivalent by construction: every block keeps its min id
+    # (id_a < id_b within a block), so no cell empties and the kept/
+    # dropped split is exactly the anti/semi partition of before.
+    dropped = F.col("id_b").isNotNull()
     return (
-        survivors.groupBy("cell")
+        assigned.join(
+            F.broadcast(pairs), assigned.vec_id == pairs.id_b, "left"
+        )
+        .groupBy("cell")
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.min("vec_id").alias("min_kept_id"),
+            F.count(F.when(~dropped, 1)).alias("n_kept"),
+            F.count(F.when(dropped, 1)).alias("n_dropped"),
+            F.min(F.when(~dropped, F.col("vec_id"))).alias("min_kept_id"),
         )
-        .join(F.broadcast(dropped_per_cell), "cell", "left")
-        .select(
-            "cell",
-            "n_kept",
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-            "min_kept_id",
-        )
+        .select("cell", "n_kept", "n_dropped", "min_kept_id")
     )
 
 

@@ -344,27 +344,33 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d8 = F.least(F.greatest(F.shiftright(F.col("day"), _Z_DAY_SHIFT), F.lit(0)), F.lit(255))
     q8 = F.least(F.greatest(F.col("q"), F.lit(0)), F.lit(255))
+    # r13 (guide §2.3 narrower types): the layout rides the 3x-exploded
+    # relation through the window exchange + per-layout sort as a 1-byte
+    # ordinal, not a 10-16 byte string; the name attaches to the 3-row
+    # aggregate at the very end. Ordinal order (0,1,2) maps to the same
+    # names, so every downstream grouping is unchanged modulo the label.
+    _names = ("zorder", "linear_ship", "linear_qty")
     lay = base.select(
         "*",
         d8.alias("d8"),
         q8.alias("q8"),
         F.explode(
-            F.array(F.lit("zorder"), F.lit("linear_ship"), F.lit("linear_qty"))
-        ).alias("layout"),
+            F.array(*[F.lit(i).cast("tinyint") for i in range(3)])
+        ).alias("lid"),
     ).select(
-        "layout",
+        "lid",
         "day",
         "q",
         *_Z_TIEBREAK,
-        F.when(F.col("layout") == "zorder", _z_interleave_col(F.col("d8"), F.col("q8")))
-        .when(F.col("layout") == "linear_ship", F.col("day"))
+        F.when(F.col("lid") == 0, _z_interleave_col(F.col("d8"), F.col("q8")))
+        .when(F.col("lid") == 1, F.col("day"))
         .otherwise(F.col("q"))
         .alias("key"),
     )
-    w = Window.partitionBy("layout").orderBy("key", *_Z_TIEBREAK)
+    w = Window.partitionBy("lid").orderBy("key", *_Z_TIEBREAK)
     pb = (
-        lay.select("layout", "day", "q", F.ntile(_Z_BUCKETS).over(w).alias("bucket"))
-        .groupBy("layout", "bucket")
+        lay.select("lid", "day", "q", F.ntile(_Z_BUCKETS).over(w).alias("bucket"))
+        .groupBy("lid", "bucket")
         .agg(
             F.min("day").alias("d_lo"),
             F.max("day").alias("d_hi"),
@@ -379,12 +385,24 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("q_lo") > _Z_PROBE_QTY_HI)
     )
     n_scanned = F.count(F.when(scanned, 1))
-    return pb.groupBy("layout").agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        n_scanned.alias("buckets_scanned"),
-        roundn(n_scanned * 1.0 / F.count(F.lit(1)), 4).alias("scan_frac"),
-        roundn(F.avg(F.col("d_hi") - F.col("d_lo")), 2).alias("avg_day_span"),
-        roundn(F.avg(F.col("q_hi") - F.col("q_lo")), 2).alias("avg_qty_span"),
+    return (
+        pb.groupBy("lid")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            n_scanned.alias("buckets_scanned"),
+            roundn(n_scanned * 1.0 / F.count(F.lit(1)), 4).alias("scan_frac"),
+            roundn(F.avg(F.col("d_hi") - F.col("d_lo")), 2).alias("avg_day_span"),
+            roundn(F.avg(F.col("q_hi") - F.col("q_lo")), 2).alias("avg_qty_span"),
+        )
+        .select(
+            F.element_at(F.array(*[F.lit(n) for n in _names]), F.col("lid") + 1)
+            .alias("layout"),
+            "n_buckets",
+            "buckets_scanned",
+            "scan_frac",
+            "avg_day_span",
+            "avg_qty_span",
+        )
     )
 
 
