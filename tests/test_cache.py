@@ -65,3 +65,47 @@ def test_distinct_keys_distinct_relations(spark):
     assert a.count() == 1 and b.count() == 2
     for df in (a, b):
         df.unpersist()
+
+
+def test_unpersist_all_clears_every_registered_cache(spark):
+    """r13 (bench infra min-of-reps): unpersist_all must drop every
+    relation in every dict that ever passed through lru_persisted —
+    the bench relies on it between infra timing passes so later passes
+    rebuild honestly instead of timing cache hits."""
+    from bitcoinminingetl_spark.functions.cache import unpersist_all
+
+    c1: dict = {}
+    c2: dict = {}
+    a = lru_persisted(c1, "a", lambda: spark.range(4).toDF("a"))
+    b = lru_persisted(c2, "b", lambda: spark.range(6).toDF("b"))
+    assert _is_persisted(a) and _is_persisted(b)
+    unpersist_all()
+    assert not c1 and not c2, "registered caches must be emptied"
+    assert not _is_persisted(a) and not _is_persisted(b)
+    # caches stay usable: next access rebuilds and re-persists
+    a2 = lru_persisted(c1, "a", lambda: spark.range(4).toDF("a"))
+    assert _is_persisted(a2) and a2.count() == 4
+    a2.unpersist()
+    c1.clear()
+
+
+def test_r13_shared_relations_build_once_per_corpus(spark, sf_dir):
+    """r13 shared-relation optimizations: the span-gram index, the
+    unhashed shingle relation and the surrogate bucket relation must be
+    persist-once per (session, corpus) — a second call returns the SAME
+    persisted DataFrame (one build, every consumer reads executor
+    storage), which is the entire optimization."""
+    from bitcoinminingetl_spark.operators.corpus_ops import (
+        span_dup_grams,
+        span_grams,
+    )
+    from bitcoinminingetl_spark.operators.dedup import shingle_strings
+    from bitcoinminingetl_spark.operators.reference_pipeline import (
+        surrogate_buckets,
+    )
+
+    for fn in (span_grams, span_dup_grams, shingle_strings, surrogate_buckets):
+        first = fn(spark, sf_dir)
+        second = fn(spark, sf_dir)
+        assert first is second, f"{fn.__name__} must serve the cache hit"
+        assert _is_persisted(first), f"{fn.__name__} must be persisted"
