@@ -406,6 +406,14 @@ def main() -> None:
                 "pair_overlaps_uncapped",
                 _mat(lambda: _dedup.pair_overlaps(spark, sf_dir)),
             ),
+            # per-doc shingle-set relation shared by the five LSH
+            # verify consumers (r13: _verify_candidates aggregated the
+            # shingle index into sets twice per query, ten times per
+            # bench pass across the family)
+            (
+                "shingle_sets",
+                _mat(lambda: _dedup.shingle_sets(spark, sf_dir)),
+            ),
             # (doc_id, token) distinct-token relation shared by the
             # SimHash twin pair (r12 VERDICT item 6) — one corpus scan
             # + tokenize + distinct explode, previously paid twice

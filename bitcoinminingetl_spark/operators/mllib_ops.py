@@ -150,7 +150,13 @@ def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bands_arr).alias("bs"))
         .select("doc_id", "bs.band", "bs.sig")
     )
-    return _verify_candidates(shingle_index(spark, sf_dir), _candidate_pairs(bands))
+    from bitcoinminingetl_spark.operators.dedup import shingle_sets
+
+    return _verify_candidates(
+        shingle_index(spark, sf_dir),
+        _candidate_pairs(bands),
+        sets=shingle_sets(spark, sf_dir),
+    )
 
 
 _BRP_TABLES = 8

@@ -96,6 +96,7 @@ def main() -> None:
             "span_grams",
             "span_dup_grams",
             "shingle_strings",
+            "shingle_sets",
             "surrogate_buckets",
         ):
             fn = (

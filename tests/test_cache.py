@@ -109,3 +109,31 @@ def test_r13_shared_relations_build_once_per_corpus(spark, sf_dir):
         second = fn(spark, sf_dir)
         assert first is second, f"{fn.__name__} must serve the cache hit"
         assert _is_persisted(first), f"{fn.__name__} must be persisted"
+
+
+def test_shingle_sets_is_persist_once_and_matches_inline_aggregate(
+    spark, sf_dir
+):
+    """r13 shared shingle_sets relation: persist-once per (session,
+    corpus), and bit-identical to the inline per-doc aggregate it
+    replaced inside _verify_candidates (doc_id -> sorted shingle set +
+    count) — the equivalence every LSH verify consumer now rests on."""
+    from bitcoinminingetl_spark.operators.dedup import (
+        _doc_shingle_sets,
+        shingle_index,
+        shingle_sets,
+    )
+
+    first = shingle_sets(spark, sf_dir)
+    second = shingle_sets(spark, sf_dir)
+    assert first is second, "shingle_sets must serve the cache hit"
+    assert _is_persisted(first), "shingle_sets must be persisted"
+
+    inline = _doc_shingle_sets(shingle_index(spark, sf_dir))
+    got = {
+        r.doc_id: (sorted(r.shingles), r.n_shingles) for r in first.collect()
+    }
+    want = {
+        r.doc_id: (sorted(r.shingles), r.n_shingles) for r in inline.collect()
+    }
+    assert got == want

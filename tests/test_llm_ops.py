@@ -45,6 +45,39 @@ def test_simhash_finds_planted_duplicates(spark, sf_dir):
         assert any(r.hamming == 0 for r in rows), name
 
 
+def test_simhash_pairs_dedup_without_distinct(spark):
+    """r13 _simhash_pairs rewrite internals: (1) a pair sharing SEVERAL
+    chunks surfaces exactly once (the first-matching-chunk filter that
+    replaced the .distinct() exchange), at hamming <= max; (2) the
+    2*ones >= n vote fold ties break exactly like the old sum(+/-1) >= 0
+    (a bit with equal votes is SET). Two identical single-token docs
+    share all 4 chunks -> exactly one (a, b, 0) row; a doc pair with
+    signatures differing beyond the Hamming cap emits nothing."""
+    from pyspark.sql import functions as F
+
+    from bitcoinminingetl_spark.operators.dedup import _simhash_pairs
+
+    # doc 1/2: same token -> identical signatures, all 4 chunks match.
+    # doc 3: one token whose hash differs in >3 bits from doc 1's.
+    tok = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "omega9")],
+        "doc_id long, token string",
+    ).withColumn("th", F.xxhash64("token"))
+    rows = _simhash_pairs(tok).collect()
+    dup_rows = [r for r in rows if {r.doc_a, r.doc_b} == {1, 2}]
+    assert len(dup_rows) == 1, rows  # once, not once-per-shared-chunk
+    assert dup_rows[0].hamming == 0
+    # vote tie: two tokens voting 1/0 on a bit -> 2*ones == n -> bit set,
+    # matching the old (ones - zeros) >= 0 convention. Identical tie
+    # inputs => identical signatures => the pair lands at hamming 0.
+    tie = spark.createDataFrame(
+        [(7, 1 << 5), (7, 0), (8, 1 << 5), (8, 0)],
+        "doc_id long, th long",
+    ).withColumn("token", F.lit("x"))
+    tie_rows = _simhash_pairs(tie.select("doc_id", "token", "th")).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in tie_rows] == [(7, 8, 0)]
+
+
 def test_ann_lsh_is_subset_of_exact_ranking(spark, sf_dir):
     """Every ANN neighbor must appear in the exact brute-force scoring
     with the same cosine (LSH reduces candidates, never rescores)."""
