@@ -254,8 +254,19 @@ def _pair_overlaps(shingled: DataFrame, df_cap: int | None = None) -> DataFrame:
     every set-similarity metric (Jaccard, containment, overlap
     coefficient) is a one-line projection of. See _jaccard_pairs for the
     one-groupBy design and the df_cap stop-shingle guard."""
+    # r13 (guide §4.1 — prefer codegen over interpreted HOFs): in-group
+    # pair generation is two codegen'd Generate (explode) passes + an
+    # a<b filter, replacing the flatten/transform/slice HOF explosion
+    # (interpreted per element) — A/B at sf0.1, interleaved min-of-4:
+    # uncapped 2.24 -> 1.43 s, df_cap 2.31 -> 1.54 s, 1,130,536-row
+    # output proven identical per mode. The explode emits g² rows per
+    # group pre-filter vs the HOF's g(g-1)/2 structs, but each row is
+    # two longs and never materializes the nested struct array; fan-out
+    # stays bounded by the same df_cap stop-shingle guard. collect_list
+    # no longer needs sort_array: a doc appears at most once per shingle,
+    # so the a<b filter alone emits each pair exactly once.
     grouped = shingled.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds")
+        F.collect_list("doc_id").alias("ds")
     )
     if df_cap is not None:
         grouped = grouped.filter(F.size("ds") <= df_cap)
@@ -270,18 +281,10 @@ def _pair_overlaps(shingled: DataFrame, df_cap: int | None = None) -> DataFrame:
         sizes = shingled.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_shingles")
         )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     inter = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        grouped.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -482,25 +485,26 @@ def _candidate_pairs(
     the default 5000 the cap never fires on healthy data (expected
     bucket size is a handful of near-dups); it exists to bound the
     worst case."""
+    # r13 (guide §4.1, the _pair_overlaps rewrite): two codegen'd
+    # explodes + an a<b filter replace the interpreted flatten/
+    # transform/slice HOF pair explosion (and the per-group sort_array,
+    # unnecessary once pairs come from filtering — a doc appears at
+    # most once per (band, sig), so a<b emits each pair exactly once
+    # per bucket). Interleaved A/B at sf0.1 over the minhash bands:
+    # min 1.43 -> 0.96 s (the band aggregate dominates this stage, so
+    # the delta is smaller than _pair_overlaps' −36%); 256-row output
+    # proven identical.
     grouped = (
         bands.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") > 1)
     )
     if bucket_cap is not None:
         grouped = grouped.filter(F.size("ds") <= bucket_cap)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        grouped.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
