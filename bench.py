@@ -481,6 +481,13 @@ def main() -> None:
                 "ccnet_scored",
                 _mat(lambda: _text.ccnet_scored(spark, sf_dir)),
             ),
+            # per-doc BM25 term-frequency table shared by the retrieval
+            # family (r13: _bm25_scored referenced it twice per query
+            # across three queries — six interpreted tf passes per pass)
+            (
+                "bm25_tf",
+                _mat(lambda: _text.bm25_tf(spark, sf_dir)),
+            ),
         )
         for infra_rep in range(REPS):
             if infra_rep:

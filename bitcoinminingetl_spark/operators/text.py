@@ -967,6 +967,45 @@ def _bm25_tf_sql(term: str) -> str:
     return f"len(list_filter(string_split(text, ' '), x -> x = '{term}'))"
 
 
+_BM25_TF_CACHE: dict = {}
+
+
+def bm25_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist-once (doc_id, dl, tf0..tfN) term-frequency relation for
+    the fixed _BM25_TERMS query — r13 (guide §2.4): _bm25_scored
+    references this projection TWICE (the 1-row stats aggregate and the
+    probe side), each reference re-running the text split + N
+    interpreted array-filter HOFs per doc, and THREE registry queries
+    (q_bm25_rank, q_hybrid_rrf, q_retrieval_eval) call _bm25_scored —
+    six tf passes over the corpus per bench pass. One shared build
+    (timed in bench.py's shared-infra phase, the ccnet_scored doctrine:
+    a per-doc score-input table a retrieval pipeline materializes once
+    per corpus snapshot) serves all six references; at 100 TB this is
+    the postings/statistics table next to the index."""
+
+    def build() -> DataFrame:
+        toks = F.split("text", " ")
+
+        def _tf(term: str):
+            # NB: the lambda must be unary — pyspark treats a 2-arg
+            # lambda as the (element, index) filter form.
+            return F.size(
+                F.filter(toks, lambda x: x == F.lit(term))
+            ).cast("long")
+
+        return table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            *[_tf(tm).alias(f"tf{i}") for i, tm in enumerate(_BM25_TERMS)],
+        )
+
+    return lru_persisted(
+        _BM25_TF_CACHE,
+        f"{spark.sparkContext.applicationId}:{sf_dir}:bm25_tf",
+        build,
+    )
+
+
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, dl, score) for the fixed _BM25_TERMS query — the ONE
     implementation of the Okapi BM25 score expression, shared by
@@ -978,21 +1017,12 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     developed.
 
     Plan (the 100 TB story both callers inherit): per-doc term
-    frequencies are map-side array ops on the token split; the corpus
-    statistics reduce to ONE 1-row aggregate broadcast back; scoring is
-    a map-only projection. Nothing shuffles the corpus."""
-    toks = F.split("text", " ")
-
-    def _tf(term: str):
-        # NB: the lambda must be unary — pyspark treats a 2-arg lambda
-        # as the (element, index) filter form.
-        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
-
-    t = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(toks).cast("long").alias("dl"),
-        *[_tf(tm).alias(f"tf{i}") for i, tm in enumerate(_BM25_TERMS)],
-    )
+    frequencies are map-side array ops on the token split, persisted
+    once per corpus (bm25_tf — previously recomputed per reference and
+    per consumer); the corpus statistics reduce to ONE 1-row aggregate
+    broadcast back; scoring is a map-only projection. Nothing shuffles
+    the corpus."""
+    t = bm25_tf(spark, sf_dir)
     stats = t.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").cast("long").alias("sum_dl"),

@@ -98,11 +98,13 @@ def main() -> None:
             "shingle_strings",
             "shingle_sets",
             "surrogate_buckets",
+            "bm25_tf",
         ):
             fn = (
                 getattr(_dedup, extra, None)
                 or getattr(_corpus, extra, None)
                 or getattr(_refpipe, extra, None)
+                or getattr(_text, extra, None)
             )
             if fn is not None:
                 try:

@@ -103,8 +103,15 @@ def test_r13_shared_relations_build_once_per_corpus(spark, sf_dir):
     from bitcoinminingetl_spark.operators.reference_pipeline import (
         surrogate_buckets,
     )
+    from bitcoinminingetl_spark.operators.text import bm25_tf
 
-    for fn in (span_grams, span_dup_grams, shingle_strings, surrogate_buckets):
+    for fn in (
+        span_grams,
+        span_dup_grams,
+        shingle_strings,
+        surrogate_buckets,
+        bm25_tf,
+    ):
         first = fn(spark, sf_dir)
         second = fn(spark, sf_dir)
         assert first is second, f"{fn.__name__} must serve the cache hit"
