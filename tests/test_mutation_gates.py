@@ -554,8 +554,8 @@ def test_minhash_mllib_gate_goes_red_on_verify_drift(spark, sf_dir):
 
     orig = mllib_mod._verify_candidates
 
-    def drifted(sh, candidates):
-        return orig(sh, candidates).withColumn(
+    def drifted(sh, candidates, sets=None):
+        return orig(sh, candidates, sets=sets).withColumn(
             "jaccard", SF.col("jaccard") + SF.lit(0.001)
         )
 
