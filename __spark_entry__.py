@@ -31,9 +31,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q_window_join"].fn(spark, _SMOKE_SF_DIR)
 
 
+# The driver hash-checks the FIRST 50 entries of queries() (r13 VERDICT:
+# the verified window). Round 13's interrupted build added two md5 twins
+# whose names sort before q_dedup_exact, displacing the window's last two
+# queries — r13 VERDICT item 1 requires the first 50 to equal the round-12
+# window set again. No query is removed or renamed: the window names lead
+# (alphabetical among themselves, exactly the r12 set, frozen by
+# tests/test_round_hygiene.py), every other query follows alphabetically.
+DRIVER_WINDOW = (
+    "q_agg_distinct", "q_agg_salted_distinct", "q_ann_brp_mllib",
+    "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_lsh", "q_anomaly_zscore",
+    "q_anonymize_keys", "q_apply_in_pandas", "q_approx_distinct",
+    "q_approx_percentiles", "q_argmax_by", "q_array_funcs", "q_avg_global",
+    "q_avg_grouped", "q_bigint_decimal_agg", "q_bigram_logprob",
+    "q_bitext_mine", "q_bitext_mine_lsh", "q_bm25_rank",
+    "q_bpe_pair_counts", "q_bpe_train", "q_casts", "q_ccnet_buckets",
+    "q_ccnet_buckets_approx", "q_chunk_documents", "q_class_balance",
+    "q_cluster_keywords", "q_cluster_keywords_ivf", "q_cogroup_pandas",
+    "q_collation_ci", "q_compaction_plan", "q_conditional_agg",
+    "q_corpus_dedup", "q_corpus_dedup_lsh", "q_corr_stats",
+    "q_cosine_topk", "q_cube", "q_curation_funnel", "q_date_funcs",
+    "q_date_spine", "q_decontaminate", "q_decontaminate_semantic",
+    "q_dedup_clusters", "q_dedup_clusters_minlabel", "q_dedup_containment",
+    "q_dedup_embed_cosine", "q_dedup_embed_cosine_lsh", "q_dedup_exact",
+    "q_dedup_incremental",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in sorted(load_all().items())}
+    """One entry per implemented operator from SURVEY.md §2, the frozen
+    driver window first."""
+    registry = load_all()
+    ordered = {
+        name: registry[name].fn
+        for name in DRIVER_WINDOW
+        if name in registry
+    }
+    for name, spec in sorted(registry.items()):
+        if name not in ordered:
+            ordered[name] = spec.fn
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
