@@ -170,6 +170,15 @@ def _cc_labels(
             .groupBy("u")
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
+        # r14 (r13 VERDICT item 7 — guide §2.4): the previous label now
+        # rides THROUGH every per-round projection as `old_label` (it is
+        # already on the propagate join's input row — no extra join),
+        # so the convergence count becomes a filter over the round's
+        # checkpointed state instead of a shuffle join of the new label
+        # map back to the old one: one join per round dropped, and it
+        # compounds with rounds at scale. The relation the next
+        # iteration consumes is the same (doc_id, cluster_id)
+        # projection of the checkpointed blocks.
         propagated = (
             labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
             .select(
@@ -178,6 +187,7 @@ def _cc_labels(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                F.col("cluster_id").alias("old_label"),
             )
         )
         if pointer_jump:
@@ -196,16 +206,14 @@ def _cc_labels(
                         F.col("cluster_id"),
                         F.coalesce(F.col("p_label"), F.col("cluster_id")),
                     ).alias("cluster_id"),
+                    "old_label",
                 )
             )
         new_labels = _ckpt(propagated)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("cluster_id") != F.col("old_label")
+        ).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
     return labels

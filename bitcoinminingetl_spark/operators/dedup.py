@@ -886,7 +886,31 @@ def _simhash_pairs(tok: DataFrame) -> DataFrame:
        earlier xor byte nonzero) and the distinct disappears; each
        qualifying pair survives exactly once, at its minimum matching
        chunk_id. Result set identical (oracle re-proven at sf0.01 +
-       sf0.1, ORACLE_LOCAL/ORACLE_SF01)."""
+       sf0.1, ORACLE_LOCAL/ORACLE_SF01).
+
+    r14 (VERDICT item 4 / ADVICE medium — guide §2.5 skew + §5 memory):
+    the r13 candidate stage grouped by (chunk_id, chunk) and
+    collect_list'd every bucket member into ONE array. With 8-bit
+    chunks that key space is at most 4×256 = 1024 groups, so each
+    bucket row materializes O(corpus/256) structs in a single
+    aggregation buffer — a per-task OOM (and 2 GB array-limit) hazard
+    at 100 TB that the old self-join, quadratic but streamed and
+    spillable, never had. Candidates now come from an equi-SELF-JOIN
+    on (chunk_id, chunk) over the CHECKPOINTED per-doc signature
+    relation: the vote aggregate still runs exactly once (ckpt
+    truncates lineage, so both join sides read the materialized 1-row/
+    doc relation instead of recomputing the aggregate — the defect the
+    r13 rewrite fixed stays fixed), the shuffle is still 4 rows/doc
+    per side, and the join is streamed/spillable with AQE skew
+    handling instead of one unbounded in-memory array per bucket. The
+    checkpoint is per-invocation (recomputed every run — nothing is
+    memoized across queries or reps); NULL-th rows are filtered
+    structurally (ADVICE low: the pre-r13 ±1 vote convention counted a
+    NULL th as all-zero bits via CASE…otherwise(-1), the raw-bit sum
+    silently drops them — no current producer emits NULL th, and the
+    explicit filter makes the equivalence structural rather than
+    incidental)."""
+    tok = tok.filter(F.col("th").isNotNull())
     votes = tok.groupBy("doc_id").agg(
         F.count("th").alias("nt"),
         *[
@@ -900,7 +924,9 @@ def _simhash_pairs(tok: DataFrame) -> DataFrame:
             F.col(f"o{bit}") * 2 >= F.col("nt"), F.lit(2**bit).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
-    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    from bitcoinminingetl_spark.functions.state import ckpt
+
+    sigs = ckpt(votes.select("doc_id", simhash.alias("simhash")))
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -918,12 +944,16 @@ def _simhash_pairs(tok: DataFrame) -> DataFrame:
             )
         ).alias("cs"),
     ).select("doc_id", "simhash", "cs.chunk_id", "cs.chunk")
-    buckets = chunks.groupBy("chunk_id", "chunk").agg(
-        F.collect_list(F.struct("doc_id", "simhash")).alias("ds")
-    )
     pairs = (
-        buckets.select("chunk_id", F.explode("ds").alias("a"), "ds")
-        .select("chunk_id", "a", F.explode("ds").alias("b"))
+        chunks.select(
+            "chunk_id", "chunk", F.struct("doc_id", "simhash").alias("a")
+        )
+        .join(
+            chunks.select(
+                "chunk_id", "chunk", F.struct("doc_id", "simhash").alias("b")
+            ),
+            ["chunk_id", "chunk"],
+        )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

@@ -395,7 +395,18 @@ def q_semdedup(
     n = emb.count()
     k = max(2, min(_SEMDEDUP_K_MAX if k_max is None else k_max, n // 8))
     km = _fit_kmeans(emb, k, fit_sample_fraction=fit_sample_fraction)
-    assigned = km.transform(emb).select("vec_id", "embedding", "norm", "cell")
+    # r14 (guide §5-caching / §1.2-1): the cell-assignment relation is
+    # referenced by the cell-size sketch, both pair sides and the final
+    # rollup — each reference re-ran the model.transform pass over the
+    # corpus. Checkpointing it (per-invocation — recomputed every run,
+    # nothing memoized across queries) is exactly the materialized
+    # assignment table the SemDeDup pipeline writes once at 100 TB; the
+    # transform now runs exactly once.
+    from bitcoinminingetl_spark.functions.state import ckpt
+
+    assigned = ckpt(
+        km.transform(emb).select("vec_id", "embedding", "norm", "cell")
+    )
     # sub-split oversized cells: block = (cell, hash(vec_id) % splits)
     cell_sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cn"))
     assigned = assigned.join(F.broadcast(cell_sizes), "cell").withColumn(

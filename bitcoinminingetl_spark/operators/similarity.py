@@ -1124,10 +1124,19 @@ def _margin_rank(scored: DataFrame) -> DataFrame:
             w
         ).cast("double")
 
+    # r14 (guide §2.4 — windows partitioned by the same key share one
+    # exchange when ADJACENT): the previous order alternated
+    # src/tgt/src/tgt/src partitionings — five Exchanges of the pair
+    # relation. Grouping the two src-keyed windows together and the two
+    # tgt-keyed ones together (the avg only needs its OWN side's rank,
+    # so the interleave was never a data dependency) drops that to
+    # src/tgt + the final src-keyed pick: 5 → 3 Exchanges. Pure
+    # reordering of independent column definitions — every value is
+    # unchanged.
     ranked = (
         scored.withColumn("fwd_rn", F.row_number().over(w_fwd))
-        .withColumn("bwd_rn", F.row_number().over(w_bwd))
         .withColumn("fwd_avg", topk_avg("fwd_rn", w_src))
+        .withColumn("bwd_rn", F.row_number().over(w_bwd))
         .withColumn("bwd_avg", topk_avg("bwd_rn", w_tgt))
     )
     denom = (F.col("fwd_avg") + F.col("bwd_avg")) / 2.0

@@ -111,12 +111,22 @@ BNLJ_BUILD_ROWS_MAX = 64
 def _plan_nodes(node):
     """Yield every SparkPlan node, descending through the AQE wrappers:
     AdaptiveSparkPlanExec -> its final executedPlan, QueryStageExec ->
-    its materialized plan, ReusedExchangeExec -> the original exchange."""
+    its materialized plan, ReusedExchangeExec -> the original exchange —
+    AND through each node's expression subqueries (r13 ADVICE low: the
+    r13 move from treeString grepping to node traversal silently lost
+    the innerChildren the printed tree included, so a CartesianProduct
+    or BatchEvalPython inside a scalar/IN subquery — which DOES execute
+    at runtime, unlike cached InMemoryTableScan lineage — escaped all
+    four checks; `subqueries()` restores exactly that runtime surface
+    without re-admitting cached lineage)."""
     cls = node.getClass().getSimpleName()
     if cls == "AdaptiveSparkPlanExec":
         yield from _plan_nodes(node.executedPlan())
         return
     yield node
+    subs = node.subqueries()
+    for i in range(subs.size()):
+        yield from _plan_nodes(subs.apply(i))
     if cls.endswith("QueryStageExec"):
         yield from _plan_nodes(node.plan())
         return
